@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Aggregation operators (SURVEY.md §2.4) + the embedded SQL surface
+  * (§2.11). All aggregates are hash aggregations with partial (map-side)
+  * combine — Catalyst's default physical plan — so at 100 TB each
+  * groupBy shuffles only the partially-aggregated keyspace, not rows.
+  * Double-valued aggregates are rounded to 4 decimals on BOTH the Spark
+  * and DuckDB side so summation-order ULP drift cannot break the hash
+  * compare.
+  */
+object AggQueries {
+
+  /** A1 group-by mean. Ref: covid_data_transform.py:28,167 (weather
+    * mean per (date, country, state)). */
+  private val a1 = Q(
+    "a1_group_avg",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** A2 group-by sum + A3 group-by max (country roll-up; max date_idx).
+    * Ref: covid_data_transform.py:43,77,241. */
+  private val a2a3 = Q(
+    "a2_group_sum_max",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(sum("o_totalprice"), 4).as("sum_price"),
+          max("o_orderdate").as("max_date"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, round(sum(o_totalprice), 4) AS sum_price,
+                   max(o_orderdate) AS max_date, count(*) AS n
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** A4 global scalar aggregates (min/mean/std/max pulled to driver).
+    * Ref: covid_data_transform.py:127; covid_simulator.py:72,102. */
+  private val a4 = Q(
+    "a4_global_scalars",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(min("l_shipdate").as("min_ship"),
+          max("l_shipdate").as("max_ship"),
+          round(avg("l_quantity"), 4).as("mean_qty"),
+          round(stddev("l_quantity"), 4).as("std_qty"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+                   round(avg(l_quantity), 4) AS mean_qty,
+                   round(stddev_samp(l_quantity), 4) AS std_qty,
+                   count(*) AS n
+            FROM lineitem"""))
+
+  /** A5 SQL aggregate with NULL-default + positional GROUP BY — the
+    * pandasql surface rewritten to Spark SQL (ifnull → coalesce).
+    * Ref: covid_simulator.py:63-69.
+    */
+  private val a5 = Q(
+    "a5_sql_positional_groupby",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                      round(avg(coalesce(o_totalprice, 0)), 4) AS avg_price,
+                      count(*) AS n
+               FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   round(avg(coalesce(o_totalprice, 0)), 4) AS avg_price,
+                   count(*) AS n
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** A6 pivot long→wide with mean agg (weather element → TAVG column).
+    * Pivot values pinned explicitly — at scale this avoids the extra
+    * distinct-values job Spark otherwise runs.
+    * Ref: covid_data_transform.py:160-162.
+    */
+  private val a6 = Q(
+    "a6_pivot",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(avg("l_quantity"), 4))
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT l_suppkey,
+                   round(avg(CASE WHEN l_returnflag='A' THEN l_quantity END), 4) AS "A",
+                   round(avg(CASE WHEN l_returnflag='N' THEN l_quantity END), 4) AS "N",
+                   round(avg(CASE WHEN l_returnflag='R' THEN l_quantity END), 4) AS "R"
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** A7 unpivot wide→long (the ~96 JHU date columns → rows).
+    * Ref: covid_data_transform.py:80-92.
+    */
+  private val a7 = Q(
+    "a7_unpivot",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                     l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+            ORDER BY l_orderkey, l_linenumber, measure"""))
+
+  /** A8 grouped HAVING-style admission filter, detail rows kept via
+    * semi-join back (series with ≥730 rows and fresh max date).
+    * Ref: weather_pred.py:179-194.
+    */
+  private val a8 = Q(
+    "a8_having_semi_back",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val admitted = o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), max("o_totalprice").as("mx"))
+        .filter(col("cnt") >= 15 && col("mx") > 150000)
+        .select("o_custkey")
+      o.join(admitted, Seq("o_custkey"), "left_semi")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey IN (
+              SELECT o_custkey FROM orders GROUP BY 1
+              HAVING count(*) >= 15 AND max(o_totalprice) > 150000)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** A9 conditional sum over a per-group window slice — the R₀
+    * estimator: sum of positive day-over-day increments within the
+    * first 30 ordered rows of each group.
+    * Ref: covid_simulator.py:393-410.
+    */
+  private val a9 = Q(
+    "a9_conditional_windowed_sum",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("d", col("l_extendedprice") - lag("l_extendedprice", 1).over(w))
+        .filter(col("rn") <= 30)
+        .groupBy("l_suppkey")
+        .agg(round(sum(when(col("d") > 0, col("d")).otherwise(lit(0.0))), 4)
+          .as("pos_increments"))
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT l_suppkey,
+                   round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 4)
+                     AS pos_increments
+            FROM (
+              SELECT l_suppkey,
+                row_number() OVER w AS rn,
+                l_extendedprice - lag(l_extendedprice, 1) OVER w AS d
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber))
+            WHERE rn <= 30 GROUP BY 1 ORDER BY 1"""))
+
+  /** A10 mean-imputation of out-of-range values (R_0==0 → mean of
+    * positive R_0). Ref: covid_simulator.py:445-446.
+    */
+  private val a10 = Q(
+    "a10_mean_impute",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val posMean = c.filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("mu"))
+      c.crossJoin(broadcast(posMean))
+        .withColumn("acctbal_imputed",
+          round(when(col("c_acctbal") < 0, col("mu"))
+            .otherwise(col("c_acctbal")), 4))
+        .select("c_custkey", "acctbal_imputed")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+                   round(CASE WHEN c_acctbal < 0
+                         THEN (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+                         ELSE c_acctbal END, 4) AS acctbal_imputed
+            FROM customer ORDER BY c_custkey"""))
+
+  def all: Seq[Q] = Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10)
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3). Dimension tables (region, nation,
+  * customer, supplier, part) are small at any scale factor relative to
+  * the facts, so they are explicitly `broadcast()` — at 100 TB the fact
+  * side never shuffles for these joins.
+  */
+object JoinQueries {
+
+  /** J1 inner equi-join on 3 keys (confirmed ⋈ recovered ⋈ death on
+    * (province_state, country_region, date)). Re-expressed: three
+    * measure-aggregates of lineitem re-joined on a 3-part key.
+    * Ref: covid_data_transform.py:95-96.
+    */
+  private val j1 = Q(
+    "j1_inner_join_3key",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val keys = Seq("l_returnflag", "l_linestatus", "l_shipmonth")
+      def measure(c: String, alias: String) =
+        li.withColumn("l_shipmonth", date_trunc("month", col("l_shipdate")))
+          .groupBy(keys.map(col): _*)
+          .agg(round(sum(col(c)), 4).as(alias))
+      measure("l_quantity", "qty")
+        .join(measure("l_extendedprice", "price"), keys, "inner")
+        .join(measure("l_discount", "disc"), keys, "inner")
+        .orderBy(keys.map(col): _*)
+    },
+    Some("""WITH m AS (
+              SELECT l_returnflag, l_linestatus,
+                     date_trunc('month', l_shipdate) AS l_shipmonth,
+                     round(sum(l_quantity), 4) AS qty,
+                     round(sum(l_extendedprice), 4) AS price,
+                     round(sum(l_discount), 4) AS disc
+              FROM lineitem GROUP BY 1, 2, 3)
+            SELECT a.l_returnflag, a.l_linestatus, a.l_shipmonth,
+                   a.qty, b.price, c.disc
+            FROM (SELECT l_returnflag, l_linestatus, l_shipmonth, qty FROM m) a
+            JOIN (SELECT l_returnflag, l_linestatus, l_shipmonth, price FROM m) b
+              USING (l_returnflag, l_linestatus, l_shipmonth)
+            JOIN (SELECT l_returnflag, l_linestatus, l_shipmonth, disc FROM m) c
+              USING (l_returnflag, l_linestatus, l_shipmonth)
+            ORDER BY 1, 2, 3"""))
+
+  /** J2 inner equi-join on 1 key with a small broadcast dim.
+    * Ref: covid_data_transform.py:113 (covid ⋈ population).
+    */
+  private val j2 = Q(
+    "j2_inner_join_broadcast",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("total"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** J3 left outer join (readings ⋈ station metadata keeping all left).
+    * Ref: covid_data_transform.py:165; weather_pred.py:164.
+    */
+  private val j3 = Q(
+    "j3_left_join",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, n_name
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY c_custkey"""))
+
+  /** J4 right outer join keeping all right-side rows.
+    * Ref: covid_data_transform.py:239 (covid ⋈ weather, how='right').
+    */
+  private val j4 = Q(
+    "j4_right_join",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 250000)
+      val c = Tables.load(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_big_orders
+            FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+            RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** J5 self-join with _after/_before suffixes + per-column diffs.
+    * Ref: covid_simulator.py:622-627.
+    */
+  private val j5 = Q(
+    "j5_self_join_suffix_diff",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      def yearAgg(flag: String, alias: String) =
+        li.filter(col("l_returnflag") === flag)
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum("l_extendedprice"), 4).as(alias))
+      yearAgg("R", "price_after")
+        .join(yearAgg("A", "price_before"), Seq("l_suppkey"), "inner")
+        .withColumn("price_diff",
+          round(col("price_after") - col("price_before"), 4))
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH a AS (SELECT l_suppkey, round(sum(l_extendedprice),4) AS price_after
+                       FROM lineitem WHERE l_returnflag='R' GROUP BY 1),
+                 b AS (SELECT l_suppkey, round(sum(l_extendedprice),4) AS price_before
+                       FROM lineitem WHERE l_returnflag='A' GROUP BY 1)
+            SELECT a.l_suppkey, price_after, price_before,
+                   round(price_after - price_before, 4) AS price_diff
+            FROM a JOIN b USING (l_suppkey) ORDER BY 1"""))
+
+  /** J6 semi-join by derived key set (keep groups whose max(date_idx)
+    * hits a target). Ref: covid_data_transform.py:241-260.
+    */
+  private val j6 = Q(
+    "j6_semi_join_keyset",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val bigCusts = o.groupBy("o_custkey")
+        .agg(max("o_totalprice").as("mx"))
+        .filter(col("mx") > 400000)
+        .select("o_custkey")
+      o.join(bigCusts, Seq("o_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_custkey IN (
+              SELECT o_custkey FROM orders GROUP BY 1
+              HAVING max(o_totalprice) > 400000)
+            ORDER BY o_orderkey"""))
+
+  /** J7 per-group scalar lookup (the reference's nested-loop coefficient
+    * fetch) → broadcast equi-join against the tiny coefficient dim.
+    * Ref: covid_simulator.py:39-51.
+    */
+  private val j7 = Q(
+    "j7_scalar_lookup_join",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "inner")
+        .groupBy("s_nationkey")
+        .agg(round(sum(col("l_quantity") * col("s_acctbal")), 4).as("weighted"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, round(sum(l_quantity * s_acctbal), 4) AS weighted
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** Anti-join complement of J6 (pandas `isin` negation pattern,
+    * covid_simulator.py:571 `~...isin(...)`). */
+  private val jAnti = Q(
+    "j8_anti_join",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey"""))
+
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti)
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Projection / filter / column-transform / distinct / union / sort
+  * operators (SURVEY.md §2.2, §2.5, §2.6), re-expressed over the
+  * testdata star schema. Reference instances cited per query.
+  */
+object RelationalQueries {
+
+  /** P1 include-list projection + P3 predicate filter.
+    * Ref: covid_data_transform.py:70 (projection),
+    * covid_simulator.py:62 (confirmed>0 filter).
+    */
+  private val p1p3 = Q(
+    "p1_project_filter",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(col("l_quantity") > 45)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45
+            ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** P2 exclude-list projection (drop) + P4 conjunctive predicate.
+    * Ref: covid_data_transform.py:58-59 (EXCLUDE_COL drop),
+    * covid_simulator.py:450 ((removed>0)&(holdout==0)).
+    */
+  private val p2p4 = Q(
+    "p2_drop_conj_filter",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .drop("o_orderpriority", "o_orderdate")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+            ORDER BY o_orderkey"""))
+
+  /** P5 conditional in-place update (UPDATE ... WHERE) + P6 rename + P7
+    * literal column.
+    * Ref: covid_data_transform.py:16-22 (per-row rewrite), :71 (rename),
+    * covid_simulator.py:375 (Intercept literal).
+    */
+  private val p5p6p7 = Q(
+    "p5_cond_update_rename_lit",
+    (s, dir) => {
+      Tables.load(s, dir, "customer")
+        .withColumn("c_mktsegment",
+          when(col("c_acctbal") < 0, lit("DELINQUENT"))
+            .otherwise(col("c_mktsegment")))
+        .withColumnRenamed("c_acctbal", "balance")
+        .withColumn("intercept", lit(1.0))
+        .select("c_custkey", "c_name", "c_mktsegment", "balance", "intercept")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+              CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END
+                AS c_mktsegment,
+              c_acctbal AS balance, 1.0 AS intercept
+            FROM customer ORDER BY c_custkey"""))
+
+  /** P8/O2 head-N per sorted group via row_number (rho_data[0:30]).
+    * Ref: covid_simulator.py:394.
+    */
+  private val p8 = Q(
+    "p8_topn_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+        .orderBy("l_suppkey", "rn")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+            FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                row_number() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem)
+            WHERE rn <= 3 ORDER BY l_suppkey, rn"""))
+
+  /** D1 distinct rows + D2 distinct single column.
+    * Ref: covid_data_transform.py:110 (dedupe dim),
+    * covid_simulator.py:35 (distinct states).
+    */
+  private val d1d2 = Q(
+    "d1_distinct",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+            ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** U1 union by name with missing columns NaN/NULL-filled (pandas
+    * concat semantics). Ref: covid_data_transform.py:117.
+    */
+  private val u1 = Q(
+    "u1_union_missing_cols",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+          col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      val supp = Tables.load(s, dir, "supplier")
+        .select(col("s_name").as("name"), col("s_nationkey").as("nationkey"),
+          col("s_acctbal").as("acctbal"))
+      cust.unionByName(supp, allowMissingColumns = true)
+        .orderBy("name")
+    },
+    Some("""SELECT * FROM (
+              SELECT c_name AS name, c_nationkey AS nationkey,
+                     c_acctbal AS acctbal, c_mktsegment AS segment
+              FROM customer
+              UNION ALL BY NAME
+              SELECT s_name AS name, s_nationkey AS nationkey,
+                     s_acctbal AS acctbal
+              FROM supplier)
+            ORDER BY name"""))
+
+  /** O1 global sort + O3 tail-N per group (last-30 test split).
+    * Ref: weather_pred.py:291-294.
+    */
+  private val o3 = Q(
+    "o3_tail_n_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+            WHERE rn <= 2 ORDER BY o_custkey, rn"""))
+
+  def all: Seq[Q] = Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3)
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.8 F1-F16), grouped into three
+  * queries: strings, dates, math. All pure `functions._` — fully inside
+  * whole-stage codegen, no UDFs.
+  */
+object ScalarFuncQueries {
+
+  /** F1 trim, F2 rstrip('*'), F3 literal replace, F4 regex strip
+    * non-alpha, F5 substring, F6 concat_ws, F7 empty→UNK, F8 CASE WHEN
+    * bucketing.
+    * Ref: covid_data_transform.py:107,123-124,131,155,163,187-188;
+    * covid_simulator.py:363-370,551-552.
+    */
+  private val strings = Q(
+    "f_string_funcs",
+    (s, dir) => {
+      Tables.load(s, dir, "part")
+        .withColumn("name_trim", trim(col("p_name")))
+        .withColumn("name_rstrip", regexp_replace(col("p_name"), "\\*+$", ""))
+        .withColumn("type_nospace", regexp_replace(col("p_type"), " ", "_"))
+        .withColumn("brand_alpha", regexp_replace(col("p_brand"), "[^a-zA-Z]", ""))
+        .withColumn("type_prefix", substring(col("p_type"), 1, 2))
+        .withColumn("loc_key", concat_ws(" : ", col("p_brand"), col("p_type")))
+        .withColumn("brand_unk",
+          when(col("p_brand") === "", "UNK").otherwise(col("p_brand")))
+        .withColumn("size_band",
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "medium")
+            .otherwise("large"))
+        .select("p_partkey", "name_trim", "name_rstrip", "type_nospace",
+          "brand_alpha", "type_prefix", "loc_key", "brand_unk", "size_band")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   trim(p_name) AS name_trim,
+                   regexp_replace(p_name, '\*+$', '') AS name_rstrip,
+                   replace(p_type, ' ', '_') AS type_nospace,
+                   regexp_replace(p_brand, '[^a-zA-Z]', '', 'g') AS brand_alpha,
+                   substring(p_type, 1, 2) AS type_prefix,
+                   concat_ws(' : ', p_brand, p_type) AS loc_key,
+                   CASE WHEN p_brand = '' THEN 'UNK' ELSE p_brand END AS brand_unk,
+                   CASE WHEN p_size < 10 THEN 'small'
+                        WHEN p_size < 30 THEN 'medium'
+                        ELSE 'large' END AS size_band
+            FROM part ORDER BY p_partkey"""))
+
+  /** F12 date parse/reformat (the dual yyyyMMdd-int / 'yyyy-MM-dd'-string
+    * encodings), F13 date comparison, F14 date arithmetic, F15 casts.
+    * Ref: covid_data_transform.py:120 (int date), covid_simulator.py:343
+    * (dateval string), :369 (julianday compare), :345 (timedelta).
+    */
+  private val dates = Q(
+    "f_date_funcs",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .withColumn("d", to_date(col("o_orderdate")))
+        .withColumn("date_int", date_format(col("d"), "yyyyMMdd").cast("int"))
+        .withColumn("dateval", date_format(col("d"), "yyyy-MM-dd"))
+        .withColumn("is_late", (col("d") > lit("1997-06-30").cast("date")).cast("int"))
+        .withColumn("d_plus_30", date_add(col("d"), 30))
+        .withColumn("days_since_epoch", datediff(col("d"), lit("1990-01-01").cast("date")))
+        .select("o_orderkey", "date_int", "dateval", "is_late", "d_plus_30",
+          "days_since_epoch")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT)
+                     AS date_int,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS dateval,
+                   CAST(CAST(o_orderdate AS DATE) > DATE '1997-06-30' AS INT)
+                     AS is_late,
+                   CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS d_plus_30,
+                   datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                     AS days_since_epoch
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** F9 arithmetic, F10 coalesce/fillna, F11 null predicates, F16
+    * abs/sqrt/pow/clamp-at-zero.
+    * Ref: covid_simulator.py:361 (TAVG/10), :151 (np.where(y<0,0,y));
+    * weather_pred.py:84 (sqrt), covid_data_transform.py:73 (fillna).
+    */
+  private val math = Q(
+    "f_math_funcs",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .withColumn("price_scaled", round(col("l_extendedprice") / 10.0, 4))
+        .withColumn("disc_price",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .withColumn("qty_sqrt", round(sqrt(col("l_quantity")), 6))
+        .withColumn("tax_sq", round(pow(col("l_tax"), 2), 6))
+        .withColumn("margin_clamped",
+          round(greatest(lit(0.0), col("l_extendedprice") * col("l_discount")
+            - lit(2000.0)), 4))
+        .withColumn("qty_filled", coalesce(col("l_quantity"), lit(0.0)))
+        .withColumn("is_null_qty", col("l_quantity").isNull.cast("int"))
+        .select("l_orderkey", "l_linenumber", "price_scaled", "disc_price",
+          "qty_sqrt", "tax_sq", "margin_clamped", "qty_filled", "is_null_qty")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice / 10.0, 4) AS price_scaled,
+                   round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price,
+                   round(sqrt(l_quantity), 6) AS qty_sqrt,
+                   round(pow(l_tax, 2), 6) AS tax_sq,
+                   round(greatest(0.0, l_extendedprice * l_discount - 2000.0), 4)
+                     AS margin_clamped,
+                   coalesce(l_quantity, 0.0) AS qty_filled,
+                   CAST(l_quantity IS NULL AS INT) AS is_null_qty
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  def all: Seq[Q] = Seq(strings, dates, math)
+}

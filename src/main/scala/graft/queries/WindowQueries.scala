@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function operators (SURVEY.md §2.7 W1-W4, W8-W10). Windows
+  * partition by the group key, so at scale each key's rows land in one
+  * task — the same shuffle the reference's per-location loops imply,
+  * but distributed across executors.
+  */
+object WindowQueries {
+
+  private def w(s: String*) =
+    Window.partitionBy("l_suppkey")
+      .orderBy(s.map(col): _*)
+
+  /** W1 lag-1 per group + W2 first difference per group.
+    * Ref: covid_simulator.py:411-418 (lag_confirmed, d_removed). */
+  private val w1w2 = Q(
+    "w1_lag_diff",
+    (s, dir) => {
+      val win = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.load(s, dir, "orders")
+        .withColumn("lag_price",
+          coalesce(lag("o_totalprice", 1).over(win), lit(0.0)))
+        .withColumn("d_price", round(col("o_totalprice") - col("lag_price"), 4))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "lag_price", "d_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                   coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS lag_price,
+                   round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, 0.0), 4)
+                     AS d_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** W3 trim leading zeros per group: keep rows from the first row
+    * where the measure is non-zero onward (running count of non-zeros
+    * > 0). Ref: covid_simulator.py:180,270,392 (ne(0).idxmax()). */
+  private val w3 = Q(
+    "w3_trim_leading",
+    (s, dir) => {
+      val win = w("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "lineitem")
+        .withColumn("seen",
+          sum(when(col("l_quantity") > 40, 1).otherwise(0)).over(win))
+        .filter(col("seen") > 0)
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity")
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+        // output sort must reuse the window's total order (incl. shipdate)
+        // for a deterministic row order on both engines.
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity
+            FROM (
+              SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+                sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+              FROM lineitem)
+            WHERE seen > 0
+            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""))
+
+  /** W4 first non-null per group broadcast to all rows + drop groups
+    * where it is absent. Ref: covid_data_transform.py:262-281
+    * (population back/forward fill then group drop). */
+  private val w4 = Q(
+    "w4_first_nonnull_broadcast",
+    (s, dir) => {
+      val win = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .withColumn("o_null_price",
+          when(col("o_totalprice") < 50000, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("first_price",
+          first("o_null_price", ignoreNulls = true).over(win))
+        .filter(col("first_price").isNotNull)
+        .select("o_custkey", "o_orderkey", "first_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, first_price FROM (
+              SELECT o_custkey, o_orderkey,
+                first(CASE WHEN o_totalprice < 50000 THEN NULL
+                           ELSE o_totalprice END IGNORE NULLS) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS first_price
+              FROM orders)
+            WHERE first_price IS NOT NULL
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** W8 per-group abs-max normalization, keeping the max for later
+    * de-normalization. Ref: weather_pred.py:208,231-233,330-335. */
+  private val w8 = Q(
+    "w8_absmax_normalize",
+    (s, dir) => {
+      val win = Window.partitionBy("l_suppkey")
+      Tables.load(s, dir, "lineitem")
+        .withColumn("absmax", max(abs(col("l_extendedprice"))).over(win))
+        .withColumn("price_norm",
+          round(col("l_extendedprice") / col("absmax"), 6))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "price_norm", "absmax")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(l_extendedprice / absmax, 6) AS price_norm, absmax
+            FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                max(abs(l_extendedprice)) OVER (PARTITION BY l_suppkey) AS absmax
+              FROM lineitem)
+            ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** W9 sliding-window feature extraction: trailing k-element array of
+    * past values + current value as the label (the 365-lag LSTM
+    * training samples, shrunk to k=5 for the testdata).
+    * Ref: weather_pred.py:91-103,290-297. */
+  private val w9 = Q(
+    "w9_sliding_window_features",
+    (s, dir) => {
+      val win = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.load(s, dir, "orders")
+        .withColumn("features",
+          collect_list(col("o_totalprice")).over(win.rowsBetween(-5, -1)))
+        .filter(size(col("features")) === 5)
+        .withColumn("label", col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 4)
+            .as("feat_sum"),
+          col("label"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // DuckDB checks the same window via an explicit 5-lag sum (list
+    // aggregation order in DuckDB windows is engine-defined, so the
+    // oracle compares the order-insensitive feature sum + label).
+    Some("""SELECT o_custkey, o_orderkey, feat_sum, label FROM (
+              SELECT o_custkey, o_orderkey,
+                count(*) OVER w5 AS nf,
+                round(sum(o_totalprice) OVER w5, 4) AS feat_sum,
+                o_totalprice AS label
+              FROM orders
+              WINDOW w5 AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+            WHERE nf = 5 ORDER BY o_custkey, o_orderkey"""))
+
+  /** W10 date-sequence generation (pd.date_range → calendar frame).
+    * Ref: covid_simulator.py:340-342. */
+  private val w10 = Q(
+    "w10_date_sequence",
+    (s, dir) => {
+      s.sql("""SELECT explode(sequence(to_date('2020-02-22'),
+                                       date_add(to_date('2020-02-22'), 179),
+                                       interval 1 day)) AS cal_date""")
+        .withColumn("date_idx",
+          datediff(col("cal_date"), to_date(lit("2020-02-22"))))
+        .orderBy("cal_date")
+    },
+    Some("""SELECT CAST(d AS DATE) AS cal_date,
+                   datediff('day', DATE '2020-02-22', CAST(d AS DATE)) AS date_idx
+            FROM generate_series(DATE '2020-02-22',
+                                 DATE '2020-02-22' + INTERVAL 179 DAY,
+                                 INTERVAL 1 DAY) AS t(d)
+            ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10)
+}
