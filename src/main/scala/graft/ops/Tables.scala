@@ -18,8 +18,11 @@ object Tables {
     // surfaces as a long (spark.sql.legacy.parquet.nanosAsLong=true, set
     // by every session builder here). Normalize to a microsecond
     // timestamp so downstream queries see a real TimestampType column.
+    // Exact integral division (`div`): `/` would promote the nanosecond
+    // longs (~1.7e18 > 2^53) to double and lose up to ±128 ns, making
+    // the truncated microseconds diverge from DuckDB's exact nanos→µs.
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -119,7 +119,9 @@ object AggQueries {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
             col("l_tax")),
           "measure", "value")
-        .orderBy("l_orderkey", "l_linenumber", "measure")
+        // (l_orderkey, l_linenumber, measure) is not unique — add value
+        // as tiebreaker for a deterministic total order on both engines.
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")
     },
     Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
               SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
@@ -132,7 +134,7 @@ object AggQueries {
               FROM lineitem
               UNION ALL
               SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
-            ORDER BY l_orderkey, l_linenumber, measure"""))
+            ORDER BY l_orderkey, l_linenumber, measure, value"""))
 
   /** A8 grouped HAVING-style admission filter, detail rows kept via
     * semi-join back (series with ≥730 rows and fresh max date).

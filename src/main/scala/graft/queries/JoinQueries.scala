@@ -174,8 +174,11 @@ object JoinQueries {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
-    Some("""SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    // NOT EXISTS (not NOT IN): left_anti keeps unmatched rows even when
+    // the probe side contains NULLs, matching EXISTS semantics.
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey"""))
 
   def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti)

@@ -21,11 +21,13 @@ object RelationalQueries {
       Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .filter(col("l_quantity") > 45)
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique in the testdata —
+        // add the emitted measures as tiebreakers for a total order.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity > 45
-            ORDER BY l_orderkey, l_linenumber""".stripMargin))
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin))
 
   /** P2 exclude-list projection (drop) + P4 conjunctive predicate.
     * Ref: covid_data_transform.py:58-59 (EXCLUDE_COL drop),

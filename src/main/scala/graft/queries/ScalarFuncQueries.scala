@@ -100,7 +100,10 @@ object ScalarFuncQueries {
         .withColumn("is_null_qty", col("l_quantity").isNull.cast("int"))
         .select("l_orderkey", "l_linenumber", "price_scaled", "disc_price",
           "qty_sqrt", "tax_sq", "margin_clamped", "qty_filled", "is_null_qty")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique — emitted measures
+        // added as tiebreakers for a total order.
+        .orderBy("l_orderkey", "l_linenumber", "price_scaled", "disc_price",
+          "qty_sqrt", "tax_sq")
     },
     Some("""SELECT l_orderkey, l_linenumber,
                    round(l_extendedprice / 10.0, 4) AS price_scaled,
@@ -111,7 +114,8 @@ object ScalarFuncQueries {
                      AS margin_clamped,
                    coalesce(l_quantity, 0.0) AS qty_filled,
                    CAST(l_quantity IS NULL AS INT) AS is_null_qty
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, price_scaled,
+                                   disc_price, qty_sqrt, tax_sq"""))
 
   def all: Seq[Q] = Seq(strings, dates, math)
 }

@@ -109,7 +109,9 @@ object WindowQueries {
         .withColumn("price_norm",
           round(col("l_extendedprice") / col("absmax"), 6))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "price_norm", "absmax")
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        // (l_suppkey, l_orderkey, l_linenumber) is not unique — add
+        // price_norm as tiebreaker for a total order on both engines.
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "price_norm")
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
                    round(l_extendedprice / absmax, 6) AS price_norm, absmax
@@ -117,7 +119,7 @@ object WindowQueries {
               SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
                 max(abs(l_extendedprice)) OVER (PARTITION BY l_suppkey) AS absmax
               FROM lineitem)
-            ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+            ORDER BY l_suppkey, l_orderkey, l_linenumber, price_norm"""))
 
   /** W9 sliding-window feature extraction: trailing k-element array of
     * past values + current value as the label (the 365-lag LSTM
@@ -142,9 +144,11 @@ object WindowQueries {
     // DuckDB checks the same window via an explicit 5-lag sum (list
     // aggregation order in DuckDB windows is engine-defined, so the
     // oracle compares the order-insensitive feature sum + label).
+    // count(o_totalprice), not count(*): collect_list skips NULLs, so
+    // the admission predicate must count non-null values only.
     Some("""SELECT o_custkey, o_orderkey, feat_sum, label FROM (
               SELECT o_custkey, o_orderkey,
-                count(*) OVER w5 AS nf,
+                count(o_totalprice) OVER w5 AS nf,
                 round(sum(o_totalprice) OVER w5, 4) AS feat_sum,
                 o_totalprice AS label
               FROM orders
