@@ -12,6 +12,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass: first execution of each plan shape pays one-time JVM
+    // costs (whole-stage-codegen Janino compiles, broadcast thread pool,
+    // JIT) that would otherwise be attributed to whichever query happens
+    // to hit that shape first. The timed pass below measures steady
+    // state, which is what a long-lived cluster app actually sees.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -12,23 +12,38 @@ object Scratch2 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val dir = "/root/testdata/sf0.1"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"TIMING $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    for (i <- 1 to 5) {
-      time(s"datetrunc_$i") {
-        li.withColumn("m", date_trunc("month", col("l_shipdate")))
-          .groupBy("l_returnflag", "l_linestatus", "m").agg(sum("l_quantity")).count()
-      }
+    time("warmup-count")(li.count())
+    val keys = Seq("l_returnflag", "l_linestatus", "l_shipmonth")
+    def measure(c: String, alias: String) =
+      li.withColumn("l_shipmonth", date_trunc("month", col("l_shipdate")))
+        .groupBy(keys.map(col): _*)
+        .agg(round(sum(col(c)), 4).as(alias))
+    time("agg1")(measure("l_quantity", "qty").count())
+    time("agg1-again")(measure("l_quantity", "qty").count())
+    time("join2") {
+      measure("l_quantity", "qty")
+        .join(measure("l_extendedprice", "price"), keys, "inner").count()
     }
-    for (i <- 1 to 3) {
-      time(s"ym_int_$i") {
-        li.withColumn("m", year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
-          .groupBy("l_returnflag", "l_linestatus", "m").agg(sum("l_quantity")).count()
-      }
+    time("join3") {
+      measure("l_quantity", "qty")
+        .join(measure("l_extendedprice", "price"), keys, "inner")
+        .join(measure("l_discount", "disc"), keys, "inner")
+        .count()
     }
+    time("join3-sorted") {
+      measure("l_quantity", "qty")
+        .join(measure("l_extendedprice", "price"), keys, "inner")
+        .join(measure("l_discount", "disc"), keys, "inner")
+        .orderBy(keys.map(col): _*)
+        .count()
+    }
+    spark.stop()
   }
 }
