@@ -1,3 +1,174 @@
 package graft.queries
+
 import graft.Q
-object TextQueries { def all: Seq[Q] = Seq() }
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (doc_id, text, lang, source, n_chars): token
+  * counting, quality scoring, marker-based language ID, content
+  * fingerprinting, and n-gram frequency. Everything is built from
+  * codegen'd `functions._` (regexp_*, higher-order array functions,
+  * md5) — no UDFs — so the scan stays in one whole-stage-codegen pass
+  * per document at 100 TB.
+  */
+object TextQueries {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Token counting: whitespace tokens + word-regex tokens (the BPE-ish
+    * pre-tokenizer count) + char len, per doc, rolled up per source.
+    */
+  private val t1 = Q(
+    "t1_token_count",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("n_ws_tokens", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+        .withColumn("n_word_tokens",
+          size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))))
+        .withColumn("n_chars_calc", length(col("text")))
+        .select("doc_id", "n_ws_tokens", "n_word_tokens", "n_chars_calc")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
+                   length(text) AS n_chars_calc
+            FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: stopword ratio, punctuation ratio, mean token
+    * length, and a graded quality band — the usual cheap pre-filter
+    * before expensive dedup/training steps.
+    */
+  private val t2 = Q(
+    "t2_quality_score",
+    (s, dir) => {
+      val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+      val nTok = size(toks)
+      val nStop = size(filter(toks, x => x.isInCollection(stopEn)))
+      Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", nTok)
+        .withColumn("stop_ratio", round(nStop.cast("double") / nTok, 4))
+        .withColumn("punct_ratio",
+          round(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+            / length(col("text")), 4))
+        .withColumn("mean_tok_len",
+          round(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+            / nTok, 4))
+        .withColumn("quality_band",
+          when(col("n_tokens") < 20, "short")
+            .when(col("stop_ratio") > 0.12, "stopword_heavy")
+            .otherwise("ok"))
+        .select("doc_id", "n_tokens", "stop_ratio", "punct_ratio",
+          "mean_tok_len", "quality_band")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   round(len(list_filter(regexp_extract_all(text, '\S+'),
+                       x -> x IN ('the','a','and','of','to','in'))) * 1.0
+                     / len(regexp_extract_all(text, '\S+')), 4) AS stop_ratio,
+                   round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                     / length(text), 4) AS punct_ratio,
+                   round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                     / len(regexp_extract_all(text, '\S+')), 4) AS mean_tok_len,
+                   CASE WHEN len(regexp_extract_all(text, '\S+')) < 20
+                          THEN 'short'
+                        WHEN round(len(list_filter(regexp_extract_all(text, '\S+'),
+                            x -> x IN ('the','a','and','of','to','in'))) * 1.0
+                          / len(regexp_extract_all(text, '\S+')), 4) > 0.12
+                          THEN 'stopword_heavy'
+                        ELSE 'ok' END AS quality_band
+            FROM documents ORDER BY doc_id"""))
+
+  /** Marker-word language ID (n-gram heuristic): score each doc against
+    * per-language marker sets, argmax with a fixed tie order; rolled up
+    * as a lang × predicted confusion count.
+    */
+  private val t3 = Q(
+    "t3_lang_id",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+      def score(markers: Seq[String]) =
+        size(filter(toks, x => x.isInCollection(markers)))
+      Tables.load(s, dir, "documents")
+        .withColumn("s_en", score(Seq("the", "a", "and", "of")))
+        .withColumn("s_es", score(Seq("el", "la", "de", "que")))
+        .withColumn("s_fr", score(Seq("le", "les", "et", "de")))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"),
+          round(avg("s_en"), 4).as("avg_s_en"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some("""WITH scored AS (
+              SELECT lang,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('the','a','and','of'))) AS s_en,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('el','la','de','que'))) AS s_es,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('le','les','et','de'))) AS s_fr
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   count(*) AS n, round(avg(s_en), 4) AS avg_s_en
+            FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Content fingerprinting: md5 over whitespace-normalized lowercased
+    * text — the exact-dedup key — plus per-source uniqueness stats.
+    */
+  private val t4 = Q(
+    "t4_fingerprint",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("fp",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("n_unique"),
+          max("fp").as("max_fp"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                     '\s+', ' ', 'g'))) AS n_unique,
+                   max(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                     AS max_fp
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** Word-frequency top-k per language: explode → count → windowed
+    * rank. The explode multiplies rows ~60×, but the groupBy shuffles
+    * only (lang, word) partial counts — map-side combine keeps the
+    * shuffle proportional to the vocabulary, not the corpus.
+    */
+  private val t5 = Q(
+    "t5_word_topk",
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("word"))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang", "word")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+    Some("""SELECT lang, word, n, rk FROM (
+              SELECT lang, word, count(*) AS n,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY count(*) DESC, word) AS rk
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY 1, 2)
+            WHERE rk <= 5 ORDER BY lang, rk"""))
+
+  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5)
+}
