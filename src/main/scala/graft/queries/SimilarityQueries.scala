@@ -1,3 +1,242 @@
 package graft.queries
+
 import graft.Q
-object SimilarityQueries { def all: Seq[Q] = Seq() }
+import graft.ops.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: Array[Float] dim=64, label). Three tiers:
+  *
+  *  - s1: brute-force cosine top-k — the exactness baseline. Queries ×
+  *    corpus is a broadcast nested loop; fine for few queries, O(n²)
+  *    in general.
+  *  - s2: random-hyperplane LSH — each vector reduced to a 4-bit
+  *    bucket; search only within the query's bucket. The hyperplanes
+  *    are compile-time literal constants (integer-LCG-derived) so
+  *    Spark and DuckDB compute bit-identical signatures.
+  *  - s3: IVF-style coarse quantization — per-label centroids as the
+  *    cell list, probe = 1 nearest cell, exact search inside the cell.
+  *
+  * At 100 TB the s2/s3 plans shuffle once on the bucket/cell key and
+  * broadcast the (tiny) query set; the corpus is never pairwise-joined.
+  */
+object SimilarityQueries {
+
+  private val dim = 64
+  private val nPlanes = 4
+
+  /** Deterministic pseudo-random hyperplanes in [-0.5, 0.5), from an
+    * integer LCG (exact in any engine; embedded as literals in both the
+    * Spark plan and the oracle SQL).
+    */
+  private val planes: Seq[Seq[Double]] = {
+    var state = 42L
+    def next(): Double = {
+      state = (state * 6364136223846793005L + 1442695040888963407L) & ((1L << 48) - 1)
+      (state >>> 16).toDouble / (1L << 32).toDouble - 0.5
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  private def vecDouble: Column =
+    transform(col("embedding"), x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+
+  /** Normalized vectors with per-plane LSH sign bits → bucket. */
+  private def withBucket(df: DataFrame): DataFrame = {
+    val bucket = planes.zipWithIndex.map { case (w, p) =>
+      val planeArr = array(w.map(lit): _*)
+      when(dot(col("v"), planeArr) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), vecDouble.as("v"), col("label"))
+      .withColumn("nrm", norm(col("v")))
+
+  private val duckVec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val duckNorm = "sqrt(list_sum(list_transform(v, x -> x * x)))"
+  private val duckDot = "list_sum(list_transform(list_zip(%s, %s), s -> s[1] * s[2]))"
+
+  private def duckPlaneLit(w: Seq[Double]): String =
+    w.map(_.toString).mkString("[", ", ", "]")
+
+  private def duckBucket: String =
+    planes.zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN ${duckDot.format("v", duckPlaneLit(w))} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Brute-force cosine top-3 for the first 10 query vectors — the
+    * exact baseline every ANN variant is judged against.
+    */
+  private val s1 = Q(
+    "s1_knn_bruteforce",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q).crossJoin(e)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v, label FROM embeddings),
+             n AS (
+               SELECT vec_id, v, $duckNorm AS nrm FROM e),
+             q AS (
+               SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+               WHERE vec_id < 10),
+             scored AS (
+               SELECT q.query_id, n.vec_id AS neighbor_id,
+                      round(${duckDot.format("qv", "v")} / (qn * nrm), 4)
+                        AS cosine
+               FROM q CROSS JOIN n WHERE n.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, cosine, rank FROM ranked
+             WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  /** Random-hyperplane LSH ANN: 4 sign bits → 16 buckets; the query
+    * searches only its own bucket. Emits per-query top-3 within-bucket
+    * neighbors — the recall-vs-s1 tradeoff is visible by comparison.
+    */
+  private val s2 = Q(
+    "s2_lsh_ann",
+    (s, dir) => {
+      val e = withBucket(corpus(s, dir))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q).join(e, Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .select(col("query_id"), col("bucket"),
+          col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v, label FROM embeddings),
+             n AS (
+               SELECT vec_id, v, $duckNorm AS nrm, $duckBucket AS bucket
+               FROM e),
+             q AS (
+               SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM n
+               WHERE vec_id < 10),
+             scored AS (
+               SELECT q.query_id, q.bucket, n.vec_id AS neighbor_id,
+                      round(${duckDot.format("qv", "v")} / (qn * nrm), 4)
+                        AS cosine
+               FROM q JOIN n USING (bucket) WHERE n.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, bucket, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, bucket, neighbor_id, cosine, rank FROM ranked
+             WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  /** IVF-style coarse search: per-label mean vectors are the cells
+    * (stand-in for k-means centroids), each query probes its nearest
+    * cell and searches only that cell's members exactly.
+    */
+  private val s3 = Q(
+    "s3_ivf_centroid",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      // cell list: per-label centroid = element-wise mean (array avg via
+      // posexplode → groupBy (label, pos) → collect back in pos order)
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg("x").as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wCell = Window.partitionBy("query_id")
+        .orderBy(col("cell_cos").desc, col("label"))
+      val probe = broadcast(q).crossJoin(broadcast(cent))
+        .withColumn("cell_cos",
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") === 1)
+        .select(col("query_id"), col("qv"), col("qn"),
+          col("label").as("cell"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      probe.join(e, probe("cell") === e("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .select(col("query_id"), col("cell"),
+          col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v, label FROM embeddings),
+             n AS (
+               SELECT vec_id, v, $duckNorm AS nrm, label FROM e),
+             cm AS (
+               SELECT label, t.pos, avg(v[t.pos]) AS m
+               FROM e, range(1, ${dim + 1}) t(pos) GROUP BY 1, 2),
+             cent AS (
+               SELECT label, list(m ORDER BY pos) AS cv FROM cm GROUP BY 1),
+             centn AS (
+               SELECT label, cv,
+                 sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+               FROM cent),
+             q AS (
+               SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+               WHERE vec_id < 10),
+             probe AS (
+               SELECT query_id, qv, qn, label AS cell FROM (
+                 SELECT q.query_id, q.qv, q.qn, c.label,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     round(${duckDot.format("qv", "cv")} / (qn * cn), 4) DESC,
+                     c.label) AS crk
+                 FROM q CROSS JOIN centn c)
+               WHERE crk = 1),
+             scored AS (
+               SELECT p.query_id, p.cell, n.vec_id AS neighbor_id,
+                      round(${duckDot.format("qv", "v")} / (qn * nrm), 4)
+                        AS cosine
+               FROM probe p JOIN n ON n.label = p.cell
+               WHERE n.vec_id <> p.query_id),
+             ranked AS (
+               SELECT query_id, cell, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
+             WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3)
+}
