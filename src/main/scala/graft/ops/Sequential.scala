@@ -1,0 +1,98 @@
+package graft.ops
+
+/** Pure, order-sensitive per-group recurrences (SURVEY.md §2.7 W5-W7).
+  * These are the three reference kernels that cannot be expressed as
+  * window functions — each output depends on the *already-computed*
+  * previous output. They run inside `groupByKey.flatMapGroups`: one
+  * group = one task-local fold, distributed across executors by the
+  * group key (same parallelism the reference's per-location loops
+  * imply, minus the single-process bottleneck).
+  */
+object Sequential {
+
+  /** W5 — the reference's sequential neighbor smoothing
+    * (covid_data_transform.py:204-237). Per ordered group:
+    *  - all-null group → all zeros (fillna(0) branch);
+    *  - edge rows (first/last): null → 0, else keep;
+    *  - interior rows are REWRITTEN unconditionally to
+    *    (prev + next)/2 where prev is the already-smoothed previous
+    *    value and next the raw next; null next → prev/2.
+    * `[5, null, null, 8]` → `[5, 2.5, 5.25, 8]`.
+    */
+  def smoothFill(xs: IndexedSeq[Option[Double]]): IndexedSeq[Double] = {
+    val n = xs.length
+    if (n == 0) return IndexedSeq.empty
+    if (xs.forall(_.isEmpty)) return IndexedSeq.fill(n)(0.0)
+    val cur = xs.map(_.getOrElse(Double.NaN)).toArray
+    var i = 0
+    while (i < n) {
+      if (i == 0 || i == n - 1) {
+        if (cur(i).isNaN) cur(i) = 0.0
+      } else {
+        val prev = cur(i - 1)
+        val next = cur(i + 1)
+        cur(i) = if (next.isNaN) prev / 2 else (prev + next) / 2
+      }
+      i += 1
+    }
+    // trailing fillna(0) (covid_data_transform.py:235)
+    cur.map(v => if (v.isNaN) 0.0 else v).toIndexedSeq
+  }
+
+  /** W6 — discrete SIR recurrence (covid_simulator.py:193-212).
+    * State (pc, pr, ps) = (pred_confirmed, pred_removed,
+    * pred_susceptible); per step t>0 with covariate z1(t):
+    *   pc' = pc + alpha*ps*pc - beta*pc - z1
+    *   pr' = pr + beta*pc + z1
+    *   ps' = ps - alpha*ps*pc
+    * (arithmetic written in exactly this order so the DuckDB oracle's
+    * left-associative evaluation matches bit-for-bit).
+    */
+  def sirSimulate(
+      confirmed0: Double, removed0: Double, n0: Double,
+      alpha: Double, beta: Double,
+      z1: IndexedSeq[Double]): IndexedSeq[(Double, Double, Double)] = {
+    val out = Array.ofDim[(Double, Double, Double)](z1.length)
+    var pc = confirmed0
+    var pr = removed0
+    var ps = n0
+    var t = 0
+    while (t < z1.length) {
+      if (t > 0) {
+        val z = z1(t)
+        val pcN = pc + alpha * ps * pc - beta * pc - z
+        val prN = pr + beta * pc + z
+        val psN = ps - alpha * ps * pc
+        pc = pcN; pr = prN; ps = psN
+      }
+      out(t) = (pc, pr, ps)
+      t += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** W7 — autoregressive rollout (weather_pred.py:352-374): keep a
+    * sliding window of the last `weights.length` values, predict the
+    * next as w·x + bias, feed the prediction back, repeat.
+    */
+  def arRollout(
+      seed: IndexedSeq[Double], weights: IndexedSeq[Double],
+      bias: Double, steps: Int): IndexedSeq[Double] = {
+    require(seed.length == weights.length)
+    val window = seed.toArray
+    val out = Array.ofDim[Double](steps)
+    var s = 0
+    while (s < steps) {
+      var acc = 0.0
+      var i = 0
+      while (i < weights.length) { acc += weights(i) * window(i); i += 1 }
+      val pred = acc + bias
+      // shift left, append prediction (np.append(future_x[1:], [y]))
+      System.arraycopy(window, 1, window, 0, window.length - 1)
+      window(window.length - 1) = pred
+      out(s) = pred
+      s += 1
+    }
+    out.toIndexedSeq
+  }
+}

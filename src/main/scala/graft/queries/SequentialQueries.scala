@@ -1,3 +1,218 @@
 package graft.queries
+
 import graft.Q
-object SequentialQueries { def all: Seq[Q] = Seq() }
+import graft.ops.{Sequential, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Encoder case classes for the typed folds (top-level for implicit
+  * Encoder derivation). */
+case class FillRow(key: Long, rn: Int, id: Long, v: Option[Double])
+case class FillOut(o_custkey: Long, o_orderkey: Long, filled: Double)
+case class SirRow(key: Long, rn: Int, qty: Double, disc: Double, tax: Double)
+case class SirOut(l_suppkey: Long, rn: Int, pred_confirmed: Double,
+    pred_removed: Double, pred_susceptible: Double)
+case class ArRow(key: Long, rd: Int, price: Double)
+case class ArOut(o_custkey: Long, step: Int, pred: Double)
+
+/** The three order-sensitive recurrences (SURVEY.md §2.7 W5/W6/W7) as
+  * `groupByKey.flatMapGroups` folds over [[graft.ops.Sequential]]'s
+  * pure kernels. Although these are NOT window-expressible, each still
+  * gets a real DuckDB oracle via a recursive CTE that replays the same
+  * fold — so the driver hash-checks them like any relational query.
+  *
+  * Scale: one shuffle on the group key; each group folds locally in a
+  * task. Group sizes here are bounded (≤ tens of rows per key), so no
+  * single task can hot-spot; for unbounded groups the fold is O(group)
+  * memory-streaming (Iterator in, Iterator out).
+  */
+object SequentialQueries {
+
+  /** W5 sequential neighbor smoothing. Values < 50k are nulled (the
+    * "missing" sensor readings), then per-customer order history is
+    * smoothed with the reference's in-place recurrence.
+    * Ref: covid_data_transform.py:204-237.
+    */
+  private val w5 = Q(
+    "w5_seq_interpolate",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val rows = Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .select(col("o_custkey").as("key"), col("rn"),
+          col("o_orderkey").as("id"),
+          when(col("o_totalprice") < 50000, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("v"))
+        .as[FillRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rn)
+          val filled = Sequential.smoothFill(sorted.map(_.v))
+          sorted.iterator.zip(filled.iterator).map { case (r, f) =>
+            FillOut(key, r.id, f)
+          }
+        }
+        .toDF()
+        // no round(): both engines run the identical IEEE-double fold,
+        // so the raw values match bit-for-bit; decimal rounding would
+        // reintroduce half-way boundary disagreements (halving chains
+        // produce exact .xxxx5 values constantly).
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT o_custkey, o_orderkey, rn, cnt, val,
+                     lead(val) OVER (PARTITION BY o_custkey ORDER BY rn)
+                       AS next_val
+              FROM (
+                SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_custkey) AS cnt,
+                  CASE WHEN o_totalprice < 50000 THEN NULL
+                       ELSE o_totalprice END AS val
+                FROM orders)),
+            an AS (
+              SELECT o_custkey, count(val) = 0 AS allnull
+              FROM base GROUP BY 1),
+            fill AS (
+              SELECT b.o_custkey, b.o_orderkey, b.rn, b.cnt, a.allnull,
+                CASE WHEN a.allnull THEN 0.0
+                     WHEN b.val IS NULL THEN 0.0 ELSE b.val END AS filled
+              FROM base b JOIN an a USING (o_custkey) WHERE b.rn = 1
+              UNION ALL
+              SELECT b.o_custkey, b.o_orderkey, b.rn, b.cnt, f.allnull,
+                CASE WHEN f.allnull THEN 0.0
+                     WHEN b.rn = b.cnt THEN
+                       CASE WHEN b.val IS NULL THEN 0.0 ELSE b.val END
+                     WHEN b.next_val IS NULL THEN f.filled / 2
+                     ELSE (f.filled + b.next_val) / 2 END
+              FROM fill f JOIN base b
+                ON b.o_custkey = f.o_custkey AND b.rn = f.rn + 1)
+            SELECT o_custkey, o_orderkey, filled
+            FROM fill ORDER BY o_custkey, o_orderkey"""))
+
+  /** W6 discrete SIR recurrence per supplier over its first 30 ordered
+    * lineitems: confirmed = l_quantity, removed0 = 10*l_tax, N = 1000,
+    * alpha = 1e-5, beta = 0.05, covariate z1(t) = l_discount(t).
+    * Ref: covid_simulator.py:193-212.
+    */
+  private val w6 = Q(
+    "w6_sir_recurrence",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val rows = Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 30)
+        .select(col("l_suppkey").as("key"), col("rn"),
+          col("l_quantity").as("qty"), col("l_discount").as("disc"),
+          col("l_tax").as("tax"))
+        .as[SirRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rn)
+          val sim = Sequential.sirSimulate(
+            confirmed0 = sorted.head.qty, removed0 = 10.0 * sorted.head.tax,
+            n0 = 1000.0, alpha = 1e-5, beta = 0.05,
+            z1 = sorted.map(_.disc))
+          sorted.iterator.zip(sim.iterator).map { case (r, (pc, pr, ps)) =>
+            SirOut(key, r.rn, pc, pr, ps)
+          }
+        }
+        .toDF()
+        .orderBy("l_suppkey", "rn")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT l_suppkey, rn, qty, disc, tax FROM (
+                SELECT l_suppkey,
+                  row_number() OVER (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+                  l_quantity AS qty, l_discount AS disc, l_tax AS tax
+                FROM lineitem)
+              WHERE rn <= 30),
+            sim AS (
+              -- CAST: bare 1000.0 / 10.0 literals are DECIMALs in
+              -- DuckDB and would drag the whole recurrence into
+              -- scale-1 decimal arithmetic.
+              SELECT l_suppkey, rn, qty AS pc,
+                     CAST(10.0 AS DOUBLE) * tax AS pr,
+                     CAST(1000.0 AS DOUBLE) AS ps
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.l_suppkey, b.rn,
+                f.pc + 1e-5 * f.ps * f.pc - 0.05 * f.pc - b.disc,
+                f.pr + 0.05 * f.pc + b.disc,
+                f.ps - 1e-5 * f.ps * f.pc
+              FROM sim f JOIN base b
+                ON b.l_suppkey = f.l_suppkey AND b.rn = f.rn + 1)
+            SELECT l_suppkey, rn,
+                   pc AS pred_confirmed,
+                   pr AS pred_removed,
+                   ps AS pred_susceptible
+            FROM sim ORDER BY l_suppkey, rn"""))
+
+  /** W7 autoregressive rollout: seed = the customer's last 5 order
+    * totals (scaled 1e-5, oldest→newest), AR weights
+    * [.05,.1,.15,.2,.45], bias .01, 10 steps fed back.
+    * Ref: weather_pred.py:352-374.
+    */
+  private val w7 = Q(
+    "w7_ar_rollout",
+    (s, dir) => {
+      import s.implicits._
+      val weights = IndexedSeq(0.05, 0.1, 0.15, 0.2, 0.45)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val rows = Tables.load(s, dir, "orders")
+        .withColumn("rd", row_number().over(w))
+        .filter(col("rd") <= 5)
+        .select(col("o_custkey").as("key"), col("rd"),
+          (col("o_totalprice") / 100000.0).as("price"))
+        .as[ArRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rd)
+          if (sorted.length < 5) Iterator.empty
+          else {
+            // rd = 1 is most recent → window is oldest-first
+            val seed = sorted.sortBy(-_.rd).map(_.price)
+            Sequential.arRollout(seed, weights, 0.01, 10)
+              .iterator.zipWithIndex.map { case (p, i) =>
+                ArOut(key, i + 1, p)
+              }
+          }
+        }
+        .toDF()
+        .orderBy("o_custkey", "step")
+    },
+    Some("""WITH RECURSIVE seed AS (
+              SELECT o_custkey,
+                max(CASE WHEN rd = 5 THEN price END) AS x1,
+                max(CASE WHEN rd = 4 THEN price END) AS x2,
+                max(CASE WHEN rd = 3 THEN price END) AS x3,
+                max(CASE WHEN rd = 2 THEN price END) AS x4,
+                max(CASE WHEN rd = 1 THEN price END) AS x5
+              FROM (
+                SELECT o_custkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd,
+                  o_totalprice / 100000.0 AS price
+                FROM orders)
+              WHERE rd <= 5
+              GROUP BY 1 HAVING count(*) = 5),
+            roll AS (
+              SELECT o_custkey, 0 AS step, x1, x2, x3, x4, x5,
+                     CAST(NULL AS DOUBLE) AS pred
+              FROM seed
+              UNION ALL
+              SELECT o_custkey, step + 1, x2, x3, x4, x5,
+                0.05*x1 + 0.1*x2 + 0.15*x3 + 0.2*x4 + 0.45*x5 + 0.01,
+                0.05*x1 + 0.1*x2 + 0.15*x3 + 0.2*x4 + 0.45*x5 + 0.01
+              FROM roll WHERE step < 10)
+            SELECT o_custkey, step, pred
+            FROM roll WHERE step >= 1 ORDER BY o_custkey, step"""))
+
+  def all: Seq[Q] = Seq(w5, w6, w7)
+}
