@@ -1,3 +1,301 @@
 package graft.queries
+
 import graft.Q
-object MlQueries { def all: Seq[Q] = Seq() }
+import graft.ops.{Integrators, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Case class for the RK4 fold (top-level for Encoder derivation). */
+case class Rk4Out(l_suppkey: Long, rn: Int, sir_confirmed: Double,
+    sir_removed: Double, sir_susceptible: Double)
+
+/** ML / numerical kernels (SURVEY.md §2.10). The closed-form kernels
+  * (mixed-effects shrinkage, AR(1) fit, RMSE, z-score, bias
+  * correction) are expressed as pure DataFrame aggregates — fully
+  * distributed, map-side-combined, and DuckDB-oracle-checked. The
+  * iterative kernels (Poisson GLM via MLlib IRLS, RK4 integration) get
+  * rows-only checks plus unit specs.
+  */
+object MlQueries {
+
+  /** M1 Poisson GLM (MLlib GeneralizedLinearRegression, IRLS,
+    * log link): round(l_quantity) ~ discount + tax + is_return.
+    * Emits the fitted coefficient table (the reference prints model
+    * summaries; downstream consumers join on the coefficient rows).
+    * Ref: covid_simulator.py:60-94.
+    */
+  private val m1 = Q(
+    "m1_poisson_glm",
+    (s, dir) => {
+      import org.apache.spark.ml.feature.VectorAssembler
+      import org.apache.spark.ml.regression.GeneralizedLinearRegression
+      val df = Tables.load(s, dir, "lineitem")
+        .select(round(col("l_quantity")).as("y"),
+          col("l_discount"), col("l_tax"),
+          (col("l_returnflag") === "R").cast("double").as("is_return"))
+      val features = Array("l_discount", "l_tax", "is_return")
+      val assembled = new VectorAssembler()
+        .setInputCols(features).setOutputCol("features")
+        .transform(df)
+      val model = new GeneralizedLinearRegression()
+        .setFamily("poisson").setLink("log")
+        .setLabelCol("y").setMaxIter(25)
+        .fit(assembled)
+      val rows = ("intercept", model.intercept) +:
+        features.zip(model.coefficients.toArray).toSeq
+      import s.implicits._
+      rows.toDF("feature", "coef")
+        .withColumn("coef", round(col("coef"), 4))
+        .orderBy("feature")
+    },
+    None) // IRLS is not SQL-expressible; driver records rows-only
+
+  /** M2 mixed-effects approximation: pooled OLS slope/intercept
+    * (fixed effects) + per-group empirical-Bayes-shrunk deviations
+    * (ridge toward the pooled slope, lambda=30) — the same per-state
+    * coefficient-table shape the reference's MixedLM emits.
+    * y = l_extendedprice/1000 ~ l_quantity, groups = l_suppkey.
+    * Ref: covid_simulator.py:456-502.
+    */
+  private val m2 = Q(
+    "m2_mixed_effects",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity").as("x"),
+          (col("l_extendedprice") / 1000.0).as("y"))
+      val pooled = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+        .withColumn("b_pool",
+          (col("sxy") - col("sx") * col("sy") / col("n"))
+            / (col("sxx") - col("sx") * col("sx") / col("n")))
+        .withColumn("a_pool",
+          col("sy") / col("n") - col("b_pool") * col("sx") / col("n"))
+        .select("b_pool", "a_pool")
+      val grp = li.groupBy("l_suppkey").agg(
+        count(lit(1)).cast("double").as("ng"),
+        sum("x").as("gx"), sum("y").as("gy"),
+        sum(col("x") * col("y")).as("gxy"),
+        sum(col("x") * col("x")).as("gxx"))
+      grp.crossJoin(broadcast(pooled))
+        .withColumn("sxy_c", col("gxy") - col("gx") * col("gy") / col("ng"))
+        .withColumn("sxx_c", col("gxx") - col("gx") * col("gx") / col("ng"))
+        .withColumn("slope",
+          round((col("sxy_c") + lit(30.0) * col("b_pool"))
+            / (col("sxx_c") + lit(30.0)), 4))
+        .withColumn("intercept",
+          round(col("gy") / col("ng")
+            - (col("sxy_c") + lit(30.0) * col("b_pool"))
+              / (col("sxx_c") + lit(30.0)) * col("gx") / col("ng"), 4))
+        .withColumn("b_pool", round(col("b_pool"), 4))
+        .select("l_suppkey", "slope", "intercept", "b_pool")
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH d AS (
+              SELECT l_suppkey, l_quantity AS x,
+                     l_extendedprice / 1000.0 AS y
+              FROM lineitem),
+            pooled AS (
+              SELECT
+                (sum(x*y) - sum(x)*sum(y)/count(*))
+                  / (sum(x*x) - sum(x)*sum(x)/count(*)) AS b_pool,
+                sum(y)/count(*)
+                  - (sum(x*y) - sum(x)*sum(y)/count(*))
+                    / (sum(x*x) - sum(x)*sum(x)/count(*))
+                    * sum(x)/count(*) AS a_pool
+              FROM d),
+            grp AS (
+              SELECT l_suppkey, CAST(count(*) AS DOUBLE) AS ng,
+                     sum(x) AS gx, sum(y) AS gy,
+                     sum(x*y) AS gxy, sum(x*x) AS gxx
+              FROM d GROUP BY 1)
+            SELECT l_suppkey,
+                   round(((gxy - gx*gy/ng) + 30.0*b_pool)
+                     / ((gxx - gx*gx/ng) + 30.0), 4) AS slope,
+                   round(gy/ng - ((gxy - gx*gy/ng) + 30.0*b_pool)
+                     / ((gxx - gx*gx/ng) + 30.0) * gx/ng, 4) AS intercept,
+                   round(b_pool, 4) AS b_pool
+            FROM grp CROSS JOIN pooled ORDER BY l_suppkey"""))
+
+  /** M3 SIR RK4 integration per supplier (the odeint substitution):
+    * same coefficients as w6 but integrated with 4th-order
+    * Runge-Kutta instead of the discrete Euler recurrence.
+    * Ref: covid_simulator.py:123-154,291-296.
+    */
+  private val m3 = Q(
+    "m3_sir_rk4",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val rows = Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 30)
+        .select(col("l_suppkey").as("key"), col("rn"),
+          col("l_quantity").as("qty"), col("l_discount").as("disc"),
+          col("l_tax").as("tax"))
+        .as[SirRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rn)
+          val sim = Integrators.sirRk4(
+            confirmed0 = sorted.head.qty, removed0 = 10.0 * sorted.head.tax,
+            n0 = 1000.0, alpha = 1e-5, beta = 0.05,
+            z1 = sorted.map(_.disc))
+          sorted.iterator.zip(sim.iterator).map { case (r, (c, rm, su)) =>
+            Rk4Out(key, r.rn, c, rm, su)
+          }
+        }
+        .toDF()
+        .withColumn("sir_confirmed", round(col("sir_confirmed"), 6))
+        .withColumn("sir_removed", round(col("sir_removed"), 6))
+        .withColumn("sir_susceptible", round(col("sir_susceptible"), 6))
+        .orderBy("l_suppkey", "rn")
+    },
+    None) // RK4 is covered by IntegratorsSpec; driver records rows-only
+
+  /** M5 substitution — per-group AR(1) forecaster: fit
+    * y_t = a + b*y_{t-1} by closed-form OLS on all but the last 5
+    * orders, one-step-ahead predict the held-out tail, report
+    * per-customer test RMSE (the reference's per-series rsme_score).
+    * Ref: weather_pred.py:283-384 (protocol), 83-84 (metric).
+    */
+  private val m5 = Q(
+    "m5_ar1_forecast",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val base = Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("o_custkey")))
+        .withColumn("prev", lag("o_totalprice", 1).over(w))
+        .filter(col("prev").isNotNull)
+      val fit = base.filter(col("rn") <= col("cnt") - 5)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("prev").as("sx"), sum("o_totalprice").as("sy"),
+          sum(col("prev") * col("o_totalprice")).as("sxy"),
+          sum(col("prev") * col("prev")).as("sxx"))
+        .filter(col("n") >= 5)
+        .withColumn("b", (col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n")))
+        .withColumn("a", col("sy") / col("n") - col("b") * col("sx") / col("n"))
+        .select("o_custkey", "a", "b")
+      base.filter(col("rn") > col("cnt") - 5)
+        .join(fit, Seq("o_custkey"))
+        .withColumn("pred", col("a") + col("b") * col("prev"))
+        .groupBy("o_custkey")
+        .agg(round(sqrt(avg(pow(col("pred") - col("o_totalprice"), 2))), 4)
+          .as("rmse"), count(lit(1)).as("n_test"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH base AS (
+              SELECT o_custkey, o_totalprice,
+                row_number() OVER w AS rn,
+                count(*) OVER (PARTITION BY o_custkey) AS cnt,
+                lag(o_totalprice, 1) OVER w AS prev
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)),
+            pairs AS (SELECT * FROM base WHERE prev IS NOT NULL),
+            fit AS (
+              SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n,
+                     sum(prev) AS sx, sum(o_totalprice) AS sy,
+                     sum(prev*o_totalprice) AS sxy, sum(prev*prev) AS sxx
+              FROM pairs WHERE rn <= cnt - 5 GROUP BY 1
+              HAVING count(*) >= 5),
+            coefs AS (
+              SELECT o_custkey,
+                (sxy - sx*sy/n) / (sxx - sx*sx/n) AS b,
+                sy/n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * sx/n AS a
+              FROM fit)
+            SELECT p.o_custkey,
+                   round(sqrt(avg(pow(c.a + c.b*p.prev - p.o_totalprice, 2))), 4)
+                     AS rmse,
+                   count(*) AS n_test
+            FROM pairs p JOIN coefs c USING (o_custkey)
+            WHERE p.rn > p.cnt - 5
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** M6 RMSE metric: per-group RMSE of the naive lag-1 forecast.
+    * Ref: weather_pred.py:83-84. */
+  private val m6 = Q(
+    "m6_rmse",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.load(s, dir, "orders")
+        .withColumn("pred", lag("o_totalprice", 1).over(w))
+        .filter(col("pred").isNotNull)
+        .groupBy("o_custkey")
+        .agg(round(sqrt(avg(pow(col("pred") - col("o_totalprice"), 2))), 4)
+          .as("rmse"), count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey,
+                   round(sqrt(avg(pow(pred - o_totalprice, 2))), 4) AS rmse,
+                   count(*) AS n
+            FROM (
+              SELECT o_custkey, o_totalprice,
+                lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS pred
+              FROM orders)
+            WHERE pred IS NOT NULL
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** M7 z-score standardization per group (mean/stddev window).
+    * Ref: covid_simulator.py:72,82,89,102. */
+  private val m7 = Q(
+    "m7_zscore",
+    (s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+      Tables.load(s, dir, "lineitem")
+        .withColumn("mu", avg("l_quantity").over(w))
+        .withColumn("sigma", stddev("l_quantity").over(w))
+        .withColumn("z", round((col("l_quantity") - col("mu")) / col("sigma"), 4))
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "z")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    },
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                   round((l_quantity - avg(l_quantity) OVER w)
+                     / stddev_samp(l_quantity) OVER w, 4) AS z
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag)
+            ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity"""))
+
+  /** M8 bias correction: per-group mean bias of pred vs actual; the
+    * reference's sign-dependent adjustment is pred - |bias| in both
+    * branches, then a clamp at 0.
+    * Ref: covid_simulator.py:518-543.
+    */
+  private val m8 = Q(
+    "m8_bias_correction",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("pred", col("l_extendedprice") * (lit(1.1) - col("l_discount")))
+        .withColumn("actual", col("l_extendedprice"))
+      val bias = li.groupBy("l_suppkey")
+        .agg(avg(col("pred") - col("actual")).as("bias"))
+      li.join(bias, Seq("l_suppkey"))
+        .withColumn("adjusted",
+          round(greatest(lit(0.0), col("pred") - abs(col("bias"))), 4))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(col("pred"), 4).as("pred"), col("adjusted"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "pred")
+    },
+    Some("""WITH d AS (
+              SELECT l_suppkey, l_orderkey, l_linenumber,
+                     l_extendedprice * (1.1 - l_discount) AS pred,
+                     l_extendedprice AS actual
+              FROM lineitem),
+            b AS (
+              SELECT l_suppkey, avg(pred - actual) AS bias
+              FROM d GROUP BY 1)
+            SELECT d.l_suppkey, d.l_orderkey, d.l_linenumber,
+                   round(pred, 4) AS pred,
+                   round(greatest(0.0, pred - abs(bias)), 4) AS adjusted
+            FROM d JOIN b USING (l_suppkey)
+            ORDER BY l_suppkey, l_orderkey, l_linenumber, pred"""))
+
+  def all: Seq[Q] = Seq(m1, m2, m3, m5, m6, m7, m8)
+}
