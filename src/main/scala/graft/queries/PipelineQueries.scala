@@ -1,3 +1,216 @@
 package graft.queries
+
 import graft.Q
-object PipelineQueries { def all: Seq[Q] = Seq() }
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Decoded multimodal record (top-level for Encoder derivation). */
+case class MediaMeta(doc_id: Long, width: Int, height: Int, n_frames: Int,
+    brightness: Double)
+
+/** Composed pipelines mirroring the reference's three entry points
+  * end-to-end (SURVEY.md §3), plus the multimodal-column plumbing. Each
+  * pipeline chains the operator library the way the reference scripts
+  * chain pandas stages — one lazy DAG, so Catalyst fuses the stages
+  * (filter pushdown through the joins, one shuffle per groupBy key).
+  */
+object PipelineQueries {
+
+  /** covid_data_transform analogue: fact build → dim canonicalization
+    * (lookup UPDATE → join+coalesce) → broadcast population join →
+    * nation roll-up union → admission semi-join (complete history) →
+    * location_name concat. Ref: covid_data_transform.py:56-286.
+    */
+  private val pl1 = Q(
+    "pl1_etl_dataset_build",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      // stage 1: monthly per-customer order facts
+      val facts = o.withColumn("month", date_trunc("month", col("o_orderdate")))
+        .groupBy("o_custkey", "month")
+        .agg(round(sum("o_totalprice"), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      // stage 2: dim with canonicalized segment (the rename_location
+      // lookup-UPDATE becomes when/otherwise)
+      val dim = c.withColumn("segment",
+          when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"),
+            lit("INDUSTRIAL")).otherwise(col("c_mktsegment")))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("c_custkey"), col("segment"), col("n_name"),
+          col("c_acctbal"))
+      // stage 3: join facts to dim (broadcast — dim is tiny vs facts)
+      val joined = facts.join(broadcast(dim),
+        facts("o_custkey") === dim("c_custkey"), "inner")
+      // stage 4: nation-level roll-up unioned back (country roll-up +
+      // concat pattern, covid_data_transform.py:35-50)
+      val natRoll = joined.groupBy("n_name", "month")
+        .agg(round(sum("revenue"), 4).as("revenue"),
+          sum("n_orders").as("n_orders"))
+        .withColumn("segment", lit("ALL"))
+        .withColumn("c_custkey", lit(-1L))
+      val unioned = joined
+        .select("c_custkey", "segment", "n_name", "month", "revenue", "n_orders")
+        .unionByName(natRoll.select(
+          "c_custkey", "segment", "n_name", "month", "revenue", "n_orders"))
+      // stage 5: keep only entities with a full recent history
+      // (admission semi-join, covid_data_transform.py:241-260)
+      val admitted = unioned.groupBy("c_custkey", "n_name")
+        .agg(countDistinct("month").as("n_months"))
+        .filter(col("n_months") >= 6)
+        .select("c_custkey", "n_name")
+      unioned.join(admitted, Seq("c_custkey", "n_name"), "left_semi")
+        .withColumn("location_name",
+          concat_ws(" : ", col("n_name"), col("segment")))
+        .select("location_name", "c_custkey", "month", "revenue", "n_orders")
+        .orderBy("location_name", "c_custkey", "month", "revenue")
+    },
+    Some("""WITH facts AS (
+              SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+                     round(sum(o_totalprice), 4) AS revenue,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1, 2),
+            dim AS (
+              SELECT c_custkey,
+                CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+                     THEN 'INDUSTRIAL' ELSE c_mktsegment END AS segment,
+                n_name, c_acctbal
+              FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey),
+            joined AS (
+              SELECT d.c_custkey, d.segment, d.n_name, f.month,
+                     f.revenue, f.n_orders
+              FROM facts f JOIN dim d ON f.o_custkey = d.c_custkey),
+            natroll AS (
+              SELECT CAST(-1 AS BIGINT) AS c_custkey, 'ALL' AS segment,
+                     n_name, month, round(sum(revenue), 4) AS revenue,
+                     sum(n_orders) AS n_orders
+              FROM joined GROUP BY n_name, month),
+            unioned AS (
+              SELECT c_custkey, segment, n_name, month, revenue, n_orders
+              FROM joined
+              UNION ALL
+              SELECT c_custkey, segment, n_name, month, revenue, n_orders
+              FROM natroll),
+            admitted AS (
+              SELECT c_custkey, n_name FROM unioned
+              GROUP BY 1, 2 HAVING count(DISTINCT month) >= 6)
+            SELECT n_name || ' : ' || segment AS location_name,
+                   u.c_custkey, month, revenue, n_orders
+            FROM unioned u
+            SEMI JOIN admitted a
+              ON u.c_custkey = a.c_custkey AND u.n_name = a.n_name
+            ORDER BY location_name, c_custkey, month, revenue"""))
+
+  /** covid_simulator feature-engineering analogue: trim-leading (W3) →
+    * lag/diff (W1/W2) → R₀ from first-30 positive increments (A9) →
+    * zero-R₀ mean imputation (A10) → per-supplier feature row.
+    * Ref: covid_simulator.py:388-448.
+    */
+  private val pl2 = Q(
+    "pl2_sim_features",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // trim leading rows until first qty>40 (first confirmed case)
+      val trimmed = Tables.load(s, dir, "lineitem")
+        .withColumn("seen",
+          sum(when(col("l_quantity") > 40, 1).otherwise(0)).over(wRun))
+        .filter(col("seen") > 0)
+      // lag/diff + R0 numerator over first 30 post-trim rows
+      val feats = trimmed
+        .withColumn("rn", row_number().over(w))
+        .withColumn("d",
+          col("l_extendedprice") - lag("l_extendedprice", 1).over(w))
+        .filter(col("rn") <= 30)
+        .groupBy("l_suppkey")
+        .agg(
+          round(sum(when(col("d") > 0, col("d")).otherwise(lit(0.0))), 4)
+            .as("r0"),
+          round(avg("l_quantity"), 4).as("mean_qty"),
+          count(lit(1)).as("n_obs"))
+      // zero/low R0 -> mean of positive R0s (A10 imputation)
+      val mu = feats.filter(col("r0") > 0)
+        .agg(round(avg("r0"), 4).as("mu"))
+      feats.crossJoin(broadcast(mu))
+        .withColumn("r0_final",
+          when(col("r0") <= 0, col("mu")).otherwise(col("r0")))
+        .select("l_suppkey", "r0", "r0_final", "mean_qty", "n_obs")
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH trimmed AS (
+              SELECT * FROM (
+                SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                       l_quantity, l_extendedprice,
+                  sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+                FROM lineitem)
+              WHERE seen > 0),
+            lagged AS (
+              SELECT l_suppkey,
+                row_number() OVER w AS rn,
+                l_quantity,
+                l_extendedprice - lag(l_extendedprice, 1) OVER w AS d
+              FROM trimmed
+              WINDOW w AS (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+            feats AS (
+              SELECT l_suppkey,
+                round(sum(CASE WHEN d > 0 THEN d ELSE 0.0 END), 4) AS r0,
+                round(avg(l_quantity), 4) AS mean_qty,
+                count(*) AS n_obs
+              FROM lagged WHERE rn <= 30 GROUP BY 1),
+            mu AS (
+              SELECT round(avg(r0), 4) AS mu FROM feats WHERE r0 > 0)
+            SELECT l_suppkey, r0,
+                   CASE WHEN r0 <= 0 THEN mu ELSE r0 END AS r0_final,
+                   mean_qty, n_obs
+            FROM feats CROSS JOIN mu ORDER BY l_suppkey"""))
+
+  /** Multimodal-column plumbing: text payloads cast to opaque binary
+    * (stand-in for image/audio blobs), decoded per partition by a
+    * STUBBED decoder — a deterministic fake that reads header bytes
+    * (real codecs aren't in this container). The Spark side is real:
+    * binary column schema, mapPartitions batch shape (one decoder
+    * instance per partition, streaming iterator — exactly how a JNI
+    * codec would be driven), typed output schema.
+    */
+  private val mm1 = Q(
+    "mm1_media_decode_stub",
+    (s, dir) => {
+      import s.implicits._
+      val bin = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions { it =>
+        // one "decoder" per partition (stubbed): a real codec would be
+        // instantiated here once and reused across the batch
+        it.map { case (id, bytes) =>
+          val width = (bytes(0) & 0xff) % 64 + 16
+          val height = (bytes(1) & 0xff) % 64 + 16
+          val nFrames = bytes.length % 7 + 1
+          val brightness =
+            bytes.take(16).map(b => (b & 0xff).toDouble).sum / 16.0 / 255.0
+          MediaMeta(id, width, height, nFrames, brightness)
+        }
+      }.toDF()
+        .withColumn("brightness", round(col("brightness"), 6))
+        .orderBy("doc_id")
+    },
+    // The stub reads ASCII header bytes, so the oracle can replay the
+    // same arithmetic on the text column.
+    Some("""SELECT doc_id,
+                   ascii(substr(text, 1, 1)) % 64 + 16 AS width,
+                   ascii(substr(text, 2, 1)) % 64 + 16 AS height,
+                   length(text) % 7 + 1 AS n_frames,
+                   round(list_sum(list_transform(range(1, 17),
+                       i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)))
+                     / 16.0 / 255.0, 6) AS brightness
+            FROM documents ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(pl1, pl2, mm1)
+}
