@@ -6,6 +6,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+/** One distinct shingle of one document (top-level for Encoders). */
+case class ShingleRow(doc_id: Long, nsh: Int, sh: String)
+
+/** Per-document MinHash signature + shingle set (one scan pass). */
+case class DocSig(doc_id: Long, nsh: Int, shs: Seq[String],
+    mh0: String, mh1: String, mh2: String, mh3: String,
+    mh4: String, mh5: String, mh6: String, mh7: String)
+
+/** Per-document 16-bit SimHash. */
+case class DocSim(doc_id: Long, simhash: Long)
+
 /** Deduplication operators for a training-data pipeline over the
   * `documents` table: exact (fingerprint groupBy), inverted-index
   * n-gram Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine
@@ -22,26 +33,32 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupQueries {
 
-  /** Word 3-gram shingle set (distinct), built with higher-order array
-    * functions — stays in codegen, no UDF. Docs with <3 tokens get an
-    * empty set (mirrors DuckDB's empty range()).
+  /** (doc_id, n_shingles, shingle) exploded view of each document's
+    * DISTINCT word 3-grams.
+    *
+    * Implementation note (measured at sf0.1, 5k docs): the
+    * higher-order-function spelling (split→filter→transform→
+    * array_distinct→explode) costs ~11 s PER EVALUATION because array
+    * lambdas are interpreted outside codegen, and multi-join plans
+    * evaluate the subtree several times; a posexplode+lead window
+    * variant costs 2.8 s but adds a shuffle. This mapPartitions
+    * flatMap is plain JVM string work: shuffle-free, ~10× cheaper, and
+    * the per-doc cost is what a 100 TB scan pays per document.
     */
-  private def shingleCol(text: Column): Column = {
-    val toks = filter(split(text, " "), x => x =!= "")
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3),
-          j => concat_ws(" ", element_at(toks, j + 1),
-            element_at(toks, j + 2), element_at(toks, j + 3))))
-        .otherwise(array().cast("array<string>")))
-  }
-
-  /** (doc_id, shingle, n_shingles) exploded view. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), shingleCol(col("text")).as("shs"))
-      .select(col("doc_id"), size(col("shs")).as("nsh"),
-        explode(col("shs")).as("sh"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val shs =
+          if (toks.length < 3) Set.empty[String]
+          else toks.sliding(3).map(_.mkString(" ")).toSet
+        shs.iterator.map(sh => ShingleRow(id, shs.size, sh))
+      })
+      .toDF()
+  }
 
   private val duckShingles =
     """list_distinct(list_transform(
@@ -119,13 +136,39 @@ object DedupQueries {
   private val d3 = Q(
     "d4_minhash_lsh",
     (s, dir) => {
-      val nPerm = 8
-      val ex = shingled(s, dir)
-      val aggs = (0 until nPerm).map(i =>
-        min(md5(concat(col("sh"), lit(s"|$i")))).as(s"mh$i"))
-      val sigs = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      import s.implicits._
+      // One scan pass computes each doc's shingle set AND its 8-hash
+      // MinHash signature task-locally (no explode, no shuffle, no
+      // repeated subtree evaluation — the signature build is
+      // embarrassingly parallel, which is the whole point of MinHash
+      // at 100 TB). md5 here is byte-identical to Spark/DuckDB md5().
+      val sigs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md5 = graft.ops.Hashing.newMd5()
+          it.flatMap { case (id, text) =>
+            val toks = text.split(" ").filter(_.nonEmpty)
+            if (toks.length < 3) Iterator.empty
+            else {
+              val shs = toks.sliding(3).map(_.mkString(" ")).toSet
+              val mhs = Array.fill[String](8)(null)
+              shs.foreach { sh =>
+                var i = 0
+                while (i < 8) {
+                  val h = md5.hex(sh + "|" + i)
+                  if (mhs(i) == null || h < mhs(i)) mhs(i) = h
+                  i += 1
+                }
+              }
+              Iterator.single(DocSig(id, shs.size, shs.toSeq,
+                mhs(0), mhs(1), mhs(2), mhs(3),
+                mhs(4), mhs(5), mhs(6), mhs(7)))
+            }
+          }
+        }.toDF()
       val bands = sigs.select(col("doc_id"),
-        explode(array((0 until nPerm / 2).map(j =>
+        explode(array((0 until 4).map(j =>
           struct(lit(j).as("band_idx"),
             md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
               .as("band_key"))): _*)).as("b"))
@@ -136,14 +179,14 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // Exact verify restricted to candidates: fan the candidate pairs
-      // into the exploded shingle sets — only candidate pairs pay the
-      // set-intersection cost.
-      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
-      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("sh"))
-      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "sh"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(count(lit(1)).as("shared"))
+      // Exact verify on candidates only: join the (tiny) candidate set
+      // against the per-doc shingle arrays and intersect in place.
+      val a = sigs.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        col("shs").as("shs_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("shs").as("shs_b"))
+      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
         .withColumn("jaccard", round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")), 4))
         .filter(col("jaccard") >= 0.5)
@@ -188,16 +231,41 @@ object DedupQueries {
   private val d4 = Q(
     "d5_simhash",
     (s, dir) => {
-      val ex = shingled(s, dir).withColumn("h", md5(col("sh")))
-      val bitSums = (1 to 16).map(k =>
-        sum(when(conv(substring(col("h"), k, 1), 16, 10).cast("int") >= 8, 1)
-          .otherwise(-1)).as(s"s$k"))
-      val sig = ex.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash",
-          (1 to 16).map(k =>
-            when(col(s"s$k") > 0, lit(1L << (k - 1))).otherwise(lit(0L)))
-            .reduce(_ + _))
-        .select("doc_id", "simhash")
+      import s.implicits._
+      // Per-doc 16-bit SimHash computed task-locally in the scan pass
+      // (bit k = sign of Σ±1 over shingles, +1 iff hex digit k of
+      // md5(shingle) ≥ 8) — same one-pass no-shuffle shape as the
+      // MinHash signatures.
+      val sig = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md5 = graft.ops.Hashing.newMd5()
+          it.flatMap { case (id, text) =>
+            val toks = text.split(" ").filter(_.nonEmpty)
+            if (toks.length < 3) Iterator.empty
+            else {
+              val shs = toks.sliding(3).map(_.mkString(" ")).toSet
+              val sums = new Array[Int](16)
+              shs.foreach { sh =>
+                val h = md5.hex(sh)
+                var k = 0
+                while (k < 16) {
+                  val v = Character.digit(h.charAt(k), 16)
+                  sums(k) += (if (v >= 8) 1 else -1)
+                  k += 1
+                }
+              }
+              var sim = 0L
+              var k = 0
+              while (k < 16) {
+                if (sums(k) > 0) sim |= 1L << k
+                k += 1
+              }
+              Iterator.single(DocSim(id, sim))
+            }
+          }
+        }.toDF()
       sig.as("x").join(sig.as("y"),
           col("x.simhash") === col("y.simhash") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -234,19 +302,50 @@ object DedupQueries {
   private val d5 = Q(
     "d6_embedding_neardup",
     (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm",
-          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-        .withColumn("cosine",
-          round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 4))
+      import s.implicits._
+      // Broadcast brute-force: the normalized matrix is tiny relative
+      // to the O(n²) pair space, so it is collected once, broadcast to
+      // every task, and each task scans its slice of row indices
+      // against the rows above it in a tight JVM loop — 128M flops at
+      // sf0.1, no shuffle, no pair materialization. (Two rejected
+      // designs, both measured: zip_with/aggregate lambdas are
+      // interpreted per pair (~36 s); unrolling dim=64 into scalar Add
+      // chains stalls Catalyst constraint inference for minutes. At
+      // 100 TB this becomes block-tiled: broadcast one tile at a time.)
+      val arr = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+      val ids = arr.map(_._1)
+      val vs = arr.map(_._2.map(_.toDouble))
+      val nrms = vs.map { v =>
+        var acc = 0.0; var k = 0
+        while (k < v.length) { acc += v(k) * v(k); k += 1 }
+        math.sqrt(acc)
+      }
+      val n = ids.length
+      val bc = s.sparkContext.broadcast((ids, vs, nrms))
+      s.range(0, n).as[Long]
+        .mapPartitions { it =>
+          val (ids, vs, nrms) = bc.value
+          it.flatMap { ai =>
+            val a = ai.toInt
+            val va = vs(a)
+            (a + 1 until vs.length).iterator.flatMap { b =>
+              val vb = vs(b)
+              var dot = 0.0; var k = 0
+              while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+              val c = dot / (nrms(a) * nrms(b))
+              // margin pre-filter; the exact round+threshold happens in
+              // SQL below so rounding matches the oracle's round()
+              if (c >= 0.4499) Iterator.single((ids(a), ids(b), c))
+              else Iterator.empty
+            }
+          }
+        }
+        .toDF("vec_a", "vec_b", "cosine_raw")
+        .withColumn("cosine", round(col("cosine_raw"), 4))
         .filter(col("cosine") >= 0.45)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
