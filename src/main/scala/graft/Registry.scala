@@ -18,7 +18,8 @@ final case class Q(
 object Registry {
   /** All registered queries, in stable declaration order. */
   def all: Seq[Q] =
-    graft.queries.RelationalQueries.all ++
+    graft.queries.SourceQueries.all ++
+      graft.queries.RelationalQueries.all ++
       graft.queries.JoinQueries.all ++
       graft.queries.AggQueries.all ++
       graft.queries.WindowQueries.all ++

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+
+/** Source/sink operators (SURVEY.md §2.1 S1-S3). The reference is
+  * CSV-in/CSV-out (covid_data_transform.py:62, :286); the engine's
+  * canonical interchange is parquet, but the CSV paths are first-class:
+  * header + schema-inference scans (S1), multi-file glob scans with a
+  * filename predicate (S2), and header CSV sinks (S3).
+  *
+  * The queries materialize a CSV copy of a testdata table under
+  * java.io.tmpdir, then run the read path under test against it —
+  * a full write→scan round trip per run, with the aggregate result
+  * hash-checked against DuckDB reading the original parquet. (Writes
+  * stay out of /root/testdata and /root/repo per the driver contract.)
+  */
+object SourceQueries {
+
+  private def tmpDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_csv/$name"
+
+  /** S1 + S3: header CSV sink then header + inferSchema scan; the
+    * round-tripped table must aggregate identically to the parquet
+    * original (types survive inference: int keys, double measures,
+    * string flags).
+    */
+  private val s1 = Q(
+    "src1_csv_roundtrip",
+    (s, dir) => {
+      val out = tmpDir("lineitem_s1")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+          "l_returnflag")
+        .write.mode("overwrite").option("header", true).csv(out)
+      s.read.option("header", true).option("inferSchema", true).csv(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** S2: glob multi-file scan with a filename predicate — the
+    * reference keeps only weather files whose name contains a wanted
+    * year (weather_pred.py:144-160). Here: write orders partitioned by
+    * year into per-year directories, scan the glob, keep 1996-1997 via
+    * input_file_name(), aggregate.
+    */
+  private val s2 = Q(
+    "src2_glob_filename_filter",
+    (s, dir) => {
+      val base = tmpDir("orders_by_year")
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+      o.write.mode("overwrite").partitionBy("yr")
+        .option("header", true).csv(base)
+      s.read.option("header", true).option("inferSchema", true)
+        .csv(s"$base/yr=*")
+        .withColumn("fname", input_file_name())
+        .filter(col("fname").contains("yr=1996") ||
+          col("fname").contains("yr=1997"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 4).as("total"))
+    },
+    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total
+            FROM orders
+            WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)"""))
+
+  def all: Seq[Q] = Seq(s1, s2)
+}

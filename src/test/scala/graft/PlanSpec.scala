@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make these
+  * queries scale (filter pushdown into the scan, column pruning,
+  * broadcast of dimension tables, map-side partial aggregation,
+  * whole-stage codegen) are pinned here so a refactor that silently
+  * loses one fails CI, not the 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("plan-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p1 filter is pushed into the parquet scan and columns are pruned") {
+    val p = plan("p1_project_filter")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_quantity,45"), p.take(2000))
+    // only the 4 selected columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), p.take(2000))
+  }
+
+  test("j2 joins the customer dim with a broadcast hash join") {
+    val p = plan("j2_inner_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("a1 aggregates with map-side partial aggregation (two HashAggregate levels)") {
+    val p = plan("a1_group_avg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("partial_avg") || p.contains("partial_"), p.take(2000))
+  }
+
+  test("f_math scalar pipeline stays inside whole-stage codegen") {
+    // AQE reveals the final (codegen-annotated, "*(n)") plan only after
+    // execution
+    val df = SparkEntry.queries("f_math_funcs")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(2000))
+  }
+
+  test("j6 semi-join keyset uses a real left-semi join") {
+    val p = plan("j6_semi_join_keyset")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("e1 tumbling window pre-aggregates before the shuffle") {
+    val p = plan("e1_tumbling_window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+}
