@@ -55,9 +55,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // AQE reveals the final (codegen-annotated, "*(n)") plan only after
     // execution
     val df = SparkEntry.queries("f_math_funcs")(spark, sfDir)
-    df.count()
+    df.collect() // count() would plan a different query; collect this one
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("*("), p.take(2000))
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p.take(2000))
   }
 
   test("j6 semi-join keyset uses a real left-semi join") {
