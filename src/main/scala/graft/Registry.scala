@@ -30,6 +30,7 @@ object Registry {
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
       graft.queries.EventQueries.all ++
+      graft.queries.SketchQueries.all ++
       graft.queries.PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
