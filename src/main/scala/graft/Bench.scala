@@ -15,16 +15,23 @@ object Bench {
     // Warmup pass: first execution of each plan shape pays one-time JVM
     // costs (whole-stage-codegen Janino compiles, broadcast thread pool,
     // JIT) that would otherwise be attributed to whichever query happens
-    // to hit that shape first. The timed pass below measures steady
-    // state, which is what a long-lived cluster app actually sees.
+    // to hit that shape first. Then two timed passes, keeping the min
+    // per query — GC pauses and page-cache noise inflate single samples
+    // by 2x at this scale. Steady-state min is what a long-lived
+    // cluster app sees.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = scala.collection.immutable.ListMap(
+      SparkEntry.queries.keys.map(k => k -> math.min(p1(k), p2(k))).toSeq: _*)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
