@@ -1,0 +1,119 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Per-series rollout input (top-level for Encoders). */
+case class RollRow(series: String, rn: Long, norm: Double, a: Double,
+    b: Double, maxabs: Double, maxdate: Int)
+case class RollOut(series: String, date_idx: Int, pred: Double)
+
+/** The reference's per-location forecasting pipeline
+  * (weather_pred.py __main__, SURVEY.md §3.2) with the documented M5
+  * substitution (SURVEY §7.3 #3): the LSTM is replaced by a per-series
+  * closed-form AR(1) fit, but the protocol — series admission (A8),
+  * abs-max normalization (W8), train/test tail split (O3), one-step
+  * test evaluation + RMSE (M6), autoregressive future rollout (W7),
+  * de-normalization — and the output contract (pred_actual,
+  * future_pred, rsme_score) are the reference's.
+  *
+  * Everything is one pass per stage over series partitioned by key:
+  * fits are groupBy sum-aggregates, the only typed fold is the rollout
+  * (inherently sequential).
+  */
+object WeatherForecast {
+
+  /** @param series (series string, date int yyyyMMdd, value double)
+    * @return (predActual, futurePred, rmseScore) */
+  def run(spark: SparkSession, series: DataFrame,
+      minRows: Int = 60, nTest: Int = 10, horizon: Int = 30)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val w = Window.partitionBy("series").orderBy("date")
+    val wAll = Window.partitionBy("series")
+    // A8 admission: long-enough series only
+    val admitted = series.withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("cnt") >= minRows)
+    // W8 abs-max normalization (max kept for de-normalization)
+    val normed = admitted
+      .withColumn("maxabs", max(abs(col("value"))).over(wAll))
+      .withColumn("norm", col("value") / col("maxabs"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag("norm", 1).over(w))
+      .withColumn("maxdate", max("date").over(wAll))
+    // M5 substitution: per-series AR(1) by closed-form OLS on the
+    // train prefix (everything but the last nTest rows)
+    val fit = normed.filter(col("prev").isNotNull &&
+        col("rn") <= col("cnt") - nTest)
+      .groupBy("series")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("prev").as("sx"), sum("norm").as("sy"),
+        sum(col("prev") * col("norm")).as("sxy"),
+        sum(col("prev") * col("prev")).as("sxx"))
+      .filter(col("sxx") - col("sx") * col("sx") / col("n") > 1e-12)
+      .withColumn("b", (col("sxy") - col("sx") * col("sy") / col("n"))
+        / (col("sxx") - col("sx") * col("sx") / col("n")))
+      .withColumn("a", col("sy") / col("n") - col("b") * col("sx") / col("n"))
+      .select("series", "a", "b")
+    // one-step-ahead test predictions, de-normalized (pred_actual)
+    val predActual = normed.filter(col("rn") > col("cnt") - nTest)
+      .join(fit, Seq("series"))
+      .withColumn("pred_norm", col("a") + col("b") * col("prev"))
+      .select(col("series"), col("date"),
+        (col("pred_norm") * col("maxabs")).as("pred"),
+        col("value").as("actual"), col("pred_norm"), col("norm"))
+    // per-series test RMSE on the normalized scale (rsme_score shape;
+    // the reference's committed scores are normalized, ~0.05)
+    val rmseScore = predActual
+      .groupBy("series")
+      .agg(round(sqrt(avg(pow(col("pred_norm") - col("norm"), 2))), 6)
+        .as("rmse"), count(lit(1)).as("n_test"))
+      .orderBy("series")
+    // W7 rollout: feed predictions back for `horizon` steps, then
+    // de-normalize and attach future dates (future_pred shape)
+    val lastRows = normed.filter(col("rn") === col("cnt"))
+      .join(fit, Seq("series"))
+      .select(col("series"), col("rn"), col("norm"), col("a"), col("b"),
+        col("maxabs"), col("maxdate"))
+      .as[RollRow]
+    val rolled = lastRows.flatMap { r =>
+      var x = r.norm
+      (0 until horizon).iterator.map { i =>
+        x = r.a + r.b * x
+        RollOut(r.series, i, x * r.maxabs)
+      }
+    }.toDF()
+    val futurePred = rolled
+      .join(lastRows.toDF().select(col("series"), col("maxdate")), Seq("series"))
+      .withColumn("date",
+        date_format(date_add(to_date(col("maxdate").cast("string"), "yyyyMMdd"),
+          col("date_idx") + 1), "yyyyMMdd").cast("int"))
+      .select("series", "date", "date_idx", "pred")
+      .orderBy("series", "date_idx")
+    (predActual.select("series", "date", "pred", "actual"), futurePred,
+      rmseScore)
+  }
+
+  /** Runnable: drives the protocol with the committed forecast series
+    * as input (the raw GHCN observations are not committed). */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = spark.read.option("header", true).option("inferSchema", true)
+      .csv("/root/reference/scripts/output/weather_output/future_pred.csv")
+      .select(concat(col("country"), lit(" : "), col("state")).as("series"),
+        col("date").cast("int").as("date"),
+        col("TAVG_pred").cast("double").as("value"))
+    val (pa, fp, rs) = run(spark, src)
+    println(s"PIPELINE weather pred_actual=${pa.count()} " +
+      s"future_pred=${fp.count()} rsme_score=${rs.count()}")
+    spark.stop()
+  }
+}
