@@ -185,6 +185,35 @@ object CovidSimulator {
         "fe_Intercept", "Intercept", "lag_confirmed", "gov_action", "TAVG")
   }
 
+  /** Stages 10-11 of §3.3 (covid_simulator.py:599-627) — the causal
+    * question: simulate twice, once as-is and once with gov_action
+    * zeroed from `pivotDate` on (covid_simulator.py:557-559), then
+    * self-join the runs with _after/_before suffixes and emit
+    * per-(state, step) differences.
+    */
+  def compareIntervention(feats: DataFrame, coefs: DataFrame,
+      pivotDate: String = "2020-03-25"): DataFrame = {
+    val after = simulate(feats, coefs)
+    val zeroed = feats.withColumn("gov_action",
+      when(col("dateval") > pivotDate, 0).otherwise(col("gov_action")))
+    val before = simulate(zeroed, coefs)
+    val a = after.select(col("state"), col("rn"),
+      col("pred_confirmed").as("pred_confirmed_after"),
+      col("pred_removed").as("pred_removed_after"),
+      col("pred_susceptible").as("pred_susceptible_after"))
+    val b = before.select(col("state"), col("rn"),
+      col("pred_confirmed").as("pred_confirmed_before"),
+      col("pred_removed").as("pred_removed_before"),
+      col("pred_susceptible").as("pred_susceptible_before"))
+    a.join(b, Seq("state", "rn"))
+      .withColumn("diff_confirmed",
+        col("pred_confirmed_after") - col("pred_confirmed_before"))
+      .withColumn("diff_removed",
+        col("pred_removed_after") - col("pred_removed_before"))
+      .withColumn("diff_susceptible",
+        col("pred_susceptible_after") - col("pred_susceptible_before"))
+  }
+
   /** Stages 7-8 of §3.3 — per-state discrete SIR on the training rows
     * with alpha = beta*R0/N (generate_dataset, covid_simulator.py:39-58)
     * and z1(t) = cI + cGov*gov_action(t) + cT*TAVG(t), then the bias
@@ -257,6 +286,9 @@ object CovidSimulator {
     println(s"PIPELINE simulator states=${coefs.count()} " +
       s"sim_rows=${sim.count()} " +
       s"neg_preds=${sim.filter(col("pred_removed") < 0).count()}")
+    val cmp = compareIntervention(feats, coefs)
+    println(s"PIPELINE intervention rows=${cmp.count()} " +
+      s"affected=${cmp.filter(abs(col("diff_removed")) > 1e-9).count()}")
     spark.stop()
   }
 }

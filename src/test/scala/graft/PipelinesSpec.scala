@@ -90,6 +90,17 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sim.select("state").distinct().count() == coefs.count())
   }
 
+  test("intervention comparison diverges only where gov_action was zeroed") {
+    val coefs = CovidSimulator.coefficients(feats)
+    val cmp = CovidSimulator.compareIntervention(feats, coefs)
+    assert(cmp.count() > 0)
+    // zeroing gov_action must change some predictions...
+    assert(cmp.filter(abs(col("diff_removed")) > 1e-9).count() > 0)
+    // ...but step 1 (the seeded initial state) is always identical
+    assert(cmp.filter(col("rn") === 1 &&
+      abs(col("diff_confirmed")) > 1e-12).count() == 0)
+  }
+
   test("forecast pipeline honors the reference output contract") {
     val src = spark.read.option("header", true).option("inferSchema", true)
       .csv(s"$refDir/output/weather_output/future_pred.csv")
