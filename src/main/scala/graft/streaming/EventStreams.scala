@@ -40,6 +40,16 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming deduplication: drop repeated (user_id, event_type)
+    * occurrences within the watermark horizon — the streaming analogue
+    * of the batch exact-dedup family (X1), with state bounded by the
+    * 1-hour watermark instead of the stream's full history.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Runnable demo: stream the events parquet through the tumbling
     * aggregation with an availableNow trigger (process-everything-
     * then-stop) into an in-memory table, and print the row count.

@@ -56,6 +56,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("click", 2L), ("click", 1L), ("view", 1L), ("view", 1L)))
   }
 
+  test("dedupWithinWatermark keeps one row per key within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1 clicks twice within the hour -> 1 survivor; the view and
+    // user 2's click are distinct keys
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:25:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 00:30:00"), 1, "view", 3.0),
+      Ev(4, ts("2024-01-01 00:40:00"), 2, "click", 4.0))
+    val q = EventStreams.dedupWithinWatermark(mem.toDF()).writeStream
+      .format("memory").queryName("dd_spec")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.sql(
+      "SELECT user_id, event_type, count(*) AS n FROM dd_spec GROUP BY 1, 2 " +
+        "ORDER BY 1, 2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "click", 1L), (1L, "view", 1L), (2L, "click", 1L)))
+  }
+
   test("sessionCounts groups by 30-min gaps per user") {
     import spark.implicits._
     val out = EventStreams.sessionCounts(events.toDF())
