@@ -137,5 +137,81 @@ object EventQueries {
               FROM events GROUP BY 1, 2)
             ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5)
+  /** As-of join — an operator Spark lacks natively: each purchase is
+    * joined to the user's most recent prior-or-simultaneous click.
+    * Composed scalably as union-tag + running last_value(ignoreNulls)
+    * over one (user, time) window — ONE shuffle, no range-condition
+    * join. (The oracle replicates the identical window formulation so
+    * tie semantics match exactly; DuckDB's native ASOF JOIN breaks
+    * ties differently.)
+    */
+  private val e6 = Q(
+    "e6_asof_join",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("last_click_val",
+          last(when(col("event_type") === "click", col("value")),
+            ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts_us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("value").as("purchase_value"), col("last_click_val"),
+          (col("ts_us") - col("last_click_ts")).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, value AS purchase_value,
+                   last_click_val, ts_us - last_click_ts AS gap_us
+            FROM (
+              SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+                last_value(CASE WHEN event_type = 'click' THEN value END
+                  IGNORE NULLS) OVER w AS last_click_val,
+                last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                  IGNORE NULLS) OVER w AS last_click_ts
+              FROM events WHERE event_type IN ('click', 'purchase')
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            WHERE event_type = 'purchase' ORDER BY event_id"""))
+
+  /** Range join — errors within ±5 minutes of a purchase by the same
+    * user. A naive theta join is O(n²) per user; the scale pattern is
+    * time-bucket blocking: each error probes its own 5-min bucket ±1
+    * (explode 3 candidate buckets), equi-join on (user, bucket), then
+    * the exact range filter. The shuffle carries equi-keys only.
+    */
+  private val e7 = Q(
+    "e7_range_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val bucket = (col("ts_us") / lit(300000000L)).cast("long")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts"), bucket.as("bk"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts_us").as("e_ts"),
+          explode(array(bucket - 1, bucket, bucket + 1)).as("bk"))
+      errors.join(purchases, Seq("user_id", "bk"))
+        .filter(abs(col("e_ts") - col("p_ts")) <= 300000000L)
+        .select(col("user_id"), col("error_id"), col("purchase_id"),
+          (col("e_ts") - col("p_ts")).as("gap_us"))
+        .distinct()
+        .orderBy("user_id", "error_id", "purchase_id")
+    },
+    Some("""SELECT DISTINCT e.user_id, e.event_id AS error_id,
+                   p.event_id AS purchase_id,
+                   epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id
+             AND e.event_type = 'error' AND p.event_type = 'purchase'
+             AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
+            ORDER BY 1, 2, 3"""))
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7)
 }
