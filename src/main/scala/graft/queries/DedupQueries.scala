@@ -17,6 +17,9 @@ case class DocSig(doc_id: Long, nsh: Int, shs: Seq[String],
 /** Per-document 16-bit SimHash. */
 case class DocSim(doc_id: Long, simhash: Long)
 
+/** Per-document distinct shingle set. */
+case class DocSet(doc_id: Long, nsh: Int, shs: Seq[String])
+
 /** Deduplication operators for a training-data pipeline over the
   * `documents` table: exact (fingerprint groupBy), inverted-index
   * n-gram Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine
@@ -366,5 +369,71 @@ object DedupQueries {
                 s -> s[1] * s[2])) / (a.nrm * b.nrm), 4) >= 0.45
             ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5)
+  /** DF-capped Jaccard: the inverted-index join restricted to RARE
+    * shingles (document frequency ≤ 10) for candidate generation —
+    * the standard stop-shingle mitigation that bounds the per-shingle
+    * join fanout at adversarial corpus scale (a shingle in k docs
+    * costs k² pair rows). Candidates are then verified EXACTLY against
+    * the full shingle sets, so reported Jaccards are unchanged; only
+    * pairs whose overlap is exclusively hot shingles can be missed.
+    */
+  private val d7 = Q(
+    "d7_jaccard_dfcap",
+    (s, dir) => {
+      import s.implicits._
+      val ex = shingled(s, dir)
+      val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10).select("sh")
+      val rx = ex.join(rare, Seq("sh"))
+      val cand = rx.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(rx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sets = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          val shs =
+            if (toks.length < 3) Seq.empty[String]
+            else toks.sliding(3).map(_.mkString(" ")).toSet.toSeq
+          DocSet(id, shs.size, shs)
+        })
+        .toDF()
+      val a = sets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        col("shs").as("shs_a"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("shs").as("shs_b"))
+      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
+        .withColumn("jaccard", round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH sets AS (
+               SELECT doc_id, $duckShingles AS shs FROM documents),
+             ex AS (
+               SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+             rare AS (
+               SELECT sh FROM ex GROUP BY 1 HAVING count(*) <= 10),
+             cand AS (
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM (SELECT doc_id, sh FROM ex SEMI JOIN rare USING (sh)) a
+               JOIN (SELECT doc_id, sh FROM ex SEMI JOIN rare USING (sh)) b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id),
+             stats AS (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.nsh AS na, b.nsh AS nb, count(*) AS shared
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4)
+             SELECT c.doc_a, c.doc_b,
+                    round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+             FROM cand c JOIN stats st
+               ON c.doc_a = st.doc_a AND c.doc_b = st.doc_b
+             WHERE round(shared * 1.0 / (na + nb - shared), 4) >= 0.5
+             ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7)
 }
