@@ -212,5 +212,50 @@ object AggQueries {
                          ELSE c_acctbal END, 4) AS acctbal_imputed
             FROM customer ORDER BY c_custkey"""))
 
-  def all: Seq[Q] = Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10)
+  /** A11 (beyond the reference): ROLLUP hierarchy totals — flag,
+    * (flag, status), and grand total in one aggregation pass.
+    */
+  private val a11 = Q(
+    "a11_rollup",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST,
+                     l_linestatus ASC NULLS FIRST"""))
+
+  /** U2 (beyond the reference): INTERSECT / EXCEPT — customers with
+    * orders in both halves of the date range vs only the first half.
+    */
+  private val u2 = Q(
+    "u2_intersect_except",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val early = o.filter(col("o_orderdate") < "1998-01-01")
+        .select("o_custkey")
+      val late = o.filter(col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+      early.intersect(late).withColumn("cohort", lit("both"))
+        .unionByName(early.except(late).withColumn("cohort", lit("early_only")))
+        .orderBy("cohort", "o_custkey")
+    },
+    Some("""SELECT o_custkey, 'both' AS cohort FROM (
+              SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
+            UNION ALL
+            SELECT o_custkey, 'early_only' AS cohort FROM (
+              SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
+            ORDER BY cohort, o_custkey"""))
+
+  def all: Seq[Q] = Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2)
 }
