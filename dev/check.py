@@ -78,6 +78,14 @@ def main():
         bad = []
         for c in a.columns:
             av, bv = a[c], b[c]
+            # the driver's hash is dtype-sensitive: a DuckDB HUGEINT that
+            # pandas materializes as float64 vs Spark's int64 hash-mismatches
+            # even when every value is equal — flag it instead of coercing
+            if (pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv)
+                    and not (av.isna().any() or bv.isna().any())):
+                bad.append(f"{c}: DTYPE spark={av.dtype} duck={bv.dtype} "
+                           "(CAST the oracle aggregate, e.g. AS BIGINT)")
+                continue
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 eq = ((av.astype(float) == bv.astype(float)) |
                       (av.isna() & bv.isna()))

@@ -88,7 +88,8 @@ object DedupQueries {
         .orderBy("source")
     },
     Some("""SELECT source, count(*) AS n_docs,
-                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_survivors
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_survivors
             FROM (
               SELECT source,
                 row_number() OVER (

@@ -178,6 +178,9 @@ object MlQueries {
           sum(col("prev") * col("o_totalprice")).as("sxy"),
           sum(col("prev") * col("prev")).as("sxx"))
         .filter(col("n") >= 5)
+        // zero-variance guard: all-identical prev values make the OLS
+        // denominator 0 -> NaN/Inf slope (same filter as WeatherForecast)
+        .filter(col("sxx") - col("sx") * col("sx") / col("n") > 1e-12)
         .withColumn("b", (col("sxy") - col("sx") * col("sy") / col("n"))
           / (col("sxx") - col("sx") * col("sx") / col("n")))
         .withColumn("a", col("sy") / col("n") - col("b") * col("sx") / col("n"))
@@ -204,7 +207,10 @@ object MlQueries {
                      sum(prev) AS sx, sum(o_totalprice) AS sy,
                      sum(prev*o_totalprice) AS sxy, sum(prev*prev) AS sxx
               FROM pairs WHERE rn <= cnt - 5 GROUP BY 1
-              HAVING count(*) >= 5),
+              HAVING count(*) >= 5
+                 AND sum(prev*prev)
+                     - sum(prev)*sum(prev)/CAST(count(*) AS DOUBLE)
+                     > 1e-12),
             coefs AS (
               SELECT o_custkey,
                 (sxy - sx*sy/n) / (sxx - sx*sx/n) AS b,

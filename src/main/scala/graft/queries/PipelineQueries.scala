@@ -85,7 +85,7 @@ object PipelineQueries {
             natroll AS (
               SELECT CAST(-1 AS BIGINT) AS c_custkey, 'ALL' AS segment,
                      n_name, month, round(sum(revenue), 4) AS revenue,
-                     sum(n_orders) AS n_orders
+                     CAST(sum(n_orders) AS BIGINT) AS n_orders
               FROM joined GROUP BY n_name, month),
             unioned AS (
               SELECT c_custkey, segment, n_name, month, revenue, n_orders
@@ -188,13 +188,18 @@ object PipelineQueries {
         .as[(Long, Array[Byte])]
       bin.mapPartitions { it =>
         // one "decoder" per partition (stubbed): a real codec would be
-        // instantiated here once and reused across the batch
+        // instantiated here once and reused across the batch.
+        // Contract: payloads are single-byte text (ASCII); missing header
+        // bytes read as 0 — the same as the oracle, where DuckDB
+        // ascii(substr(...)) past the end returns 0.
+        def at(bytes: Array[Byte], i: Int): Int =
+          if (i < bytes.length) bytes(i) & 0xff else 0
         it.map { case (id, bytes) =>
-          val width = (bytes(0) & 0xff) % 64 + 16
-          val height = (bytes(1) & 0xff) % 64 + 16
+          val width = at(bytes, 0) % 64 + 16
+          val height = at(bytes, 1) % 64 + 16
           val nFrames = bytes.length % 7 + 1
           val brightness =
-            bytes.take(16).map(b => (b & 0xff).toDouble).sum / 16.0 / 255.0
+            (0 until 16).map(at(bytes, _).toDouble).sum / 16.0 / 255.0
           MediaMeta(id, width, height, nFrames, brightness)
         }
       }.toDF()
