@@ -257,5 +257,94 @@ object AggQueries {
               SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
             ORDER BY cohort, o_custkey"""))
 
-  def all: Seq[Q] = Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2)
+  /** A12 (beyond the reference): CUBE over two dimensions with
+    * GROUPING() disambiguation — all four grouping strata in one pass.
+    * At scale this is one shuffle; Spark expands the cube map-side and
+    * partial-aggregates every stratum before exchange.
+    */
+  private val a12 = Q(
+    "a12_cube",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping("l_returnflag").cast("long").as("g_rf"),
+          grouping("l_linestatus").cast("long").as("g_ls"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""))
+
+  /** A13 (beyond the reference): second-moment statistics — Pearson
+    * correlation, sample/population covariance, population stddev and
+    * variance, and the closed-form OLS regression aggregates. All are
+    * single-pass partial-aggregable sums, so one shuffle at any scale.
+    */
+  private val a13 = Q(
+    "a13_stats_moments",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covs_qp"),
+          round(covar_pop("l_quantity", "l_extendedprice"), 4).as("covp_qp"),
+          round(stddev_pop("l_quantity"), 4).as("sd_qty"),
+          round(var_pop("l_quantity"), 4).as("var_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("icept"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+                   round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+                   round(stddev_pop(l_quantity), 4) AS sd_qty,
+                   round(var_pop(l_quantity), 4) AS var_qty,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4)
+                     AS icept
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** A14 (beyond the reference): exact percentiles (linear
+    * interpolation) per group — quartiles + median + IQR. Exact
+    * percentile requires the group's values sorted (Spark collects the
+    * per-group value multiset); the approx scale path for wide groups is
+    * sk1's approx_percentile sketch.
+    */
+  private val a14 = Q(
+    "a14_percentile",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.25)), 4).as("q25"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+          round(percentile(col("l_quantity"), lit(0.75)), 4).as("q75"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .withColumn("iqr", round(col("q75") - col("q25"), 4))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+                   count(*) AS n,
+                   round(round(quantile_cont(l_quantity, 0.75), 4)
+                     - round(quantile_cont(l_quantity, 0.25), 4), 4) AS iqr
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] =
+    Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, a12, a13, a14)
 }

@@ -137,40 +137,45 @@ object DedupQueries {
     * scale path: signature build is one pass over shingles, candidate
     * generation is an equi-join on (band_idx, band_key).
     */
+  /** One scan pass computes each doc's shingle set AND its 8-hash
+    * MinHash signature task-locally (no explode, no shuffle, no
+    * repeated subtree evaluation — the signature build is
+    * embarrassingly parallel, which is the whole point of MinHash
+    * at 100 TB). md5 here is byte-identical to Spark/DuckDB md5().
+    */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md5 = graft.ops.Hashing.newMd5()
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          if (toks.length < 3) Iterator.empty
+          else {
+            val shs = toks.sliding(3).map(_.mkString(" ")).toSet
+            val mhs = Array.fill[String](8)(null)
+            shs.foreach { sh =>
+              var i = 0
+              while (i < 8) {
+                val h = md5.hex(sh + "|" + i)
+                if (mhs(i) == null || h < mhs(i)) mhs(i) = h
+                i += 1
+              }
+            }
+            Iterator.single(DocSig(id, shs.size, shs.toSeq,
+              mhs(0), mhs(1), mhs(2), mhs(3),
+              mhs(4), mhs(5), mhs(6), mhs(7)))
+          }
+        }
+      }.toDF()
+  }
+
   private val d3 = Q(
     "d4_minhash_lsh",
     (s, dir) => {
-      import s.implicits._
-      // One scan pass computes each doc's shingle set AND its 8-hash
-      // MinHash signature task-locally (no explode, no shuffle, no
-      // repeated subtree evaluation — the signature build is
-      // embarrassingly parallel, which is the whole point of MinHash
-      // at 100 TB). md5 here is byte-identical to Spark/DuckDB md5().
-      val sigs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          val md5 = graft.ops.Hashing.newMd5()
-          it.flatMap { case (id, text) =>
-            val toks = text.split(" ").filter(_.nonEmpty)
-            if (toks.length < 3) Iterator.empty
-            else {
-              val shs = toks.sliding(3).map(_.mkString(" ")).toSet
-              val mhs = Array.fill[String](8)(null)
-              shs.foreach { sh =>
-                var i = 0
-                while (i < 8) {
-                  val h = md5.hex(sh + "|" + i)
-                  if (mhs(i) == null || h < mhs(i)) mhs(i) = h
-                  i += 1
-                }
-              }
-              Iterator.single(DocSig(id, shs.size, shs.toSeq,
-                mhs(0), mhs(1), mhs(2), mhs(3),
-                mhs(4), mhs(5), mhs(6), mhs(7)))
-            }
-          }
-        }.toDF()
+      val sigs = minhashSigs(s, dir)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band_idx"),
@@ -436,5 +441,87 @@ object DedupQueries {
              WHERE round(shared * 1.0 / (na + nb - shared), 4) >= 0.5
              ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7)
+  /** MinHash ESTIMATED Jaccard vs exact, per LSH candidate pair: the
+    * estimate is the fraction of the 8 signature components that agree
+    * — the statistic an at-scale pipeline would threshold on INSTEAD of
+    * exact verification (estimate is O(perms) per pair; exact is
+    * O(|shingles|)). Emitting est and exact side by side makes the
+    * estimator's error measurable (and oracle-checkable).
+    */
+  private val d8 = Q(
+    "d8_minhash_est",
+    (s, dir) => {
+      val sigs = minhashSigs(s, dir)
+      val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band_idx"),
+            md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
+              .as("band_key"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val aCols = sigs.select(
+        col("doc_id").as("doc_a") +: col("nsh").as("na") +:
+          col("shs").as("shs_a") +:
+          (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val bCols = sigs.select(
+        col("doc_id").as("doc_b") +: col("nsh").as("nb") +:
+          col("shs").as("shs_b") +:
+          (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val nEq = (0 until 8).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      cand.join(aCols, Seq("doc_a")).join(bCols, Seq("doc_b"))
+        .withColumn("est_j", round(nEq.cast("double") / 8.0, 4))
+        .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
+        .withColumn("exact_j", round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4))
+        .withColumn("abs_err", round(abs(col("est_j") - col("exact_j")), 4))
+        .select("doc_a", "doc_b", "est_j", "exact_j", "abs_err")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH sets AS (
+               SELECT doc_id, $duckShingles AS shs FROM documents),
+             ex AS (
+               SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+             sigs AS (
+               SELECT doc_id,
+                 ${(0 until 8).map(i =>
+                   s"min(md5(sh || '|$i')) AS mh$i").mkString(", ")}
+               FROM ex GROUP BY 1),
+             bands AS (
+               ${(0 until 4).map(j =>
+                 s"SELECT doc_id, $j AS band_idx, md5(mh${2 * j} || mh${2 * j + 1}) AS band_key FROM sigs")
+                 .mkString(" UNION ALL ")}),
+             cand AS (
+               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+             est AS (
+               SELECT c.doc_a, c.doc_b,
+                 round((${(0 until 8).map(i =>
+                   s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+                   .mkString(" + ")}) / 8.0, 4) AS est_j
+               FROM cand c
+               JOIN sigs sa ON sa.doc_id = c.doc_a
+               JOIN sigs sb ON sb.doc_id = c.doc_b),
+             stats AS (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.nsh AS na, b.nsh AS nb, count(*) AS shared
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4)
+             SELECT e.doc_a, e.doc_b, e.est_j,
+                    round(shared * 1.0 / (na + nb - shared), 4) AS exact_j,
+                    round(abs(e.est_j
+                      - round(shared * 1.0 / (na + nb - shared), 4)), 4)
+                      AS abs_err
+             FROM est e JOIN stats st
+               ON e.doc_a = st.doc_a AND e.doc_b = st.doc_b
+             ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8)
 }

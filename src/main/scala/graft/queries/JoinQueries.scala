@@ -181,5 +181,36 @@ object JoinQueries {
                               WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti)
+  /** J9 (beyond the reference): key-salted join — the manual skew
+    * mitigation for a hot join key. The fact side appends a
+    * deterministic salt (pmod of another column) to the join key; the
+    * dim side is exploded into one copy per salt value, so a single hot
+    * key's rows spread across `nSalts` reducers instead of one straggler
+    * task. AQE's skew-join split is the automatic variant; this is the
+    * explicit pattern for engines/stages where AQE can't see the skew.
+    * The salt is semantics-free: the oracle is the plain join.
+    */
+  private val j9 = Q(
+    "j9_salted_skew_join",
+    (s, dir) => {
+      val nSalts = 8
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_partkey"), lit(nSalts)))
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("salt") === o("salt"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9)
 }

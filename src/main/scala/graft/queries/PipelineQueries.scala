@@ -45,23 +45,31 @@ object PipelineQueries {
       val joined = facts.join(broadcast(dim),
         facts("o_custkey") === dim("c_custkey"), "inner")
       // stage 4: nation-level roll-up unioned back (country roll-up +
-      // concat pattern, covid_data_transform.py:35-50)
-      val natRoll = joined.groupBy("n_name", "month")
-        .agg(round(sum("revenue"), 4).as("revenue"),
+      // concat pattern, covid_data_transform.py:35-50). GROUPING SETS
+      // computes the detail stratum and the nation roll-up in ONE pass
+      // over `joined` — a UNION of two groupBys would execute the whole
+      // facts⋈dim subtree twice. The grouping() flag maps the roll-up
+      // stratum to the sentinel (c_custkey=-1, segment='ALL') rows.
+      val unioned = joined.groupingSets(
+          Seq(Seq(col("c_custkey"), col("segment"), col("n_name"),
+            col("month")), Seq(col("n_name"), col("month"))),
+          col("c_custkey"), col("segment"), col("n_name"), col("month"))
+        .agg(grouping("c_custkey").as("g"),
+          round(sum("revenue"), 4).as("revenue"),
           sum("n_orders").as("n_orders"))
-        .withColumn("segment", lit("ALL"))
-        .withColumn("c_custkey", lit(-1L))
-      val unioned = joined
-        .select("c_custkey", "segment", "n_name", "month", "revenue", "n_orders")
-        .unionByName(natRoll.select(
-          "c_custkey", "segment", "n_name", "month", "revenue", "n_orders"))
+        .withColumn("c_custkey",
+          when(col("g") === 1, lit(-1L)).otherwise(col("c_custkey")))
+        .withColumn("segment",
+          when(col("g") === 1, lit("ALL")).otherwise(col("segment")))
       // stage 5: keep only entities with a full recent history
-      // (admission semi-join, covid_data_transform.py:241-260)
-      val admitted = unioned.groupBy("c_custkey", "n_name")
-        .agg(countDistinct("month").as("n_months"))
+      // (admission, covid_data_transform.py:241-260) — a count-distinct
+      // window on the (entity, nation) key instead of an aggregate +
+      // self semi-join, so the rollup subtree runs once and the check
+      // costs one shuffle on the same key.
+      val wAdm = Window.partitionBy("c_custkey", "n_name")
+      unioned
+        .withColumn("n_months", size(collect_set(col("month")).over(wAdm)))
         .filter(col("n_months") >= 6)
-        .select("c_custkey", "n_name")
-      unioned.join(admitted, Seq("c_custkey", "n_name"), "left_semi")
         .withColumn("location_name",
           concat_ws(" : ", col("n_name"), col("segment")))
         .select("location_name", "c_custkey", "month", "revenue", "n_orders")
@@ -131,10 +139,16 @@ object PipelineQueries {
             .as("r0"),
           round(avg("l_quantity"), 4).as("mean_qty"),
           count(lit(1)).as("n_obs"))
-      // zero/low R0 -> mean of positive R0s (A10 imputation)
-      val mu = feats.filter(col("r0") > 0)
-        .agg(round(avg("r0"), 4).as("mu"))
-      feats.crossJoin(broadcast(mu))
+      // zero/low R0 -> mean of positive R0s (A10 imputation). The mean
+      // is a global window over the per-supplier rollup — NOT a
+      // crossJoin against a separate aggregate of `feats`, which would
+      // re-execute the whole lineitem window subtree a second time.
+      // `feats` is rollup-sized (one row per supplier), so the single-
+      // partition window is a trivial reduce at any corpus scale.
+      val wAll = Window.partitionBy()
+      feats
+        .withColumn("mu",
+          round(avg(when(col("r0") > 0, col("r0"))).over(wAll), 4))
         .withColumn("r0_final",
           when(col("r0") <= 0, col("mu")).otherwise(col("r0")))
         .select("l_suppkey", "r0", "r0_final", "mean_qty", "n_obs")
@@ -217,5 +231,72 @@ object PipelineQueries {
                      / 16.0 / 255.0, 6) AS brightness
             FROM documents ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(pl1, pl2, mm1)
+  /** Composed LLM-corpus cleaning pipeline over `documents`: quality
+    * prefilter (token count) → language-consistency filter (marker
+    * lang-id must agree with the labeled lang) → exact dedup (md5
+    * fingerprint, min-doc_id survivor) → per-(source, lang) rollup.
+    * This is the end-to-end shape a training-data pipeline runs at
+    * 100 TB: all per-doc scoring happens in the scan pass, the only
+    * shuffles are the dedup window on fp and the final rollup.
+    */
+  private val pl3 = Q(
+    "pl3_text_clean_pipeline",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+      def score(markers: Seq[String]) =
+        size(filter(toks, x => x.isInCollection(markers)))
+      val scored = Tables.load(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+        .withColumn("s_en", score(Seq("the", "a", "and", "of")))
+        .withColumn("s_es", score(Seq("el", "la", "de", "que")))
+        .withColumn("s_fr", score(Seq("le", "les", "et", "de")))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .filter(col("n_tokens") >= 20 && col("pred_lang") === col("lang"))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      scored
+        .withColumn("fp",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_tokens").as("sum_tokens"),
+          round(avg("n_tokens"), 4).as("avg_tokens"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id, text, lang, source,
+                len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('the','a','and','of'))) AS s_en,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('el','la','de','que'))) AS s_es,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('le','les','et','de'))) AS s_fr
+              FROM documents),
+            kept AS (
+              SELECT doc_id, text, lang, source, n_tokens
+              FROM scored
+              WHERE n_tokens >= 20
+                AND lang = (CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                                 WHEN s_es >= s_fr THEN 'es'
+                                 ELSE 'fr' END)),
+            deduped AS (
+              SELECT source, lang, n_tokens,
+                row_number() OVER (
+                  PARTITION BY md5(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'))
+                  ORDER BY doc_id) AS rn
+              FROM kept)
+            SELECT source, lang, count(*) AS n_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   round(avg(n_tokens), 4) AS avg_tokens
+            FROM deduped WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(pl1, pl2, mm1, pl3)
 }

@@ -151,5 +151,57 @@ object RelationalQueries {
               FROM orders)
             WHERE rn <= 2 ORDER BY o_custkey, rn"""))
 
-  def all: Seq[Q] = Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3)
+  /** P9 (beyond the reference): correlated EXISTS / NOT EXISTS
+    * subqueries — Catalyst decorrelates both into semi/anti joins, so
+    * the physical plan is joins, not per-row subquery execution.
+    */
+  private val p9 = Q(
+    "p9_exists_subquery",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_mktsegment
+               FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 300000)
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderstatus = 'F')
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+            ORDER BY c_custkey"""))
+
+  /** P10 (beyond the reference): deterministic hash sampling — keep
+    * documents whose content md5 starts with one of 2/16 hex digits, a
+    * reproducible ~1/8 systematic sample. Unlike TABLESAMPLE/rand(),
+    * the sample is stable across engines, runs, and partitionings —
+    * the property a training-data pipeline needs for holdout splits.
+    * The filter is a codegen'd scan predicate: no shuffle at all.
+    */
+  private val p10 = Q(
+    "p10_hash_sample",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("hx", substring(md5(col("text")), 1, 1))
+        .filter(col("hx").isin("0", "1"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_sampled,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0', '1')
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10)
 }

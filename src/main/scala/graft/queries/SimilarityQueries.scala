@@ -238,5 +238,83 @@ object SimilarityQueries {
              SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
              WHERE rank <= 3 ORDER BY query_id, rank"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3)
+  /** IVF with probe=2: each query searches its TWO nearest cells —
+    * the standard recall knob (nprobe) of IVF indexes. Costs one extra
+    * cell's worth of exact comparisons per query; candidate sets from
+    * different cells are disjoint (a vector lives in exactly one cell),
+    * so no dedup is needed before the global top-k.
+    */
+  private val s4 = Q(
+    "s4_ivf_probe2",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg("x").as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wCell = Window.partitionBy("query_id")
+        .orderBy(col("cell_cos").desc, col("label"))
+      val probe = broadcast(q).crossJoin(broadcast(cent))
+        .withColumn("cell_cos",
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") <= 2)
+        .select(col("query_id"), col("qv"), col("qn"),
+          col("label").as("cell"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      probe.join(e, probe("cell") === e("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .select(col("query_id"), col("cell"),
+          col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v, label FROM embeddings),
+             n AS (
+               SELECT vec_id, v, $duckNorm AS nrm, label FROM e),
+             cm AS (
+               SELECT label, t.pos, avg(v[t.pos]) AS m
+               FROM e, range(1, ${dim + 1}) t(pos) GROUP BY 1, 2),
+             cent AS (
+               SELECT label, list(m ORDER BY pos) AS cv FROM cm GROUP BY 1),
+             centn AS (
+               SELECT label, cv,
+                 sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+               FROM cent),
+             q AS (
+               SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+               WHERE vec_id < 10),
+             probe AS (
+               SELECT query_id, qv, qn, label AS cell FROM (
+                 SELECT q.query_id, q.qv, q.qn, c.label,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     round(${duckDot.format("qv", "cv")} / (qn * cn), 4) DESC,
+                     c.label) AS crk
+                 FROM q CROSS JOIN centn c)
+               WHERE crk <= 2),
+             scored AS (
+               SELECT p.query_id, p.cell, n.vec_id AS neighbor_id,
+                      round(${duckDot.format("qv", "v")} / (qn * nrm), 4)
+                        AS cosine
+               FROM probe p JOIN n ON n.label = p.cell
+               WHERE n.vec_id <> p.query_id),
+             ranked AS (
+               SELECT query_id, cell, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
+             WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4)
 }

@@ -72,5 +72,29 @@ object SourceQueries {
             FROM orders
             WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)"""))
 
-  def all: Seq[Q] = Seq(s1, s2)
+  /** S1/S3 JSON variant: JSON-lines sink then schema-inferring scan —
+    * the interchange format half the upstream corpus dumps arrive in.
+    * Doubles round-trip exactly (shortest-repr write, exact parse);
+    * the aggregate must match DuckDB reading the original parquet.
+    */
+  private val s3 = Q(
+    "src3_json_roundtrip",
+    (s, dir) => {
+      val out = tmpDir("documents_json")
+      Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(out)
+      s.read.json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          max(length(col("text"))).as("max_len"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(length(text)) AS max_len
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3)
 }

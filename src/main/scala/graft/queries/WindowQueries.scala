@@ -176,5 +176,68 @@ object WindowQueries {
                                  INTERVAL 1 DAY) AS t(d)
             ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10)
+  /** W11 (beyond the reference): event-time RANGE window — rolling
+    * 7-day sum/count per supplier, frame defined by the ORDER BY value
+    * (epoch seconds), not row position, so sparse/dense series get the
+    * same semantics. One shuffle on the partition key at any scale.
+    */
+  private val w11 = Q(
+    "w11_range_interval",
+    (s, dir) => {
+      // shipdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+      // ntz→ltz hop is an identity and the long is epoch seconds
+      val sec = col("l_shipdate").cast("timestamp").cast("long")
+      val win = Window.partitionBy("l_suppkey").orderBy(sec)
+        .rangeBetween(-7L * 86400, 0)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 50)
+        .withColumn("qty_7d", round(sum("l_quantity").over(win), 4))
+        .withColumn("n_7d", count(lit(1)).over(win))
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "qty_7d", "n_7d")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity")
+    },
+    Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   l_quantity,
+                   round(sum(l_quantity) OVER w, 4) AS qty_7d,
+                   count(*) OVER w AS n_7d
+            FROM lineitem WHERE l_suppkey <= 50
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                     l_quantity"""))
+
+  /** W12 (beyond the reference): ntile quartile bucketing per group +
+    * per-bucket stats. Only the bucketed measure is aggregated, so
+    * position ties among identical values cannot change the result.
+    */
+  private val w12 = Q(
+    "w12_ntile_quartile",
+    (s, dir) => {
+      val win = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber",
+          "l_extendedprice")
+      Tables.load(s, dir, "lineitem")
+        .withColumn("tile", ntile(4).over(win))
+        .groupBy("l_returnflag", "tile")
+        .agg(count(lit(1)).as("n"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(min("l_quantity"), 4).as("min_qty"),
+          round(max("l_quantity"), 4).as("max_qty"))
+        .orderBy("l_returnflag", "tile")
+    },
+    Some("""SELECT l_returnflag, tile, count(*) AS n,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(min(l_quantity), 4) AS min_qty,
+                   round(max(l_quantity), 4) AS max_qty
+            FROM (
+              SELECT l_returnflag, l_quantity,
+                ntile(4) OVER (PARTITION BY l_returnflag
+                  ORDER BY l_quantity, l_orderkey, l_linenumber,
+                           l_extendedprice) AS tile
+              FROM lineitem)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10, w11, w12)
 }
