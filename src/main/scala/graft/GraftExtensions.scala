@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension installing graft's native Catalyst functions.
+  * Wire up with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * on the session builder — the public injection point, no internal
+  * registry APIs. Currently registers:
+  *
+  *  - `graft_dot(a, b)`: codegen'd double-array dot product
+  *    ([[graft.functions.DotProduct]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+        "graft_dot"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProduct(children(0), children(1))))
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 object Scratch2 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")

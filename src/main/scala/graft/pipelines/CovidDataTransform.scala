@@ -197,6 +197,7 @@ object CovidDataTransform {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_pipelines/dataset_full")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

@@ -268,6 +268,7 @@ object CovidSimulator {
   /** Runnable: transform → features → coefficients → simulation. */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

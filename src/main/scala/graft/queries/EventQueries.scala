@@ -213,5 +213,34 @@ object EventQueries {
              AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
             ORDER BY 1, 2, 3"""))
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7)
+  /** Sliding event-time window (10-min length, 5-min slide): each event
+    * lands in exactly two overlapping windows. Spark's `window()` with a
+    * slide expands the assignment map-side; the shuffle still carries
+    * only (type, window) partial aggregates. The oracle replays the
+    * assignment as a 2-way UNION ALL on 5-min buckets.
+    */
+  private val e8 = Q(
+    "e8_sliding_window",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          window(col("ts"), "10 minutes", "5 minutes")
+            .getField("start").as("win_start"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type", "win_start")
+    },
+    Some("""WITH assigned AS (
+              SELECT event_type, value,
+                     time_bucket(INTERVAL '5 minutes', ts) AS win_start
+              FROM events
+              UNION ALL
+              SELECT event_type, value,
+                     time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes' AS win_start
+              FROM events)
+            SELECT event_type, win_start, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8)
 }

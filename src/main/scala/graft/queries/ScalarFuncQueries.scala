@@ -117,5 +117,41 @@ object ScalarFuncQueries {
             FROM lineitem ORDER BY l_orderkey, l_linenumber, price_scaled,
                                    disc_price, qty_sqrt, tax_sq"""))
 
-  def all: Seq[Q] = Seq(strings, dates, math)
+  /** Array-function surface (beyond the reference): collect → sort →
+    * slice/element_at/contains over per-order quantity lists. Array
+    * values never leave the plan — the emitted columns are scalars and
+    * a joined string, so the oracle hash compare stays dtype-exact.
+    */
+  private val arrays = Q(
+    "f_array_funcs",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .withColumn("n_items", size(col("qs")))
+        .withColumn("q_min", element_at(col("qs"), 1))
+        .withColumn("q_max", element_at(col("qs"), -1))
+        .withColumn("has_half",
+          array_contains(col("qs"), 25.0).cast("int"))
+        .withColumn("low3",
+          concat_ws(",",
+            transform(slice(col("qs"), 1, 3), x => x.cast("int").cast("string"))))
+        .select("l_orderkey", "n_items", "q_min", "q_max", "has_half",
+          "low3", "sum_qty")
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+                   len(list_sort(list(l_quantity))) AS n_items,
+                   list_sort(list(l_quantity))[1] AS q_min,
+                   list_sort(list(l_quantity))[-1] AS q_max,
+                   CAST(list_contains(list(l_quantity), 25.0) AS INT)
+                     AS has_half,
+                   array_to_string(list_transform(
+                     list_slice(list_sort(list(l_quantity)), 1, 3),
+                     x -> CAST(CAST(x AS INTEGER) AS VARCHAR)), ',') AS low3,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(strings, dates, math, arrays)
 }

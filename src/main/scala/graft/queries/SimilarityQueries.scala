@@ -43,11 +43,17 @@ object SimilarityQueries {
   private def vecDouble: Column =
     transform(col("embedding"), x => x.cast("double"))
 
+  /** Codegen'd native dot product (graft.functions.DotProduct via
+    * GraftExtensions). The interpreted HOF spelling
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is ~40× slower and
+    * falls out of whole-stage codegen; same accumulation order, so the
+    * doubles are bit-identical to the HOF version and the oracle.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    sqrt(call_function("graft_dot", v, v))
 
   /** Normalized vectors with per-plane LSH sign bits → bucket. */
   private def withBucket(df: DataFrame): DataFrame = {

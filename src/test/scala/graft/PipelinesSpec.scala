@@ -17,6 +17,7 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val refDir = "/root/reference/scripts"
 
   private lazy val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", 8)
     .config("spark.sql.session.timeZone", "UTC")

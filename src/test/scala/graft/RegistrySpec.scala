@@ -15,6 +15,7 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sfDir = "/root/testdata/sf0.001"
 
   private lazy val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")

@@ -14,6 +14,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")
