@@ -387,14 +387,23 @@ object DedupQueries {
     "d7_jaccard_dfcap",
     (s, dir) => {
       import s.implicits._
+      // Candidate generation in ONE evaluation of the shingle pass:
+      // group the inverted index per shingle, DF-cap the posting list
+      // (≤10 docs), and emit the pairs combinatorially from the sorted
+      // array — no rare-filter join, no exploded self-join (which would
+      // re-execute the shingle scan once per join side). The pair
+      // lambdas are interpreted but run over ≤10-element arrays, one
+      // row per rare shingle. The DF cap bounds the quadratic fanout:
+      // a hot shingle contributes nothing instead of df² pairs.
       val ex = shingled(s, dir)
-      val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 10).select("sh")
-      val rx = ex.join(rare, Seq("sh"))
-      val cand = rx.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(rx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val postings = ex.groupBy("sh")
+        .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 10))
+      val cand = postings
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
       val sets = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
