@@ -6,6 +6,8 @@ object Scratch2 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")

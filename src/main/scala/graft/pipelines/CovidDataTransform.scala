@@ -198,6 +198,8 @@ object CovidDataTransform {
     val out = args.headOption.getOrElse("/tmp/graft_pipelines/dataset_full")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

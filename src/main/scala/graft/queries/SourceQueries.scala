@@ -96,5 +96,50 @@ object SourceQueries {
                    max(length(text)) AS max_len
             FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3)
+  /** S4: bucketed co-located join — both sides written bucketed by the
+    * join key (`bucketBy(8, key)` + sortBy), then sort-merge-joined with
+    * ZERO exchange on either side (PlanSpec asserts it). At 100 TB this
+    * is THE pattern for repeated fact⋈fact joins: pay the shuffle once
+    * at write time, join shuffle-free forever after. Bucket pruning and
+    * bucket-aligned scans need the table in the catalog, so the sink is
+    * saveAsTable into a tmp warehouse (in-memory catalog, parquet
+    * files under java.io.tmpdir).
+    */
+  private val s4 = Q(
+    "src4_bucketed_join",
+    (s, dir) => {
+      // external tables (explicit path option) — nothing lands in the
+      // static warehouse dir; the in-memory catalog holds the bucket spec
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmpDir("bkt_lineitem"))
+        .saveAsTable("bkt_lineitem")
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmpDir("bkt_orders"))
+        .saveAsTable("bkt_orders")
+      val li = s.table("bkt_lineitem")
+      val o = s.table("bkt_orders")
+      li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum("l_quantity").as("sum_qty"),
+          round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("o_orderpriority")
+    },
+    // sum_qty is integral-valued (exact in a double at any summation
+    // order); avg divides the drift by n — both immune to cross-engine
+    // ULP accumulation at this magnitude, unlike a raw product sum.
+    Some("""SELECT o_orderpriority, count(*) AS n_lines,
+                   sum(l_quantity) AS sum_qty,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4)
 }

@@ -14,6 +14,8 @@ class DotProductSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
     .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")

@@ -18,6 +18,8 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", 8)
     .config("spark.sql.session.timeZone", "UTC")

@@ -16,6 +16,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
@@ -69,5 +71,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("e1 tumbling window pre-aggregates before the shuffle") {
     val p = plan("e1_tumbling_window")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("src4 bucketed join runs with no exchange on either join side") {
+    val df = SparkEntry.queries("src4_bucketed_join")(spark, sfDir)
+    df.collect() // AQE: final plan only after execution
+    // AQE's toString appends an "== Initial Plan ==" section; assert on
+    // the final plan only
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    // the only exchange allowed is the post-join groupBy shuffle; the
+    // join inputs (everything below the join node) must read bucketed
+    // with no Exchange
+    val belowJoin = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange"), p.take(3000))
+    assert(p.contains("SelectedBucketsCount") && p.contains("Bucketed: true"),
+      p.take(3000))
+  }
+
+  test("s1 knn dot products use the native codegen graft_dot expression") {
+    val p = plan("s1_knn_bruteforce")
+    assert(p.contains("graft_dot"), p.take(3000))
+    assert(!p.contains("aggregate(zip_with"), p.take(3000))
   }
 }
