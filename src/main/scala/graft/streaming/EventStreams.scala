@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Running per-user aggregate state (top-level for Encoder derivation). */
+case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming surface. The reference is pure batch
   * (SURVEY.md §2.9), so streaming is an engine capability, not a parity
@@ -49,6 +53,55 @@ object EventStreams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Sliding 10-min windows every 5 min (each event in two windows),
+    * 1-hour watermark — the streaming analogue of the batch
+    * `e8_sliding_window` query. State is (windows-in-horizon ×
+    * event types), bounded by the watermark.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stream-static broadcast enrichment: join the unbounded event
+    * stream against a bounded dimension (re-read per micro-batch,
+    * broadcast — no stream-side shuffle, no state). The standard
+    * pattern for attaching slowly-changing metadata at any stream rate.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
+
+  /** Custom keyed state via flatMapGroupsWithState: a running per-user
+    * (event count, value total) updated every micro-batch — the
+    * arbitrary-state API for logic session_window/agg can't express.
+    * NoTimeout here because the demo key space is bounded; an unbounded
+    * keyspace at scale would use GroupStateTimeout.EventTimeTimeout and
+    * drop idle keys past the watermark.
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Double)],
+            state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** Runnable demo: stream the events parquet through the tumbling
     * aggregation with an availableNow trigger (process-everything-

@@ -83,6 +83,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, "click", 1L), (1L, "view", 1L), (2L, "click", 1L)))
   }
 
+  test("slidingCounts puts each event in exactly two overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = EventStreams.slidingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("sl_spec")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      "SELECT window_start, event_type, n, sum_value FROM sl_spec " +
+        "ORDER BY window_start, event_type").collect().map(_.toSeq).toSeq
+    val batched = EventStreams.slidingCounts(events.toDF())
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batched)
+    // every event contributes to exactly 2 windows
+    assert(batched.map(_(2).asInstanceOf[Long]).sum == 2L * events.size)
+  }
+
+  test("enrichWithDim attaches static dim rows without stream state") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val out = EventStreams.enrichWithDim(events.toDF(), dim, "user_id", "cust_id")
+      .groupBy("tier").count().orderBy("tier")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("gold", 3L), ("silver", 2L)))
+  }
+
+  test("runningUserTotals accumulates state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningUserTotals(mem.toDF()).writeStream
+      .format("memory").queryName("st_spec")
+      .outputMode("update")
+      .start()
+    mem.addData(events.take(2): _*) // user 1: 2 events, 3.0 total
+    q.processAllAvailable()
+    mem.addData(events.drop(2): _*) // +1 user-1 event, 2 user-2 events
+    q.processAllAvailable()
+    q.stop()
+    // the LAST update per user reflects state carried across batches
+    val out = spark.sql(
+      """SELECT user_id, n_events, total_value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY n_events DESC) AS rk FROM st_spec)
+         WHERE rk = 1 ORDER BY user_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 3L, 7.0), (2L, 2L, 8.0)))
+  }
+
   test("sessionCounts groups by 30-min gaps per user") {
     import spark.implicits._
     val out = EventStreams.sessionCounts(events.toDF())
