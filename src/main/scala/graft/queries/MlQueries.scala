@@ -303,5 +303,83 @@ object MlQueries {
             FROM d JOIN b USING (l_suppkey)
             ORDER BY l_suppkey, l_orderkey, l_linenumber, pred"""))
 
-  def all: Seq[Q] = Seq(m1, m2, m3, m5, m6, m7, m8)
+  /** M9 (beyond the reference): one Lloyd iteration of k-means over the
+    * embeddings — seed centroids (vec_id < 4), exact argmin-L2
+    * assignment, centroid recompute, per-cluster size + centroid shift.
+    * Distances use the native `graft_dot` expression and the identity
+    * ||v−c||² = v·v − 2 v·c + c·c, so the assignment compares exact
+    * IEEE doubles identical to the oracle's list arithmetic (no
+    * rounding inside the argmin). At scale: seeds broadcast, one
+    * scan-local assignment pass, centroid recompute shuffles
+    * (cluster, pos) partial sums — the standard distributed k-means
+    * step shape.
+    */
+  private val m9 = Q(
+    "m9_kmeans_step",
+    (s, dir) => {
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("graft_dot", a, b)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val seeds = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+      val wAsg = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+      val assign = e.crossJoin(broadcast(seeds))
+        .withColumn("d2",
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+            + dot(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+      val sizes = assign.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+      val newc = assign
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("ncv"))
+      newc.join(seeds, Seq("cluster")).join(sizes, Seq("cluster"))
+        .withColumn("diff", zip_with(col("ncv"), col("cv"), (a, b) => a - b))
+        .select(col("cluster"), col("n_members"),
+          round(sqrt(dot(col("ncv"), col("ncv"))), 6).as("centroid_norm"),
+          round(sqrt(dot(col("diff"), col("diff"))), 6).as("shift"))
+        .orderBy("cluster")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            seeds AS (
+              SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e
+              WHERE vec_id < 4),
+            assign AS (
+              SELECT vec_id, cluster, v FROM (
+                SELECT e.vec_id, s.cluster, e.v,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    list_sum(list_transform(e.v, x -> x * x))
+                    - 2 * list_sum(list_transform(list_zip(e.v, s.cv),
+                        p -> p[1] * p[2]))
+                    + list_sum(list_transform(s.cv, x -> x * x)),
+                    s.cluster) AS rn
+                FROM e CROSS JOIN seeds s)
+              WHERE rn = 1),
+            sizes AS (
+              SELECT cluster, count(*) AS n_members FROM assign GROUP BY 1),
+            cm AS (
+              SELECT cluster, t.pos, avg(v[t.pos]) AS m
+              FROM assign, range(1, 65) t(pos) GROUP BY 1, 2),
+            newc AS (
+              SELECT cluster, list(m ORDER BY pos) AS ncv FROM cm GROUP BY 1)
+            SELECT n.cluster, z.n_members,
+                   round(sqrt(list_sum(list_transform(n.ncv, x -> x * x))), 6)
+                     AS centroid_norm,
+                   round(sqrt(list_sum(list_transform(
+                     list_zip(n.ncv, s.cv), p -> (p[1] - p[2]) * (p[1] - p[2])))),
+                     6) AS shift
+            FROM newc n JOIN seeds s USING (cluster)
+            JOIN sizes z USING (cluster)
+            ORDER BY cluster"""))
+
+  def all: Seq[Q] = Seq(m1, m2, m3, m5, m6, m7, m8, m9)
 }

@@ -9,6 +9,10 @@ import org.apache.spark.sql.expressions.Window
 case class MediaMeta(doc_id: Long, width: Int, height: Int, n_frames: Int,
     brightness: Double)
 
+/** One sampled frame of one media payload. */
+case class FrameSample(doc_id: Long, frame_idx: Int, byte_offset: Int,
+    brightness: Double)
+
 /** Composed pipelines mirroring the reference's three entry points
   * end-to-end (SURVEY.md §3), plus the multimodal-column plumbing. Each
   * pipeline chains the operator library the way the reference scripts
@@ -298,5 +302,53 @@ object PipelineQueries {
             FROM deduped WHERE rn = 1
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(pl1, pl2, mm1, pl3)
+  /** Multimodal frame sampling: one binary payload row explodes into
+    * up to 4 sampled "frames" (every 2nd 16-byte window — the stride-
+    * sampling a video pipeline does before feature extraction), each
+    * with a typed per-frame feature row. The decode is the same
+    * deterministic stub as mm1 (real codecs aren't in this container);
+    * the Spark shape is real: one decoder per partition, a streaming
+    * flatMap from payload to frame rows, typed output schema. At
+    * 100 TB the explode happens scan-locally — the shuffle (if any
+    * downstream) carries frame features, never payload bytes.
+    */
+  private val mm2 = Q(
+    "mm2_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val frameBytes = 16
+      val stride = 2 // sample every 2nd frame
+      val maxFrames = 4
+      val bin = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions { it =>
+        def at(bytes: Array[Byte], i: Int): Int =
+          if (i < bytes.length) bytes(i) & 0xff else 0
+        it.flatMap { case (id, bytes) =>
+          (0 until maxFrames).iterator
+            .map(f => (f, f * stride * frameBytes))
+            .takeWhile { case (_, off) => off < bytes.length }
+            .map { case (f, off) =>
+              val b = (0 until frameBytes)
+                .map(k => at(bytes, off + k).toDouble).sum /
+                frameBytes / 255.0
+              FrameSample(id, f, off, b)
+            }
+        }
+      }.toDF()
+        .withColumn("brightness", round(col("brightness"), 6))
+        .orderBy("doc_id", "frame_idx")
+    },
+    // same ASCII-byte replay as mm1: ascii() past the end reads 0
+    Some("""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                   CAST(f * 32 AS INT) AS byte_offset,
+                   round(list_sum(list_transform(range(1, 17),
+                       k -> CAST(ascii(substr(text, CAST(f*32+k AS INT), 1))
+                         AS DOUBLE))) / 16.0 / 255.0, 6) AS brightness
+            FROM documents, range(0, 4) t(f)
+            WHERE f * 32 < length(text)
+            ORDER BY doc_id, frame_idx"""))
+
+  def all: Seq[Q] = Seq(pl1, pl2, mm1, pl3, mm2)
 }

@@ -209,35 +209,69 @@ object WindowQueries {
                      l_quantity"""))
 
   /** W12 (beyond the reference): ntile quartile bucketing per group +
-    * per-bucket stats. Only the bucketed measure is aggregated, so
-    * position ties among identical values cannot change the result.
+    * per-bucket stats, rolled up per (nation-of-supplier-ish key,
+    * tile). Only the bucketed measure is aggregated, so position ties
+    * among identical values cannot change the result. The window
+    * partitions on l_suppkey (high cardinality) — an ntile over a
+    * 3-value key would funnel the whole table through 3 sort tasks,
+    * the classic low-cardinality-window scale trap.
     */
   private val w12 = Q(
     "w12_ntile_quartile",
     (s, dir) => {
-      val win = Window.partitionBy("l_returnflag")
+      val win = Window.partitionBy("l_suppkey")
         .orderBy("l_quantity", "l_orderkey", "l_linenumber",
           "l_extendedprice")
       Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 200) // partition-key filter: scan-level
         .withColumn("tile", ntile(4).over(win))
-        .groupBy("l_returnflag", "tile")
+        .groupBy("l_suppkey", "tile")
         .agg(count(lit(1)).as("n"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(min("l_quantity"), 4).as("min_qty"),
           round(max("l_quantity"), 4).as("max_qty"))
-        .orderBy("l_returnflag", "tile")
+        .orderBy("l_suppkey", "tile")
     },
-    Some("""SELECT l_returnflag, tile, count(*) AS n,
+    Some("""SELECT l_suppkey, tile, count(*) AS n,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(min(l_quantity), 4) AS min_qty,
                    round(max(l_quantity), 4) AS max_qty
             FROM (
-              SELECT l_returnflag, l_quantity,
-                ntile(4) OVER (PARTITION BY l_returnflag
+              SELECT l_suppkey, l_quantity,
+                ntile(4) OVER (PARTITION BY l_suppkey
                   ORDER BY l_quantity, l_orderkey, l_linenumber,
                            l_extendedprice) AS tile
-              FROM lineitem)
+              FROM lineitem WHERE l_suppkey <= 200)
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10, w11, w12)
+  /** W13 (beyond the reference): the rank-function family — rank,
+    * dense_rank, percent_rank, cume_dist — in one window pass. Ties on
+    * the order value share ranks identically in both engines, so the
+    * output is deterministic without a total order inside the frame.
+    */
+  private val w13 = Q(
+    "w13_rank_functions",
+    (s, dir) => {
+      val win = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("rk", rank().over(win))
+        .withColumn("drk", dense_rank().over(win))
+        .withColumn("prank", round(percent_rank().over(win), 6))
+        .withColumn("cdist", round(cume_dist().over(win), 6))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk", "drk",
+          "prank", "cdist")
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                   rank() OVER w AS rk,
+                   dense_rank() OVER w AS drk,
+                   round(percent_rank() OVER w, 6) AS prank,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM orders
+            WHERE o_custkey <= 100
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+            ORDER BY o_custkey, o_totalprice, o_orderkey"""))
+
+  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13)
 }
