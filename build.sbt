@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads sorting/joining concurrently thrash an 8g heap
+  // (GC pauses showed up as 3-6x per-query inflation in full bench
+  // runs); the bench host has 128 GiB — give the single-JVM "cluster"
+  // a production-shaped share.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
