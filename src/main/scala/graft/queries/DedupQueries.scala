@@ -404,23 +404,24 @@ object DedupQueries {
           transform(slice(col("ds"), i + lit(2), size(col("ds"))),
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b")).distinct()
-      val sets = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          val toks = text.split(" ").filter(_.nonEmpty)
-          val shs =
-            if (toks.length < 3) Seq.empty[String]
-            else toks.sliding(3).map(_.mkString(" ")).toSet.toSeq
-          DocSet(id, shs.size, shs)
-        })
-        .toDF()
-      val a = sets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
-        col("shs").as("shs_a"))
-      val b = sets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
-        col("shs").as("shs_b"))
-      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-        .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
+      // Exact verify via inverted-index pair counts (the same stats the
+      // oracle computes), inner-joined to the candidate set. Joining on
+      // (pair) keys carries only counts through the shuffle — no
+      // array-valued join sides. (Rejected: per-pair
+      // size(array_intersect(shs_a, shs_b)) over the doc shingle
+      // arrays — Catalyst fuses the jaccard filter into the broadcast
+      // join as a non-equi join CONDITION, where the interpreted
+      // intersect re-evaluates per probe; measured 5-115 s at sf0.1
+      // depending on AQE's build-side choice, vs a stable ~3 s here.)
+      val sa = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        col("sh"))
+      val sb = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("sh"))
+      val stats = sa.join(sb, Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+      cand.join(stats, Seq("doc_a", "doc_b"))
         .withColumn("jaccard", round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")), 4))
         .filter(col("jaccard") >= 0.5)
