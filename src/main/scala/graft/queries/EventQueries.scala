@@ -242,5 +242,44 @@ object EventQueries {
                    round(sum(value), 4) AS sum_value
             FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8)
+  /** Native session_window in BATCH mode — the engine-managed merge of
+    * events within a 30-min gap, cross-validated against an
+    * independent formulation: the oracle rebuilds sessions with the
+    * lag + running-sum construction (new session when gap ≥ 30 min,
+    * matching session_window's half-open [start, start+gap) merge
+    * rule). Two different algorithms, same answer — the strongest kind
+    * of oracle.
+    */
+  private val e9 = Q(
+    "e9_session_window_native",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH g AS (
+              SELECT user_id, value, epoch_us(ts) AS ts_us,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+            sess AS (
+              SELECT user_id, ts_us, value,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id, min(ts_us) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
 }

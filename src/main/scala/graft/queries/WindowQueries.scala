@@ -273,5 +273,34 @@ object WindowQueries {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
             ORDER BY o_custkey, o_totalprice, o_orderkey"""))
 
-  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13)
+  /** W14 (beyond the reference): first_value / last_value / nth_value
+    * over the full partition frame — the "group's first/last/second
+    * observation broadcast to every row" family (the reference's W4
+    * first-non-null is the ignoreNulls cousin).
+    */
+  private val w14 = Q(
+    "w14_first_last_nth",
+    (s, dir) => {
+      val full = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .withColumn("first_price", first("o_totalprice").over(full))
+        .withColumn("last_price", last("o_totalprice").over(full))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "first_price",
+          "last_price", "second_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   last_value(o_totalprice) OVER w AS last_price,
+                   nth_value(o_totalprice, 2) OVER w AS second_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14)
 }
