@@ -170,5 +170,64 @@ object TextQueries {
               WHERE word <> '' GROUP BY 1, 2)
             WHERE rk <= 5 ORDER BY lang, rk"""))
 
-  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5)
+  /** Bigram conditional-probability table — the n-gram LM statistic a
+    * corpus pipeline extracts: P(w2|w1) = c(w1 w2)/c(w1 ·) for the
+    * most frequent head words, top-3 successors each. Bigrams are
+    * emitted SCAN-LOCALLY in a mapPartitions pass (a posexplode +
+    * per-doc lead window would shuffle the exploded corpus — millions
+    * of token rows — on doc_id first); the only corpus-sized work is
+    * the map-side partial count, so shuffles carry the VOCABULARY.
+    */
+  private val t6 = Q(
+    "t6_bigram_lm",
+    (s, dir) => {
+      import s.implicits._
+      val bigrams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (_, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split(" ").filter(_.nonEmpty)
+          if (toks.length < 2) Iterator.empty
+          else toks.sliding(2).map(a => (a(0), a(1)))
+        })
+        .toDF("w1", "w2")
+      val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val wHead = Window.partitionBy("w1")
+      val wRank = Window.partitionBy("w1")
+        .orderBy(col("c12").desc, col("w2"))
+      counts
+        .withColumn("c1", sum("c12").over(wHead))
+        .withColumn("p", round(col("c12").cast("double") / col("c1"), 4))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3 && col("c1") >= 500)
+        .select("w1", "w2", "c12", "c1", "p", "rk")
+        .orderBy("w1", "rk")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, t.pos, t.w1 FROM documents,
+                LATERAL (SELECT unnest(list_filter(
+                  string_split(lower(text), ' '), x -> x <> '')) AS w1,
+                  generate_subscripts(list_filter(
+                    string_split(lower(text), ' '), x -> x <> ''), 1) AS pos)
+                  t),
+            bigrams AS (
+              SELECT w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos)
+                AS w2
+              FROM toks),
+            counts AS (
+              SELECT w1, w2, count(*) AS c12 FROM bigrams
+              WHERE w2 IS NOT NULL GROUP BY 1, 2),
+            ranked AS (
+              SELECT w1, w2, c12,
+                CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+                row_number() OVER (PARTITION BY w1
+                  ORDER BY c12 DESC, w2) AS rk
+              FROM counts)
+            SELECT w1, w2, c12, c1,
+                   round(c12 * 1.0 / c1, 4) AS p, rk
+            FROM ranked WHERE rk <= 3 AND c1 >= 500
+            ORDER BY w1, rk"""))
+
+  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6)
 }
