@@ -5,6 +5,7 @@ import graft.ops.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** One distinct shingle of one document (top-level for Encoders). */
 case class ShingleRow(doc_id: Long, nsh: Int, sh: String)
@@ -106,7 +107,12 @@ object DedupQueries {
   private val d2 = Q(
     "d3_ngram_jaccard",
     (s, dir) => {
-      val ex = shingled(s, dir)
+      // The exploded index feeds BOTH join sides; without persist the
+      // mapPartitions shingle scan executes once per side. Cached
+      // partitions are dropped by the ContextCleaner once the plan is
+      // unreachable, so per-query persists don't accumulate across a
+      // bench run.
+      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
       val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("sh"))
       a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
@@ -175,7 +181,10 @@ object DedupQueries {
   private val d3 = Q(
     "d4_minhash_lsh",
     (s, dir) => {
-      val sigs = minhashSigs(s, dir)
+      // sigs feeds the band view (self-joined: 2 uses) plus the two
+      // exact-verify sides — 4 evaluations of the signature scan
+      // without the persist.
+      val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band_idx"),
@@ -304,57 +313,37 @@ object DedupQueries {
              ORDER BY 1, 2"""))
 
   /** Embedding-cosine near-dup: brute-force pairwise cosine over the
-    * embeddings table (double-cast, zip_with dot product), pairs above
-    * threshold. The brute-force O(n²) baseline — the LSH-bucketed scale
-    * path lives in SimilarityQueries.
+    * embeddings table, pairs above threshold. The brute-force O(n²)
+    * baseline — the LSH-bucketed scale path lives in SimilarityQueries.
     */
   private val d5 = Q(
     "d6_embedding_neardup",
     (s, dir) => {
-      import s.implicits._
-      // Broadcast brute-force: the normalized matrix is tiny relative
-      // to the O(n²) pair space, so it is collected once, broadcast to
-      // every task, and each task scans its slice of row indices
-      // against the rows above it in a tight JVM loop — 128M flops at
-      // sf0.1, no shuffle, no pair materialization. (Two rejected
-      // designs, both measured: zip_with/aggregate lambdas are
-      // interpreted per pair (~36 s); unrolling dim=64 into scalar Add
-      // chains stalls Catalyst constraint inference for minutes. At
-      // 100 TB this becomes block-tiled: broadcast one tile at a time.)
-      val arr = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .collect()
-        .sortBy(_._1)
-      val ids = arr.map(_._1)
-      val vs = arr.map(_._2.map(_.toDouble))
-      val nrms = vs.map { v =>
-        var acc = 0.0; var k = 0
-        while (k < v.length) { acc += v(k) * v(k); k += 1 }
-        math.sqrt(acc)
-      }
-      val n = ids.length
-      val bc = s.sparkContext.broadcast((ids, vs, nrms))
-      s.range(0, n).as[Long]
-        .mapPartitions { it =>
-          val (ids, vs, nrms) = bc.value
-          it.flatMap { ai =>
-            val a = ai.toInt
-            val va = vs(a)
-            (a + 1 until vs.length).iterator.flatMap { b =>
-              val vb = vs(b)
-              var dot = 0.0; var k = 0
-              while (k < va.length) { dot += va(k) * vb(k); k += 1 }
-              val c = dot / (nrms(a) * nrms(b))
-              // margin pre-filter; the exact round+threshold happens in
-              // SQL below so rounding matches the oracle's round()
-              if (c >= 0.4499) Iterator.single((ids(a), ids(b), c))
-              else Iterator.empty
-            }
-          }
-        }
-        .toDF("vec_a", "vec_b", "cosine_raw")
-        .withColumn("cosine", round(col("cosine_raw"), 4))
+      // Distributed block join: the normalized corpus joins itself
+      // under only the vec_a < vec_b condition, so the planner picks
+      // BroadcastNestedLoopJoin while one side fits the broadcast
+      // threshold and degrades to CartesianProduct (each task = one
+      // pair of partition blocks — exactly the tiled-broadcast shape)
+      // beyond it. No driver-side collect anywhere: driver memory is
+      // O(1) in corpus size, unlike a collect+broadcast which OOMs the
+      // driver long before the executors are busy. The dot product is
+      // the codegen'd native graft_dot — the join condition and
+      // projection both stay compiled. (Rejected, both measured:
+      // zip_with/aggregate lambdas are interpreted per pair (~36 s);
+      // unrolling dim=64 into scalar Add chains stalls Catalyst
+      // constraint inference for minutes.)
+      def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("nrm_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nrm_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cosine",
+          round(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 4))
         .filter(col("cosine") >= 0.45)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
@@ -395,15 +384,19 @@ object DedupQueries {
       // lambdas are interpreted but run over ≤10-element arrays, one
       // row per rare shingle. The DF cap bounds the quadratic fanout:
       // a hot shingle contributes nothing instead of df² pairs.
-      val ex = shingled(s, dir)
+      // ex feeds the postings aggregation AND the two verify sides —
+      // persist so the shingle scan runs once, not three times.
+      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val postings = ex.groupBy("sh")
         .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 10))
+      // cand is consumed twice (candidate-doc keyset + final join).
       val cand = postings
         .select(explode(flatten(transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds"))),
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // Exact verify via inverted-index pair counts (the same stats the
       // oracle computes), inner-joined to the candidate set. Joining on
       // (pair) keys carries only counts through the shuffle — no
@@ -413,9 +406,21 @@ object DedupQueries {
       // join as a non-equi join CONDITION, where the interpreted
       // intersect re-evaluates per probe; measured 5-115 s at sf0.1
       // depending on AQE's build-side choice, vs a stable ~3 s here.)
-      val sa = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+      //
+      // CRITICAL for the DF cap to mean anything: the pair count runs
+      // over CANDIDATE DOCUMENTS' shingles only. Left-semi-joining both
+      // sides to the (tiny, broadcast) candidate doc_id set first means
+      // a hot shingle contributes pairs only among candidate docs —
+      // without it the verify self-join re-pays the full df² fanout the
+      // cap exists to bound (one shingle in k docs = k² shuffle rows on
+      // an adversarial corpus).
+      val candDocs = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val exCand = ex.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val sa = exCand.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
         col("sh"))
-      val sb = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+      val sb = exCand.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
         col("sh"))
       val stats = sa.join(sb, Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
@@ -461,7 +466,9 @@ object DedupQueries {
   private val d8 = Q(
     "d8_minhash_est",
     (s, dir) => {
-      val sigs = minhashSigs(s, dir)
+      // 4 uses of the signature scan (band self-join + both verify
+      // sides) — persist, as in d4.
+      val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band_idx"),
