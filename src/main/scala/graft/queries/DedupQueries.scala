@@ -10,8 +10,8 @@ import org.apache.spark.storage.StorageLevel
 /** One distinct shingle of one document (top-level for Encoders). */
 case class ShingleRow(doc_id: Long, nsh: Int, sh: String)
 
-/** Per-document MinHash signature + shingle set (one scan pass). */
-case class DocSig(doc_id: Long, nsh: Int, shs: Seq[String],
+/** Per-document MinHash signature (one scan pass; narrow — no arrays). */
+case class DocSig(doc_id: Long, nsh: Int,
     mh0: String, mh1: String, mh2: String, mh3: String,
     mh4: String, mh5: String, mh6: String, mh7: String)
 
@@ -108,10 +108,11 @@ object DedupQueries {
     "d3_ngram_jaccard",
     (s, dir) => {
       // The exploded index feeds BOTH join sides; without persist the
-      // mapPartitions shingle scan executes once per side. Cached
-      // partitions are dropped by the ContextCleaner once the plan is
-      // unreachable, so per-query persists don't accumulate across a
-      // bench run.
+      // mapPartitions shingle scan executes once per side. NOTE: persist
+      // registers with the session CacheManager, which holds the entry
+      // until an explicit unpersist/clearCache — Bench/Verify clear the
+      // cache after each query's action so per-query persists can't
+      // accumulate across a run.
       val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
       val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("sh"))
@@ -170,7 +171,7 @@ object DedupQueries {
                 i += 1
               }
             }
-            Iterator.single(DocSig(id, shs.size, shs.toSeq,
+            Iterator.single(DocSig(id, shs.size,
               mhs(0), mhs(1), mhs(2), mhs(3),
               mhs(4), mhs(5), mhs(6), mhs(7)))
           }
@@ -178,12 +179,33 @@ object DedupQueries {
       }.toDF()
   }
 
+  /** Per-document DISTINCT shingle SET (cheap string pass, no hashing) —
+    * used by the exact-verify stages, which semi-join it down to the
+    * candidate docs before persisting, so the cached footprint is
+    * proportional to |candidates|, never to the corpus.
+    */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        if (toks.length < 3) Iterator.empty
+        else {
+          val shs = toks.sliding(3).map(_.mkString(" ")).toSet
+          Iterator.single(DocSet(id, shs.size, shs.toSeq))
+        }
+      })
+      .toDF()
+  }
+
   private val d3 = Q(
     "d4_minhash_lsh",
     (s, dir) => {
-      // sigs feeds the band view (self-joined: 2 uses) plus the two
-      // exact-verify sides — 4 evaluations of the signature scan
-      // without the persist.
+      // The signature scan feeds the band view (self-joined: 2 uses) —
+      // persist the narrow rows (doc_id, nsh, 8 fixed-width hashes, no
+      // arrays) so the minhash compute runs once.
       val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(j =>
@@ -191,17 +213,28 @@ object DedupQueries {
             md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
               .as("band_key"))): _*)).as("b"))
         .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+      // cand feeds the candidate-doc keyset AND the final join.
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
             col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // Exact verify on candidates only: join the (tiny) candidate set
-      // against the per-doc shingle arrays and intersect in place.
-      val a = sigs.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val candDocs = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      // Exact verify on candidates only: re-derive shingle SETS (cheap
+      // string pass, no hashing) for candidate docs alone, then
+      // intersect in place. The persisted view is row-filtered to the
+      // candidate set — cache footprint stays O(|candidates|) at any
+      // corpus scale, never corpus-wide shingle arrays.
+      val candSets = shingleSets(s, dir)
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val a = candSets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
         col("shs").as("shs_a"))
-      val b = sigs.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+      val b = candSets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
         col("shs").as("shs_b"))
       cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
         .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
@@ -333,10 +366,13 @@ object DedupQueries {
       // unrolling dim=64 into scalar Add chains stalls Catalyst
       // constraint inference for minutes.)
       def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+      // e feeds both join sides; persist so the scan + interpreted
+      // per-element cast + norm run once (small: vec_id + 64 doubles).
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("nrm_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -417,7 +453,11 @@ object DedupQueries {
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
-      val exCand = ex.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      // No explicit broadcast hint: on an adversarial corpus the
+      // candidate set can approach the full corpus, and an unconditional
+      // broadcast of billions of ids would OOM; AQE sees the runtime
+      // size of candDocs and picks broadcast when it is actually small.
+      val exCand = ex.join(candDocs, Seq("doc_id"), "left_semi")
       val sa = exCand.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
         col("sh"))
       val sb = exCand.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
@@ -466,8 +506,9 @@ object DedupQueries {
   private val d8 = Q(
     "d8_minhash_est",
     (s, dir) => {
-      // 4 uses of the signature scan (band self-join + both verify
-      // sides) — persist, as in d4.
+      // Narrow signature persist (4 uses: band self-join + both est
+      // sides); shingle arrays are re-derived for candidate docs only,
+      // as in d4 — the cache never holds corpus-wide arrays.
       val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(j =>
@@ -481,17 +522,27 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val candDocs = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val candSets = shingleSets(s, dir)
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val aCols = sigs.select(
-        col("doc_id").as("doc_a") +: col("nsh").as("na") +:
-          col("shs").as("shs_a") +:
+        col("doc_id").as("doc_a") +:
           (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
       val bCols = sigs.select(
-        col("doc_id").as("doc_b") +: col("nsh").as("nb") +:
-          col("shs").as("shs_b") +:
+        col("doc_id").as("doc_b") +:
           (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val aSet = candSets.select(col("doc_id").as("doc_a"),
+        col("nsh").as("na"), col("shs").as("shs_a"))
+      val bSet = candSets.select(col("doc_id").as("doc_b"),
+        col("nsh").as("nb"), col("shs").as("shs_b"))
       val nEq = (0 until 8).map(i =>
         when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
       cand.join(aCols, Seq("doc_a")).join(bCols, Seq("doc_b"))
+        .join(aSet, Seq("doc_a")).join(bSet, Seq("doc_b"))
         .withColumn("est_j", round(nEq.cast("double") / 8.0, 4))
         .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
         .withColumn("exact_j", round(col("shared").cast("double")
