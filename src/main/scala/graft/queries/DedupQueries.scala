@@ -400,13 +400,16 @@ object DedupQueries {
                 s -> s[1] * s[2])) / (a.nrm * b.nrm), 4) >= 0.45
             ORDER BY 1, 2"""))
 
-  /** DF-capped Jaccard: the inverted-index join restricted to RARE
-    * shingles (document frequency ≤ 10) for candidate generation —
-    * the standard stop-shingle mitigation that bounds the per-shingle
-    * join fanout at adversarial corpus scale (a shingle in k docs
-    * costs k² pair rows). Candidates are then verified EXACTLY against
-    * the full shingle sets, so reported Jaccards are unchanged; only
-    * pairs whose overlap is exclusively hot shingles can be missed.
+  /** DF-capped Jaccard: candidate pairs must share ≥3 RARE shingles
+    * (document frequency ≤ 10) — DF cap plus min-support, the standard
+    * stop-shingle mitigation that bounds the per-shingle join fanout at
+    * adversarial corpus scale (a shingle in k docs costs k² pair rows),
+    * while min-support keeps the candidate set near-dup-sized instead
+    * of coincidence-sized (measured sf0.1: 435,954 pairs share ≥1 rare
+    * shingle, 894 share ≥3; true near-dups share ~99). Candidates are
+    * then verified EXACTLY against the full shingle sets, so reported
+    * Jaccards are unchanged; only pairs with <3 rare shared shingles
+    * can be missed.
     */
   private val d7 = Q(
     "d7_jaccard_dfcap",
@@ -420,36 +423,36 @@ object DedupQueries {
       // lambdas are interpreted but run over ≤10-element arrays, one
       // row per rare shingle. The DF cap bounds the quadratic fanout:
       // a hot shingle contributes nothing instead of df² pairs.
-      // ex feeds the postings aggregation AND the two verify sides —
-      // persist so the shingle scan runs once, not three times.
-      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // ex feeds only the postings aggregation (verify re-derives
+      // candidate shingle sets separately) — single use, no persist.
+      val ex = shingled(s, dir)
       val postings = ex.groupBy("sh")
         .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 10))
       // cand is consumed twice (candidate-doc keyset + final join).
+      // Min-support: a pair qualifies only with >= 3 shared rare
+      // shingles — one aggregate over the emitted pairs replaces
+      // distinct() and shrinks the verify input ~500x.
       val cand = postings
         .select(explode(flatten(transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds"))),
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_rare"))
+        .filter(col("n_rare") >= 3)
+        .select("doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // Exact verify via inverted-index pair counts (the same stats the
-      // oracle computes), inner-joined to the candidate set. Joining on
-      // (pair) keys carries only counts through the shuffle — no
-      // array-valued join sides. (Rejected: per-pair
-      // size(array_intersect(shs_a, shs_b)) over the doc shingle
-      // arrays — Catalyst fuses the jaccard filter into the broadcast
-      // join as a non-equi join CONDITION, where the interpreted
-      // intersect re-evaluates per probe; measured 5-115 s at sf0.1
-      // depending on AQE's build-side choice, vs a stable ~3 s here.)
-      //
-      // CRITICAL for the DF cap to mean anything: the pair count runs
-      // over CANDIDATE DOCUMENTS' shingles only. Left-semi-joining both
-      // sides to the (tiny, broadcast) candidate doc_id set first means
-      // a hot shingle contributes pairs only among candidate docs —
-      // without it the verify self-join re-pays the full df² fanout the
-      // cap exists to bound (one shingle in k docs = k² shuffle rows on
-      // an adversarial corpus).
+      // Exact verify restricted to CANDIDATE DOCUMENTS' shingles only —
+      // this is what makes the DF cap mean something: a hot shingle
+      // contributes pairs only among candidate docs, never the full df²
+      // fanout the cap exists to bound. Shingle sets are re-derived for
+      // the (tiny) candidate set via the cheap no-hash scan and
+      // intersected in place, the same verify shape d4 uses — stable
+      // because both join sides are candidate-sized, so even when
+      // Catalyst fuses the jaccard filter into the join it evaluates
+      // over ~|candidates| probes, not the corpus. (The r3-r4 shape —
+      // inverted-index pair counts semi-joined to candidates — re-paid
+      // a full-index shuffle per run; measured 4.8 s vs ~2 s here.)
       val candDocs = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
@@ -457,16 +460,15 @@ object DedupQueries {
       // candidate set can approach the full corpus, and an unconditional
       // broadcast of billions of ids would OOM; AQE sees the runtime
       // size of candDocs and picks broadcast when it is actually small.
-      val exCand = ex.join(candDocs, Seq("doc_id"), "left_semi")
-      val sa = exCand.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
-        col("sh"))
-      val sb = exCand.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
-        col("sh"))
-      val stats = sa.join(sb, Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(count(lit(1)).as("shared"))
-      cand.join(stats, Seq("doc_a", "doc_b"))
+      val candSets = shingleSets(s, dir)
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val a = candSets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        col("shs").as("shs_a"))
+      val b = candSets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("shs").as("shs_b"))
+      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
         .withColumn("jaccard", round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")), 4))
         .filter(col("jaccard") >= 0.5)
@@ -480,10 +482,11 @@ object DedupQueries {
              rare AS (
                SELECT sh FROM ex GROUP BY 1 HAVING count(*) <= 10),
              cand AS (
-               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM (SELECT doc_id, sh FROM ex SEMI JOIN rare USING (sh)) a
                JOIN (SELECT doc_id, sh FROM ex SEMI JOIN rare USING (sh)) b
-                 ON a.sh = b.sh AND a.doc_id < b.doc_id),
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 3),
              stats AS (
                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       a.nsh AS na, b.nsh AS nb, count(*) AS shared
