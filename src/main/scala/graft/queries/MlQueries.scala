@@ -149,12 +149,12 @@ object MlQueries {
           }
         }
         .toDF()
-        .withColumn("sir_confirmed", round(col("sir_confirmed"), 6))
-        .withColumn("sir_removed", round(col("sir_removed"), 6))
-        .withColumn("sir_susceptible", round(col("sir_susceptible"), 6))
+        // no round(): both engines replay the identical IEEE-double RK4
+        // fold, so raw values match bit-for-bit (w5-w7 lesson; rounding
+        // reintroduces .xxx5 half-way disagreements).
         .orderBy("l_suppkey", "rn")
     },
-    None) // RK4 is covered by IntegratorsSpec; driver records rows-only
+    Some(MlOracles.m3Rk4Sql))
 
   /** M5 substitution — per-group AR(1) forecaster: fit
     * y_t = a + b*y_{t-1} by closed-form OLS on all but the last 5
