@@ -50,6 +50,62 @@ object MlQueries {
     },
     None) // IRLS is not SQL-expressible; driver records rows-only
 
+  /** M1b — one IRLS iteration of the Poisson GLM (log link), closed
+    * form, per l_returnflag group: cold start mu0 = y + 0.5 (the
+    * classic GLM initializer), working weights w = mu0, working
+    * response z = ln(mu0) + (y − mu0)/mu0, then one weighted least
+    * squares of z on (1, l_discount) via sum-aggregates. This is the
+    * hash-checkable step of the IRLS path whose converged fixed point
+    * m1 computes through MLlib; every quantity is a distributed
+    * map-side-combined aggregate.
+    * Ref: covid_simulator.py:60-94 (GLM protocol).
+    */
+  private val m1b = Q(
+    "m1b_poisson_irls1",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity")).as("y"), col("l_discount").as("x"))
+        .withColumn("mu", col("y") + lit(0.5))
+        .withColumn("w", col("mu"))
+        .withColumn("z", log(col("mu")) + (col("y") - col("mu")) / col("mu"))
+      d.groupBy("l_returnflag")
+        .agg(sum("w").as("sw"),
+          sum(col("w") * col("x")).as("swx"),
+          sum(col("w") * col("z")).as("swz"),
+          sum(col("w") * col("x") * col("z")).as("swxz"),
+          sum(col("w") * col("x") * col("x")).as("swxx"))
+        .withColumn("slope",
+          round((col("swxz") - col("swx") * col("swz") / col("sw"))
+            / (col("swxx") - col("swx") * col("swx") / col("sw")), 4))
+        .withColumn("intercept",
+          round(col("swz") / col("sw")
+            - (col("swxz") - col("swx") * col("swz") / col("sw"))
+              / (col("swxx") - col("swx") * col("swx") / col("sw"))
+              * col("swx") / col("sw"), 4))
+        .select("l_returnflag", "slope", "intercept")
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH d AS (
+              SELECT l_returnflag, round(l_quantity) AS y, l_discount AS x,
+                     round(l_quantity) + CAST(0.5 AS DOUBLE) AS mu
+              FROM lineitem),
+            z AS (
+              SELECT l_returnflag, x, mu AS w,
+                     ln(mu) + (y - mu) / mu AS z
+              FROM d),
+            a AS (
+              SELECT l_returnflag, sum(w) AS sw, sum(w*x) AS swx,
+                     sum(w*z) AS swz, sum(w*x*z) AS swxz,
+                     sum(w*x*x) AS swxx
+              FROM z GROUP BY 1)
+            SELECT l_returnflag,
+                   round((swxz - swx*swz/sw) / (swxx - swx*swx/sw), 4)
+                     AS slope,
+                   round(swz/sw - (swxz - swx*swz/sw)
+                     / (swxx - swx*swx/sw) * swx/sw, 4) AS intercept
+            FROM a ORDER BY l_returnflag"""))
+
   /** M2 mixed-effects approximation: pooled OLS slope/intercept
     * (fixed effects) + per-group empirical-Bayes-shrunk deviations
     * (ridge toward the pooled slope, lambda=30) — the same per-state
@@ -381,5 +437,5 @@ object MlQueries {
             JOIN sizes z USING (cluster)
             ORDER BY cluster"""))
 
-  def all: Seq[Q] = Seq(m1, m2, m3, m5, m6, m7, m8, m9)
+  def all: Seq[Q] = Seq(m1, m1b, m2, m3, m5, m6, m7, m8, m9)
 }
