@@ -437,5 +437,37 @@ object MlQueries {
             JOIN sizes z USING (cluster)
             ORDER BY cluster"""))
 
-  def all: Seq[Q] = Seq(m1, m1b, m2, m3, m5, m6, m7, m8, m9)
+  /** M10 (beyond the reference): k-means run to (fixed-budget)
+    * convergence — a driver loop over [[KMeansOps]] Lloyd steps, seeds
+    * = vec_id < 4, emitting per-iteration cluster sizes and centroid
+    * shift (the shift column IS the convergence trace: it decays
+    * monotonically). The per-iteration centroid collect is bounded by
+    * k·dim, never corpus size; each assignment pass is scan-local
+    * against literal centroids. Oracle: the same four iterations
+    * unrolled as a chained CTE pipeline.
+    */
+  private val m10 = Q(
+    "m10_kmeans_converge",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.storage.StorageLevel
+      val e = KMeansOps.loadV(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val its =
+        try KMeansOps.lloyd(e, KMeansOps.iters)
+        finally e.unpersist()
+      its.flatMap { li =>
+        li.cent.map { case (cl, _) =>
+          (li.iter, cl, li.sizes.getOrElse(cl, 0L), li.shifts(cl))
+        }
+      }.toDF("iter", "cluster", "n_members", "shift")
+        .withColumn("shift", round(col("shift"), 6))
+        .orderBy("iter", "cluster")
+    },
+    Some(KMeansOps.duckCtes(KMeansOps.iters) + s"""
+         |SELECT iter, cluster, n_members, shift FROM (
+         |  ${(1 to KMeansOps.iters).map(i => s"SELECT * FROM s$i")
+             .mkString(" UNION ALL ")})
+         |ORDER BY iter, cluster""".stripMargin))
+
+  def all: Seq[Q] = Seq(m1, m1b, m2, m3, m5, m6, m7, m8, m9, m10)
 }

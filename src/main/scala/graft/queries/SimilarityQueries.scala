@@ -322,5 +322,62 @@ object SimilarityQueries {
              SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
              WHERE rank <= 3 ORDER BY query_id, rank"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4)
+  /** IVF over CONVERGED k-means cells: the cell list is the centroid
+    * set after [[KMeansOps.iters]] Lloyd iterations (not the per-label
+    * stand-in of s3). Each vector's cell is its argmin-L2 centroid, so
+    * a query's probe cell is simply its own assignment; the exact
+    * cosine search then stays inside that cell. At scale: centroids are
+    * k·dim literals (broadcast-free scan-local assignment), the corpus
+    * shuffles once on the cell key.
+    */
+  private val s5 = Q(
+    "s5_ivf_kmeans",
+    (s, dir) => {
+      val cent = KMeansOps.centroids(s, dir, KMeansOps.iters)
+      val e = corpus(s, dir).withColumn("cell", KMeansOps.assignExpr(cent))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q).join(e, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .select(col("query_id"), col("cell"),
+          col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(KMeansOps.duckCtes(KMeansOps.iters) + s""",
+         |n AS (
+         |  SELECT vec_id, v, $duckNorm AS nrm FROM e),
+         |af AS (
+         |  SELECT vec_id, v, nrm, cluster AS cell FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cluster,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_sum(list_transform(n.v, x -> x * x))
+         |        - 2 * list_sum(list_transform(list_zip(n.v, c.cv),
+         |            p -> p[1] * p[2]))
+         |        + list_sum(list_transform(c.cv, x -> x * x)),
+         |        c.cluster) AS rn
+         |    FROM n CROSS JOIN c${KMeansOps.iters} c) t WHERE rn = 1),
+         |qry AS (
+         |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell FROM af
+         |  WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qry.query_id, qry.cell, a.vec_id AS neighbor_id,
+         |         round(${duckDot.format("qry.qv", "a.v")}
+         |           / (qry.qn * a.nrm), 4) AS cosine
+         |  FROM qry JOIN af a USING (cell) WHERE a.vec_id <> qry.query_id),
+         |ranked AS (
+         |  SELECT query_id, cell, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5)
 }
