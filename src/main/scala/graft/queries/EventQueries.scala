@@ -281,5 +281,50 @@ object EventQueries {
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming batch-equivalence (X24 promoted into the verified
+    * surface): the events parquet is replayed through Structured
+    * Streaming — `readStream` → the SAME tumbling-window aggregation
+    * the batch e1 query uses ([[graft.streaming.EventStreams
+    * .tumblingCounts]]) → memory sink, AvailableNow trigger (process
+    * everything, then stop). The returned DataFrame is the sink table,
+    * and the DuckDB oracle is e1's batch SQL — so the driver
+    * hash-proves that the incremental execution produces exactly the
+    * batch answer. Complete output mode because the memory sink must
+    * hold the final aggregate state.
+    */
+  private val e10 = Q(
+    "e10_stream_batch_equiv",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      // file-source streams need an explicit schema and take a
+      // directory; glob-select the events table, then apply the same
+      // exact nanos->micros normalization as Tables.load
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // unique sink name per invocation: Bench re-runs each query in
+      // one session and memory sinks are per-query-name
+      val name = s"stream_equiv_${streamRun.incrementAndGet()}"
+      val q = graft.streaming.EventStreams.tumblingCounts(stream)
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("event_type"),
+          col("window_start").as("hour_window"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("event_type", "hour_window")
+    },
+    Some("""SELECT event_type, date_trunc('hour', ts) AS hour_window,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
 }
