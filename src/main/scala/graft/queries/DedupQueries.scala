@@ -200,79 +200,89 @@ object DedupQueries {
       .toDF()
   }
 
+  /** LSH-verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
+    * the d4 plan body, shared with the cluster query d9: signatures →
+    * band self-join candidates → exact verify restricted to candidate
+    * documents' shingle sets.
+    */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band_idx"),
+          md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
+            .as("band_key"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+    // cand feeds the candidate-doc keyset AND the final join.
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    // Exact verify on candidates only: re-derive shingle SETS (cheap
+    // string pass, no hashing) for candidate docs alone, then
+    // intersect in place. The persisted view is row-filtered to the
+    // candidate set — cache footprint stays O(|candidates|) at any
+    // corpus scale, never corpus-wide shingle arrays.
+    val candSets = shingleSets(s, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = candSets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+      col("shs").as("shs_a"))
+    val b = candSets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+      col("shs").as("shs_b"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", round(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The shared CTE chain of the d4/d9 oracles: shingle sets → minhash
+    * signatures → LSH bands → candidates → exact-verified pairs.
+    */
+  private val duckLshPairCtes =
+    s"""sets AS (
+       |  SELECT doc_id, $duckShingles AS shs FROM documents),
+       |ex AS (
+       |  SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(i =>
+            s"min(md5(sh || '|$i')) AS mh$i").mkString(", ")}
+       |  FROM ex GROUP BY 1),
+       |bands AS (
+       |  ${(0 until 4).map(j =>
+            s"SELECT doc_id, $j AS band_idx, md5(mh${2 * j} || mh${2 * j + 1}) AS band_key FROM sigs")
+            .mkString(" UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id),
+       |stats AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.nsh AS na, b.nsh AS nb, count(*) AS shared
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+       |  FROM cand c JOIN stats st
+       |    ON c.doc_a = st.doc_a AND c.doc_b = st.doc_b
+       |  WHERE round(shared * 1.0 / (na + nb - shared), 4) >= 0.5)""".stripMargin
+
   private val d3 = Q(
     "d4_minhash_lsh",
-    (s, dir) => {
-      // The signature scan feeds the band view (self-joined: 2 uses) —
-      // persist the narrow rows (doc_id, nsh, 8 fixed-width hashes, no
-      // arrays) so the minhash compute runs once.
-      val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val bands = sigs.select(col("doc_id"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band_idx"),
-            md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
-              .as("band_key"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
-      // cand feeds the candidate-doc keyset AND the final join.
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val candDocs = cand
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct()
-      // Exact verify on candidates only: re-derive shingle SETS (cheap
-      // string pass, no hashing) for candidate docs alone, then
-      // intersect in place. The persisted view is row-filtered to the
-      // candidate set — cache footprint stays O(|candidates|) at any
-      // corpus scale, never corpus-wide shingle arrays.
-      val candSets = shingleSets(s, dir)
-        .join(candDocs, Seq("doc_id"), "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val a = candSets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
-        col("shs").as("shs_a"))
-      val b = candSets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
-        col("shs").as("shs_b"))
-      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-        .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
-        .withColumn("jaccard", round(col("shared").cast("double")
-          / (col("na") + col("nb") - col("shared")), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(s"""WITH sets AS (
-               SELECT doc_id, $duckShingles AS shs FROM documents),
-             ex AS (
-               SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
-             sigs AS (
-               SELECT doc_id,
-                 ${(0 until 8).map(i =>
-                   s"min(md5(sh || '|$i')) AS mh$i").mkString(", ")}
-               FROM ex GROUP BY 1),
-             bands AS (
-               ${(0 until 4).map(j =>
-                 s"SELECT doc_id, $j AS band_idx, md5(mh${2 * j} || mh${2 * j + 1}) AS band_key FROM sigs")
-                 .mkString(" UNION ALL ")}),
-             cand AS (
-               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM bands x JOIN bands y
-                 ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-                AND x.doc_id < y.doc_id),
-             stats AS (
-               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      a.nsh AS na, b.nsh AS nb, count(*) AS shared
-               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-               GROUP BY 1, 2, 3, 4)
-             SELECT c.doc_a, c.doc_b,
-                    round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
-             FROM cand c JOIN stats st
-               ON c.doc_a = st.doc_a AND c.doc_b = st.doc_b
-             WHERE round(shared * 1.0 / (na + nb - shared), 4) >= 0.5
-             ORDER BY 1, 2"""))
+    (s, dir) => lshVerifiedPairs(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $duckLshPairCtes
+             SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY 1, 2"""))
 
   /** SimHash: 16-bit signature from per-shingle md5 hex digits — bit k
     * is the sign of Σ±1 over shingles (digit k ≥ 8 → +1). Pairs with
@@ -594,5 +604,81 @@ object DedupQueries {
                ON e.doc_a = st.doc_a AND e.doc_b = st.doc_b
              ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8)
+  /** Dedup CLUSTERS: connected components over the LSH-verified
+    * near-dup pairs — the step that turns pairwise matches into
+    * dedup groups (pick one survivor per component, not per pair; a
+    * pair list alone double-counts chains A~B~C). Spark side: iterative
+    * min-label propagation over the symmetric edge list, a driver loop
+    * of join+groupBy rounds run to FIXPOINT (the per-round aggregate
+    * Σlabels is strictly decreasing until convergence, so the loop
+    * terminates in ≤ diameter rounds; near-dup components are tiny
+    * cliques/chains, so 2-3 rounds in practice). At 100 TB each round
+    * is one equi-join shuffle on doc_id — the standard DataFrame CC;
+    * for adversarially deep graphs the large-star/small-star variant
+    * halves rounds to O(log d), noted here as the escalation path.
+    * Oracle: DuckDB recursive CTE computing min reachable doc_id.
+    */
+  private val d9 = Q(
+    "d9_dedup_clusters",
+    (s, dir) => {
+      val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+      // localCheckpoint (eager) truncates the logical plan to the
+      // materialized RDD: without it every round re-ANALYZES the whole
+      // minhash/verify lineage plus one more join layer, and Catalyst
+      // planning (seconds per round on the deep tree) dwarfs the
+      // execution of the tiny cached data (measured: 1-2.5 s/round
+      // planning vs ~50 ms execution at sf0.1).
+      val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id"))
+        .localCheckpoint()
+      def lblSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
+      var prevSum = lblSum(labels)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(min("lbl").as("nlbl"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val curSum = lblSum(next)
+        labels = next
+        converged = curSum == prevSum
+        prevSum = curSum
+        rounds += 1
+      }
+      val sizes = labels.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"))
+      labels.select(col("doc_id"), col("lbl").as("cluster"))
+        .join(sizes, Seq("cluster"))
+        .select("doc_id", "cluster", "n_docs")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $duckLshPairCtes,
+             edges AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL
+               SELECT doc_b, doc_a FROM pairs),
+             reach(src, dst) AS (
+               SELECT DISTINCT src, src FROM edges
+               UNION
+               SELECT r.src, e.dst FROM reach r
+               JOIN edges e ON r.dst = e.src),
+             comp AS (
+               SELECT src AS doc_id, min(dst) AS cluster
+               FROM reach GROUP BY 1),
+             sizes AS (
+               SELECT cluster, count(*) AS n_docs FROM comp GROUP BY 1)
+             SELECT doc_id, cluster, n_docs
+             FROM comp JOIN sizes USING (cluster)
+             ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9)
 }

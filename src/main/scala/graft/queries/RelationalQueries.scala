@@ -203,5 +203,57 @@ object RelationalQueries {
             WHERE substr(md5(text), 1, 1) IN ('0', '1')
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10)
+  /** P11 (beyond the reference): stratified deterministic sampling —
+    * the data-mixing step of a training pipeline: each source stratum
+    * keeps a different fraction (1, 1/2, 1/4, 1/8), selected by
+    * comparing a 2-hex-digit md5 prefix against a per-stratum
+    * threshold (fixed-width lowercase hex compares lexicographically
+    * in numeric order, so the thresholds are plain string literals in
+    * both engines). Like p10 the keep-predicate is a codegen'd scan
+    * filter — stable across engines, runs, and partitionings, with no
+    * shuffle before the per-source rollup.
+    */
+  private val p11 = Q(
+    "p11_stratified_sample",
+    (s, dir) => {
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val thr = when(srcNum < 5, lit("zz"))       // keep all
+        .when(srcNum < 10, lit("80"))             // keep 1/2
+        .when(srcNum < 15, lit("40"))             // keep 1/4
+        .otherwise(lit("20"))                     // keep 1/8
+      Tables.load(s, dir, "documents")
+        .withColumn("kept",
+          (substring(md5(col("text")), 1, 2) < thr).cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum("kept").as("n_kept"),
+          round(sum("kept").cast("double") / count(lit(1)), 4)
+            .as("kept_frac"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+              SELECT source,
+                CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 5
+                       THEN 'zz'
+                     WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 10
+                       THEN '80'
+                     WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 15
+                       THEN '40'
+                     ELSE '20' END AS thr,
+                CASE WHEN substr(md5(text), 1, 2) <
+                  CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 5
+                         THEN 'zz'
+                       WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 10
+                         THEN '80'
+                       WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 15
+                         THEN '40'
+                       ELSE '20' END
+                  THEN 1 ELSE 0 END AS kept
+              FROM documents)
+            SELECT source, count(*) AS n_total,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   round(sum(kept) * 1.0 / count(*), 4) AS kept_frac
+            FROM d GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11)
 }

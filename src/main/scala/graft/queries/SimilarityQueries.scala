@@ -379,5 +379,64 @@ object SimilarityQueries {
          |SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5)
+  /** Multi-probe LSH: each query probes its own bucket PLUS the 4
+    * buckets at Hamming distance 1 (one sign bit flipped) — the
+    * standard recall knob for hyperplane LSH (a near neighbor on the
+    * far side of one hyperplane lands exactly one bit away). The probe
+    * list explodes the (tiny) query set 5×; the corpus is still hit
+    * via a plain equi-join on the bucket key, and buckets are disjoint
+    * so candidates need no dedup before the top-k.
+    */
+  private val s6 = Q(
+    "s6_lsh_multiprobe",
+    (s, dir) => {
+      val e = withBucket(corpus(s, dir))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val probes = q.select(col("query_id"), col("qv"), col("qn"),
+        explode(array(
+          col("bucket") +: (0 until nPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(probes).join(e, Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v, label FROM embeddings),
+             n AS (
+               SELECT vec_id, v, $duckNorm AS nrm, $duckBucket AS bucket
+               FROM e),
+             q AS (
+               SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM n
+               WHERE vec_id < 10),
+             probes AS (
+               SELECT query_id, qv, qn,
+                 unnest([bucket,
+                   ${(0 until nPlanes).map(p => s"xor(bucket, ${1L << p})")
+                     .mkString(", ")}]) AS bucket
+               FROM q),
+             scored AS (
+               SELECT p.query_id, n.vec_id AS neighbor_id,
+                      round(${duckDot.format("qv", "v")} / (qn * nrm), 4)
+                        AS cosine
+               FROM probes p JOIN n USING (bucket)
+               WHERE n.vec_id <> p.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, cosine, rank FROM ranked
+             WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6)
 }

@@ -229,5 +229,102 @@ object TextQueries {
             FROM ranked WHERE rk <= 3 AND c1 >= 500
             ORDER BY w1, rk"""))
 
-  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6)
+  /** TF-IDF term ranking: top-3 terms per document (first 50 docs) by
+    * tf·ln(N/df), with document frequency computed over the WHOLE
+    * corpus — the shuffle carries (word, df) vocabulary rows and the
+    * per-doc term counts of the ranked subset only. At 100 TB the df
+    * side is a map-side-combined vocabulary aggregate (bounded by
+    * vocabulary, not corpus) broadcast back onto the per-doc counts.
+    */
+  private val t7 = Q(
+    "t7_tfidf",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val nDocs = docs.count()
+      val toks = docs
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .as("word"))
+      val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("word"))
+      tf.filter(col("doc_id") < 50)
+        .join(dfreq, Seq("word"))
+        .withColumn("score",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split(lower(text), ' '), x -> x <> '')) AS word
+              FROM documents),
+            tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (
+              SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.word, t.tf, d.df,
+                round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4)
+                  AS score
+              FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+              WHERE t.doc_id < 50),
+            ranked AS (
+              SELECT doc_id, word, tf, df, score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, word) AS rk
+              FROM scored)
+            SELECT doc_id, word, tf, df, score, rk FROM ranked
+            WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** Token-window chunking — the training-data prep step that splits
+    * each document into fixed-size token chunks (40 tokens, stride 30,
+    * 10-token overlap) with a content fingerprint per chunk. Emitted
+    * SCAN-LOCALLY in one mapPartitions pass (chunking is per-document
+    * work; nothing shuffles until a consumer aggregates), the same
+    * shape a 100 TB tokenize-and-pack pipeline uses.
+    */
+  private val t8 = Q(
+    "t8_token_chunks",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md5 = graft.ops.Hashing.newMd5()
+          it.flatMap { case (id, text) =>
+            val toks = text.split(" ").filter(_.nonEmpty)
+            val starts = 0 until math.max(toks.length, 1) by 30
+            starts.zipWithIndex.map { case (st, i) =>
+              val chunk = toks.slice(st, st + 40)
+              (id, i, st, chunk.length, md5.hex(chunk.mkString(" ")))
+            }
+          }
+        }
+        .toDF("doc_id", "chunk_idx", "start_tok", "n_tok", "fp")
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                x -> x <> '') AS ts
+              FROM documents),
+            st AS (
+              SELECT doc_id, ts,
+                unnest(range(0, greatest(len(ts), 1), 30)) AS start_tok
+              FROM toks)
+            SELECT doc_id,
+                   CAST(start_tok / 30 AS INT) AS chunk_idx,
+                   CAST(start_tok AS INT) AS start_tok,
+                   CAST(least(40, len(ts) - start_tok) AS INT) AS n_tok,
+                   md5(array_to_string(
+                     list_slice(ts, start_tok + 1, start_tok + 40), ' '))
+                     AS fp
+            FROM st ORDER BY doc_id, chunk_idx"""))
+
+  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
 }
