@@ -326,5 +326,56 @@ object EventQueries {
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
+  /** Second stream-batch equivalence row: the events parquet replayed
+    * through `readStream` → the SAME native session_window aggregation
+    * the batch e9 query uses ([[graft.streaming.EventStreams
+    * .sessionCounts]], 30-min gap) → memory sink, AvailableNow. The
+    * oracle is e9's independent lag/running-sum SQL — so the driver
+    * hash-proves incremental SESSION state management (merge-on-overlap
+    * windows, not just fixed tumbling buckets) against a construction
+    * that shares no code with it.
+    */
+  private val e11 = Q(
+    "e11_stream_session_equiv",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = s"stream_sess_${streamRun.incrementAndGet()}"
+      val q = graft.streaming.EventStreams.sessionCounts(stream)
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start"),
+          col("n_events"), round(col("session_value"), 4).as("session_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH g AS (
+              SELECT user_id, value, epoch_us(ts) AS ts_us,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+            sess AS (
+              SELECT user_id, ts_us, value,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id, min(ts_us) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
 }

@@ -469,5 +469,55 @@ object MlQueries {
              .mkString(" UNION ALL ")})
          |ORDER BY iter, cluster""".stripMargin))
 
-  def all: Seq[Q] = Seq(m1, m1b, m2, m3, m5, m6, m7, m8, m9, m10)
+  /** M11 (beyond the reference): per-group ridge regression in closed
+    * form — slope = Sxy / (Sxx + λ) with the L2 penalty λ on the
+    * centered slope, intercept = ȳ − β·x̄. One fit PER GROUP from five
+    * sum-aggregates, so the whole family of models costs exactly one
+    * map-side-combined shuffle on the group key — the distributed
+    * many-models pattern (the reference fits per-state models in a
+    * Python loop, covid_simulator.py:456-502).
+    */
+  private val m11 = Q(
+    "m11_ridge_closed_form",
+    (s, dir) => {
+      val lambda = 100.0
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          avg("l_quantity").as("xbar"),
+          avg("l_extendedprice").as("ybar"),
+          sum(col("l_quantity") * col("l_quantity")).as("sxx_raw"),
+          sum(col("l_quantity") * col("l_extendedprice")).as("sxy_raw"))
+        .withColumn("sxx", col("sxx_raw") - col("n") * col("xbar") * col("xbar"))
+        .withColumn("sxy", col("sxy_raw") - col("n") * col("xbar") * col("ybar"))
+        .withColumn("beta_ols", round(col("sxy") / col("sxx"), 4))
+        .withColumn("beta_ridge",
+          round(col("sxy") / (col("sxx") + lit(lambda)), 4))
+        .withColumn("intercept",
+          round(col("ybar") - (col("sxy") / (col("sxx") + lit(lambda)))
+            * col("xbar"), 4))
+        .select("l_returnflag", "n", "beta_ols", "beta_ridge", "intercept")
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH sums AS (
+              SELECT l_returnflag, count(*) AS n,
+                     avg(l_quantity) AS xbar,
+                     avg(l_extendedprice) AS ybar,
+                     sum(l_quantity * l_quantity) AS sxx_raw,
+                     sum(l_quantity * l_extendedprice) AS sxy_raw
+              FROM lineitem GROUP BY 1),
+            cent AS (
+              SELECT l_returnflag, n,
+                     sxx_raw - n * xbar * xbar AS sxx,
+                     sxy_raw - n * xbar * ybar AS sxy,
+                     xbar, ybar
+              FROM sums)
+            SELECT l_returnflag, n,
+                   round(sxy / sxx, 4) AS beta_ols,
+                   round(sxy / (sxx + CAST(100.0 AS DOUBLE)), 4) AS beta_ridge,
+                   round(ybar - (sxy / (sxx + CAST(100.0 AS DOUBLE))) * xbar, 4)
+                     AS intercept
+            FROM cent ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(m1, m1b, m2, m3, m5, m6, m7, m8, m9, m10, m11)
 }

@@ -302,5 +302,49 @@ object WindowQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY o_custkey, o_orderkey"""))
 
-  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14)
+  /** W15 (beyond the reference): gaps-and-islands — maximal runs of
+    * consecutive same-valued rows per key (here: consecutive events of
+    * one event_type per user), the classic change-detection shape:
+    * lag → change flag → running sum = island id → one aggregate per
+    * island. Two window passes over the SAME partition key, so one
+    * shuffle total; the island aggregate reuses the partitioning.
+    */
+  private val w15 = Q(
+    "w15_gaps_islands",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island", "event_type")
+        .agg(count(lit(1)).as("run_len"),
+          round(sum("value"), 4).as("run_value"))
+        .filter(col("run_len") >= 3)
+        .orderBy("user_id", "island")
+    },
+    Some("""WITH flagged AS (
+              SELECT user_id, event_id, ts, event_type, value,
+                CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            islands AS (
+              SELECT user_id, event_type, value,
+                CAST(sum(chg) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+              FROM flagged)
+            SELECT user_id, island, event_type,
+                   count(*) AS run_len,
+                   round(sum(value), 4) AS run_value
+            FROM islands GROUP BY 1, 2, 3
+            HAVING count(*) >= 3
+            ORDER BY user_id, island"""))
+
+  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15)
 }

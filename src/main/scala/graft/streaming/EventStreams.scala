@@ -1,11 +1,41 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Running per-user aggregate state (top-level for Encoder derivation). */
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** Spark 4 arbitrary-state processor: the transformWithState successor
+  * of flatMapGroupsWithState — state lives in named, individually-typed
+  * handles (here one ValueState) managed by the state store (RocksDB
+  * provider required), with per-state TTL instead of a single
+  * whole-group timeout. Same semantics as
+  * [[EventStreams.runningUserTotals]]: a running (count, total) per
+  * user emitted every micro-batch.
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Double), UserRunning] {
+  @transient private var state: ValueState[UserRunning] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserRunning]("running",
+      Encoders.product[UserRunning], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[UserRunning] = {
+    val prev =
+      if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+    var n = prev.n_events
+    var tot = prev.total_value
+    rows.foreach { case (_, v) => n += 1; tot += v }
+    val next = UserRunning(key, n, tot)
+    state.update(next)
+    Iterator.single(next)
+  }
+}
 
 /** Structured Streaming surface. The reference is pure batch
   * (SURVEY.md §2.9), so streaming is an engine capability, not a parity
@@ -101,6 +131,21 @@ object EventStreams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** [[runningUserTotals]] re-expressed on the Spark 4
+    * transformWithState API (see [[RunningTotalsProcessor]]). Requires
+    * the RocksDB state store provider:
+    * `spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`.
+    */
+  def runningUserTotalsTws(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Runnable demo: stream the events parquet through the tumbling

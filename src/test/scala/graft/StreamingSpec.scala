@@ -136,6 +136,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 3L, 7.0), (2L, 2L, 8.0)))
   }
 
+  test("runningUserTotalsTws (transformWithState) carries state like " +
+      "flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.runningUserTotalsTws(mem.toDF()).writeStream
+        .format("memory").queryName("tws_spec")
+        .outputMode("update")
+        .start()
+      mem.addData(events.take(2): _*) // user 1: 2 events, 3.0 total
+      q.processAllAvailable()
+      mem.addData(events.drop(2): _*) // +1 user-1 event, 2 user-2 events
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.sql(
+        """SELECT user_id, n_events, total_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY n_events DESC) AS rk FROM tws_spec)
+           WHERE rk = 1 ORDER BY user_id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(out == Seq((1L, 3L, 7.0), (2L, 2L, 8.0)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sessionCounts groups by 30-min gaps per user") {
     import spark.implicits._
     val out = EventStreams.sessionCounts(events.toDF())
