@@ -377,5 +377,63 @@ object EventQueries {
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
+  /** Funnel analysis: view → click → purchase, strictly ordered per
+    * user (each stage's first occurrence must follow the previous
+    * stage's). Each stage is a per-user min-aggregate joined onto the
+    * next stage's filtered events — the stage tables are
+    * user-cardinality (≪ event-cardinality), so at scale each join
+    * broadcasts a stage table against one shuffle-partitioned pass of
+    * the events, and the final rollup is three scalar counts.
+    */
+  private val e12 = Q(
+    "e12_funnel",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("t") > col("t_view"))
+        .groupBy("user_id").agg(min("t").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("t") > col("t_click"))
+        .groupBy("user_id").agg(min("t").as("t_purchase"))
+      val nv = v.count()
+      val nc = c.count()
+      val np = p.count()
+      import s.implicits._
+      Seq(("1_view", nv), ("2_click_after_view", nc),
+        ("3_purchase_after_click", np))
+        .toDF("stage", "n_users")
+        .withColumn("conv_from_first",
+          round(col("n_users").cast("double") / lit(nv.toDouble), 4))
+        .orderBy("stage")
+    },
+    Some("""WITH v AS (
+              SELECT user_id, min(epoch_us(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            c AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+              GROUP BY 1),
+            p AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+              GROUP BY 1),
+            stages AS (
+              SELECT '1_view' AS stage, (SELECT count(*) FROM v) AS n_users
+              UNION ALL
+              SELECT '2_click_after_view', (SELECT count(*) FROM c)
+              UNION ALL
+              SELECT '3_purchase_after_click', (SELECT count(*) FROM p))
+            SELECT stage, n_users,
+                   round(n_users * 1.0
+                     / (SELECT count(*) FROM v), 4) AS conv_from_first
+            FROM stages ORDER BY stage"""))
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
 }

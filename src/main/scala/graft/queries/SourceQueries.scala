@@ -141,5 +141,48 @@ object SourceQueries {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4)
+  /** S5: partition-dir parquet layout + DYNAMIC partition pruning —
+    * the fact table is written partitioned by order year; the join key
+    * arrives only through a dimension filtered at runtime (years whose
+    * priority-1 order count clears a threshold), so static pruning is
+    * impossible and Spark must inject a dynamicpruning subquery that
+    * skips whole fact partitions at scan time. PlanSpec pins the
+    * DynamicPruningExpression in the physical plan; at 100 TB this is
+    * the difference between scanning 7 years and scanning 2.
+    */
+  private val s5 = Q(
+    "src5_partition_pruned_join",
+    (s, dir) => {
+      val base = tmpDir("orders_part_parquet")
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+      o.write.mode("overwrite").partitionBy("yr").parquet(base)
+      val fact = s.read.parquet(base)
+      // runtime-only dim: years with >= 400 priority-1 orders — the
+      // qualifying set exists only after an aggregation, so the fact
+      // scan can't be statically pruned
+      val dim = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("yr").as("d_yr"))
+        .agg(count(lit(1)).as("n_urgent"))
+        .filter(col("n_urgent") >= 400)
+      fact.join(broadcast(dim), fact("yr") === dim("d_yr"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("total"),
+          max("n_urgent").as("n_urgent"))
+        .orderBy("yr")
+    },
+    Some("""WITH dim AS (
+              SELECT year(CAST(o_orderdate AS DATE)) AS d_yr,
+                     count(*) AS n_urgent
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              GROUP BY 1 HAVING count(*) >= 400)
+            SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total,
+                   CAST(max(n_urgent) AS BIGINT) AS n_urgent
+            FROM orders JOIN dim ON year(CAST(o_orderdate AS DATE)) = d_yr
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5)
 }

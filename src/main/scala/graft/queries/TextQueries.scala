@@ -326,5 +326,147 @@ object TextQueries {
                      AS fp
             FROM st ORDER BY doc_id, chunk_idx"""))
 
-  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
+  /** PII scrubbing: regex-redact email-shaped and long-digit-run
+    * (phone/id) spans, count redactions per doc, roll up per source —
+    * the compliance pass every training corpus goes through. Pure
+    * codegen'd regexp_replace/regexp_count in one scan pass; the
+    * synthetic corpus contains few real hits, which is itself the
+    * assertion (the pass must be a near-no-op on clean text).
+    */
+  private val t9 = Q(
+    "t9_pii_redact",
+    (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val digitRe = "[0-9]{7,}"
+      Tables.load(s, dir, "documents")
+        .withColumn("n_email", regexp_count(col("text"), lit(emailRe)))
+        .withColumn("n_digit", regexp_count(col("text"), lit(digitRe)))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            digitRe, "<NUM>"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_email").as("n_email_hits"),
+          sum("n_digit").as("n_digit_hits"),
+          sum(length(col("text")) - length(col("clean"))).as("chars_delta"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+                     AS BIGINT) AS n_email_hits,
+                   CAST(sum(len(regexp_extract_all(text, '[0-9]{7,}')))
+                     AS BIGINT) AS n_digit_hits,
+                   CAST(sum(length(text) - length(
+                     regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{7,}', '<NUM>', 'g'))) AS BIGINT)
+                     AS chars_delta
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** Multinomial naive Bayes language classifier, trained and scored
+    * entirely in SQL-expressible aggregates: even doc_ids train
+    * (per-lang word counts with add-1 smoothing over the training
+    * vocabulary), odd doc_ids test; a test doc's score per language is
+    * Σ_w log P(w|lang) + log P(lang), OOV words get the smoothing
+    * floor. Output = the lang × predicted confusion matrix. At scale:
+    * the model is a vocabulary-sized aggregate joined (broadcast) onto
+    * the exploded test corpus — two shuffles total, both map-side
+    * combined.
+    */
+  private val t10 = Q(
+    "t10_naive_bayes",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val words = docs
+        .select(col("doc_id"), col("lang"),
+          explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .as("word"))
+      val train = words.filter(col("doc_id") % 2 === 0)
+      val langTotals = train.groupBy("lang")
+        .agg(count(lit(1)).as("n_tok"))
+      val vocabSize = train.select("word").distinct().count()
+      val nTrainDocs = docs.filter(col("doc_id") % 2 === 0).count()
+      val priors = docs.filter(col("doc_id") % 2 === 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("log_prior",
+          log(col("n_docs").cast("double") / lit(nTrainDocs.toDouble)))
+      val wordProbs = train.groupBy(col("lang").as("m_lang"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .join(langTotals.withColumnRenamed("lang", "m_lang"), Seq("m_lang"))
+        .withColumn("log_p",
+          log((col("c") + lit(1.0)) / (col("n_tok") + lit(vocabSize.toDouble))))
+        .select("m_lang", "word", "log_p")
+      val floors = langTotals
+        .withColumn("log_floor",
+          log(lit(1.0) / (col("n_tok") + lit(vocabSize.toDouble))))
+        .select(col("lang").as("m_lang"), col("log_floor"))
+      val test = words.filter(col("doc_id") % 2 === 1)
+      val scored = test
+        .crossJoin(broadcast(floors))
+        .join(broadcast(wordProbs), Seq("m_lang", "word"), "left")
+        .withColumn("lp", coalesce(col("log_p"), col("log_floor")))
+        .groupBy("doc_id", "lang", "m_lang")
+        .agg(sum("lp").as("ll"))
+        .join(broadcast(priors.select(col("lang").as("m_lang"),
+          col("log_prior"))), Seq("m_lang"))
+        .withColumn("score", round(col("ll") + col("log_prior"), 4))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("m_lang"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("lang"), col("m_lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, lang, unnest(list_filter(
+                string_split(lower(text), ' '), x -> x <> '')) AS word
+              FROM documents),
+            train AS (SELECT * FROM words WHERE doc_id % 2 = 0),
+            lang_totals AS (
+              SELECT lang AS m_lang, count(*) AS n_tok
+              FROM train GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT word) AS v FROM train),
+            train_docs AS (
+              SELECT lang, count(*) AS n_docs
+              FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+            n_train AS (
+              SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+            priors AS (
+              SELECT lang AS m_lang,
+                ln(n_docs * 1.0 / (SELECT n FROM n_train)) AS log_prior
+              FROM train_docs),
+            word_probs AS (
+              SELECT t.lang AS m_lang, t.word,
+                ln((count(*) + 1.0)
+                  / (any_value(lt.n_tok) + (SELECT v FROM vocab)))
+                  AS log_p
+              FROM train t JOIN lang_totals lt ON lt.m_lang = t.lang
+              GROUP BY 1, 2),
+            floors AS (
+              SELECT m_lang,
+                ln(1.0 / (n_tok + (SELECT v FROM vocab))) AS log_floor
+              FROM lang_totals),
+            test AS (SELECT * FROM words WHERE doc_id % 2 = 1),
+            scored AS (
+              SELECT te.doc_id, te.lang, f.m_lang,
+                sum(coalesce(wp.log_p, f.log_floor)) AS ll
+              FROM test te CROSS JOIN floors f
+              LEFT JOIN word_probs wp
+                ON wp.m_lang = f.m_lang AND wp.word = te.word
+              GROUP BY 1, 2, 3),
+            final AS (
+              SELECT s.doc_id, s.lang, s.m_lang,
+                round(s.ll + p.log_prior, 4) AS score
+              FROM scored s JOIN priors p ON p.m_lang = s.m_lang),
+            pred AS (
+              SELECT doc_id, lang, m_lang AS pred_lang FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, m_lang) AS rk
+                FROM final) WHERE rk = 1)
+            SELECT lang, pred_lang, count(*) AS n
+            FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
 }

@@ -95,4 +95,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("graft_dot"), p.take(3000))
     assert(!p.contains("aggregate(zip_with"), p.take(3000))
   }
+
+  test("src5 fact scan is dynamically partition-pruned by the dim subquery") {
+    val df = SparkEntry.queries("src5_partition_pruned_join")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the partitioned fact scan must carry a runtime pruning filter on
+    // the partition column, not a static one
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
+  }
 }
