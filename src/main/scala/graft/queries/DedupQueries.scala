@@ -618,10 +618,12 @@ object DedupQueries {
     * halves rounds to O(log d), noted here as the escalation path.
     * Oracle: DuckDB recursive CTE computing min reachable doc_id.
     */
-  private val d9 = Q(
-    "d9_dedup_clusters",
-    (s, dir) => {
-      val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+  /** Connected-component labels (doc_id → min reachable doc_id) over
+    * the LSH-verified near-dup pairs — the d9 loop body, shared with
+    * the survivorship query d10.
+    */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
       // localCheckpoint (eager) truncates the logical plan to the
       // materialized RDD: without it every round re-ANALYZES the whole
       // minhash/verify lineage plus one more join layer, and Catalyst
@@ -654,10 +656,16 @@ object DedupQueries {
         prevSum = curSum
         rounds += 1
       }
-      val sizes = labels.groupBy(col("lbl").as("cluster"))
-        .agg(count(lit(1)).as("n_docs"))
       labels.select(col("doc_id"), col("lbl").as("cluster"))
-        .join(sizes, Seq("cluster"))
+  }
+
+  private val d9 = Q(
+    "d9_dedup_clusters",
+    (s, dir) => {
+      val labels = ccLabels(s, dir)
+      val sizes = labels.groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"))
+      labels.join(sizes, Seq("cluster"))
         .select("doc_id", "cluster", "n_docs")
         .orderBy("doc_id")
     },
@@ -680,5 +688,57 @@ object DedupQueries {
              FROM comp JOIN sizes USING (cluster)
              ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9)
+  /** Cluster SURVIVORSHIP: one canonical document per near-dup
+    * component — the policy step after clustering (d9): the survivor
+    * is the member from the lowest-numbered source (primary sources
+    * win over mirrors), doc_id as tie-break. Emits per-cluster
+    * survivor + member count + the dropped members' sources rolled up,
+    * i.e. exactly the delete-list a dedup pass ships. The metadata
+    * join is doc-cardinality on the component members only.
+    */
+  private val d10 = Q(
+    "d10_cluster_survivors",
+    (s, dir) => {
+      val labels = ccLabels(s, dir)
+      val meta = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+            .as("src_num"))
+      val w = Window.partitionBy("cluster").orderBy("src_num", "doc_id")
+      labels.join(meta, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"),
+          min(when(col("rn") === 1, col("doc_id"))).as("survivor_doc"),
+          min(when(col("rn") === 1, col("source"))).as("survivor_source"),
+          sum(when(col("rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE $duckLshPairCtes,
+             edges AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL
+               SELECT doc_b, doc_a FROM pairs),
+             reach(src, dst) AS (
+               SELECT DISTINCT src, src FROM edges
+               UNION
+               SELECT r.src, e.dst FROM reach r
+               JOIN edges e ON r.dst = e.src),
+             comp AS (
+               SELECT src AS doc_id, min(dst) AS cluster
+               FROM reach GROUP BY 1),
+             ranked AS (
+               SELECT c.cluster, c.doc_id, d.source,
+                 row_number() OVER (PARTITION BY c.cluster
+                   ORDER BY CAST(regexp_extract(d.source, '(\\d+)', 1)
+                     AS INT), c.doc_id) AS rn
+               FROM comp c JOIN documents d USING (doc_id))
+             SELECT cluster, count(*) AS n_docs,
+                    min(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc,
+                    min(CASE WHEN rn = 1 THEN source END) AS survivor_source,
+                    CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_dropped
+             FROM ranked GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10)
 }

@@ -350,5 +350,91 @@ object PipelineQueries {
             WHERE f * 32 < length(text)
             ORDER BY doc_id, frame_idx"""))
 
-  def all: Seq[Q] = Seq(pl1, pl2, mm1, pl3, mm2)
+  /** Full corpus-preparation pipeline — the composition a training-data
+    * build actually runs, chaining this round's operators end-to-end:
+    * quality admission (≥20 tokens) → PII redaction (t9's regexes) →
+    * stratified source sampling (p11's md5-prefix thresholds) → exact
+    * dedup survivorship on the REDACTED text (min doc_id per
+    * fingerprint) → token-window chunking (t8's 40/30 scheme,
+    * scan-local) → per-source yield rollup. One lazy DAG: the scan
+    * pass fuses quality+redact+sample+fingerprint, the only shuffles
+    * are the dedup window and the final rollup.
+    */
+  private val pl4 = Q(
+    "pl4_corpus_prep",
+    (s, dir) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val digitRe = "[0-9]{7,}"
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val thr = when(srcNum < 5, lit("zz"))
+        .when(srcNum < 10, lit("80"))
+        .when(srcNum < 15, lit("40"))
+        .otherwise(lit("20"))
+      val staged = Tables.load(s, dir, "documents")
+        .filter(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          >= 20)
+        .filter(substring(md5(col("text")), 1, 2) < thr)
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            digitRe, "<NUM>"))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      val surv = staged
+        .withColumn("fp",
+          md5(regexp_replace(lower(trim(col("clean"))), "\\s+", " ")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val chunks = surv.select(col("doc_id"), col("source"), col("clean"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.flatMap { case (id, src, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          val starts = 0 until math.max(toks.length, 1) by 30
+          starts.map(st => (id, src, math.min(40, toks.length - st)))
+        })
+        .toDF("doc_id", "source", "n_tok")
+      chunks.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum("n_tok").as("sum_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH staged AS (
+              SELECT doc_id, source,
+                regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS clean
+              FROM documents
+              WHERE len(regexp_extract_all(text, '\S+')) >= 20
+                AND substr(md5(text), 1, 2) <
+                  CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 5
+                         THEN 'zz'
+                       WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 10
+                         THEN '80'
+                       WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 15
+                         THEN '40'
+                       ELSE '20' END),
+            surv AS (
+              SELECT doc_id, source, clean FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY md5(regexp_replace(lower(trim(clean)),
+                    '\s+', ' ', 'g'))
+                  ORDER BY doc_id) AS rn
+                FROM staged)
+              WHERE rn = 1),
+            toks AS (
+              SELECT doc_id, source,
+                list_filter(string_split(clean, ' '), x -> x <> '') AS ts
+              FROM surv),
+            chunks AS (
+              SELECT doc_id, source,
+                least(40, len(ts) - start_tok) AS n_tok
+              FROM (SELECT doc_id, source, ts,
+                      unnest(range(0, greatest(len(ts), 1), 30)) AS start_tok
+                    FROM toks))
+            SELECT source, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_chunks,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+            FROM chunks GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(pl1, pl2, mm1, pl3, mm2, pl4)
 }
