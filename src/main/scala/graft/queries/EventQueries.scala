@@ -435,5 +435,55 @@ object EventQueries {
                      / (SELECT count(*) FROM v), 4) AS conv_from_first
             FROM stages ORDER BY stage"""))
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
+  /** Retention cohorts: users grouped by first-signup day, tracked by
+    * which later WEEKS they made a purchase in — the classic cohort ×
+    * offset retention matrix. Two per-user aggregates plus one
+    * distinct-(user, week) activity set, then a broadcast-joinable
+    * cohort rollup; at scale the only corpus-sized shuffle is the
+    * user-keyed first-signup aggregate.
+    */
+  private val e13 = Q(
+    "e13_retention_cohorts",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("day").as("cohort_day"))
+      val act = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "day").distinct()
+      val offs = act.join(cohort, Seq("user_id"))
+        .withColumn("wk", floor(datediff(col("day"), col("cohort_day")) / 7))
+        .filter(col("wk") >= 0)
+        .select("user_id", "cohort_day", "wk").distinct()
+      cohort.join(offs.drop("cohort_day"), Seq("user_id"), "left")
+        .groupBy("cohort_day")
+        .agg(countDistinct("user_id").as("n_users"),
+          countDistinct(when(col("wk") === 0, col("user_id"))).as("w0"),
+          countDistinct(when(col("wk") === 1, col("user_id"))).as("w1"),
+          countDistinct(when(col("wk") === 2, col("user_id"))).as("w2"),
+          countDistinct(when(col("wk") === 3, col("user_id"))).as("w3"))
+        .orderBy("cohort_day")
+    },
+    Some("""WITH cohort AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+              FROM events WHERE event_type = 'signup' GROUP BY 1),
+            act AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events WHERE event_type = 'purchase'),
+            offs AS (
+              SELECT DISTINCT a.user_id,
+                CAST(floor(date_diff('day', c.cohort_day, a.day) / 7.0)
+                  AS BIGINT) AS wk
+              FROM act a JOIN cohort c USING (user_id)
+              WHERE date_diff('day', c.cohort_day, a.day) >= 0)
+            SELECT c.cohort_day,
+                   count(DISTINCT c.user_id) AS n_users,
+                   count(DISTINCT CASE WHEN o.wk = 0 THEN c.user_id END) AS w0,
+                   count(DISTINCT CASE WHEN o.wk = 1 THEN c.user_id END) AS w1,
+                   count(DISTINCT CASE WHEN o.wk = 2 THEN c.user_id END) AS w2,
+                   count(DISTINCT CASE WHEN o.wk = 3 THEN c.user_id END) AS w3
+            FROM cohort c LEFT JOIN offs o USING (user_id)
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
 }

@@ -519,5 +519,90 @@ object MlQueries {
                      AS intercept
             FROM cent ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(m1, m1b, m2, m3, m5, m6, m7, m8, m9, m10, m11)
+  /** DuckDB CTE chain replaying n matrix-free power iterations (the
+    * m12 oracle): sc$i = per-row score x·v, w$i = Σ s·x per position,
+    * n$i = ‖w‖, v$i = normalized next vector.
+    */
+  private def duckPowerCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |v0 AS (
+             |  SELECT list_transform(range(1, 65), i -> 0.125) AS vv)""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s""",
+                |sc$i AS (
+                |  SELECT vec_id, v,
+                |    list_sum(list_transform(
+                |      list_zip(v, (SELECT vv FROM v${i - 1})),
+                |      p -> p[1] * p[2])) AS s
+                |  FROM e),
+                |w$i AS (
+                |  SELECT t.pos, sum(v[t.pos] * s) AS w
+                |  FROM sc$i, range(1, 65) t(pos) GROUP BY 1),
+                |n$i AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$i),
+                |v$i AS (
+                |  SELECT list(w / (SELECT nrm FROM n$i) ORDER BY pos) AS vv
+                |  FROM w$i),
+                |r$i AS (
+                |  SELECT $i AS iter,
+                |    round((SELECT nrm FROM n$i), 4) AS lambda_est,
+                |    round(vv[1], 6) AS v_0, round(vv[2], 6) AS v_1,
+                |    round(vv[3], 6) AS v_2, round(vv[4], 6) AS v_3
+                |  FROM v$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** M12 (beyond the reference): top principal direction of the
+    * embedding corpus by MATRIX-FREE power iteration — per round,
+    * score s_i = x_i·v (scan-local `graft_dot` against the literal
+    * vector), next direction w = Σ s_i·x_i (one (pos)-keyed partial-sum
+    * shuffle of dim groups), normalize on the driver (dim doubles —
+    * bounded by dim, never corpus). The covariance matrix is NEVER
+    * materialized: the X^T(Xv) factorization is what makes PCA feasible
+    * at 100 TB. Emits per-iteration ‖w‖ (→ top eigenvalue of XᵀX) and
+    * the leading components of the normalized direction.
+    */
+  private val m12 = Q(
+    "m12_power_iteration",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.storage.StorageLevel
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("graft_dot", a, b)
+      val e = KMeansOps.loadV(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      var v: Seq[Double] = Seq.fill(64)(0.125) // unit norm
+      val trace =
+        try {
+          (1 to 3).map { it =>
+            val vlit = array(v.map(lit): _*)
+            val w = e.withColumn("s", dot(col("v"), vlit))
+              .select(col("s"), posexplode(col("v")).as(Seq("pos", "x")))
+              .groupBy("pos").agg(sum(col("x") * col("s")).as("w"))
+              .orderBy("pos")
+              .collect().map(_.getDouble(1)).toSeq
+            val nrm = math.sqrt(w.map(x => x * x).sum)
+            v = w.map(_ / nrm)
+            (it, nrm, v(0), v(1), v(2), v(3))
+          }
+        } finally e.unpersist()
+      trace.toDF("iter", "lambda_est", "v_0", "v_1", "v_2", "v_3")
+        .withColumn("lambda_est", round(col("lambda_est"), 4))
+        .withColumn("v_0", round(col("v_0"), 6))
+        .withColumn("v_1", round(col("v_1"), 6))
+        .withColumn("v_2", round(col("v_2"), 6))
+        .withColumn("v_3", round(col("v_3"), 6))
+        .orderBy("iter")
+    },
+    Some(duckPowerCtes(3) + """
+         |SELECT iter, lambda_est, v_0, v_1, v_2, v_3 FROM (
+         |  SELECT * FROM r1 UNION ALL
+         |  SELECT * FROM r2 UNION ALL
+         |  SELECT * FROM r3)
+         |ORDER BY iter""".stripMargin))
+
+  def all: Seq[Q] = Seq(m1, m1b, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12)
 }
