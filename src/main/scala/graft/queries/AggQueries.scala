@@ -345,6 +345,42 @@ object AggQueries {
                      - round(quantile_cont(l_quantity, 0.25), 4), 4) AS iqr
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** A15 (beyond the reference): custom typed `Aggregator` — top-3
+    * orders per customer via [[graft.functions.TopKAggregator]], whose
+    * k-bounded buffer replaces sort-then-row_number: map-side partials
+    * ship k rows per group per task through the shuffle instead of the
+    * group's full row set, and merge is an O(k) list merge. The oracle
+    * is the row_number spelling with the identical total order, so the
+    * hash proves the bounded-state path returns exactly the sort path's
+    * answer.
+    */
+  private val a15 = Q(
+    "a15_topk_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topk.name("top"))
+        .toDF("o_custkey", "top")
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("o_custkey"), (col("i") + 1).as("rank"),
+          col("t._1").as("o_orderkey"), col("t._2").as("o_totalprice"))
+        .orderBy("o_custkey", "rank")
+    },
+    Some("""SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey,
+                   o_totalprice
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders WHERE o_custkey <= 200)
+            WHERE rank <= 3 ORDER BY o_custkey, rank"""))
+
   def all: Seq[Q] =
-    Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, a12, a13, a14)
+    Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, a12, a13, a14, a15)
 }

@@ -740,5 +740,56 @@ object DedupQueries {
                       AS n_dropped
              FROM ranked GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10)
+  /** SEMANTIC dedup at scale: embedding near-dup restricted to
+    * converged k-means cells — the blocked path that replaces d6's
+    * all-pairs baseline: vectors shuffle ONCE on their cell key and
+    * pairs are enumerated within cells only (cost Σ|cell|² instead of
+    * n²; recall bounded by cluster assignment — a documented tradeoff,
+    * pairs straddling a cell boundary are missed, the same contract as
+    * LSH bucketing). Same 0.45 cosine threshold as d6, so the two
+    * outputs are directly comparable.
+    */
+  private val d11 = Q(
+    "d11_semantic_dedup",
+    (s, dir) => {
+      def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+      val cent = KMeansOps.centroids(s, dir, KMeansOps.iters)
+      val e = KMeansOps.loadV(s, dir)
+        .withColumn("cell", KMeansOps.assignExpr(cent))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val a = e.select(col("cell"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("cell"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine",
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+        .filter(col("cosine") >= 0.45)
+        .select("cell", "vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(KMeansOps.duckCtes(KMeansOps.iters) + s""",
+         |n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM e),
+         |af AS (
+         |  SELECT vec_id, v, nrm, cluster AS cell FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cluster,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_sum(list_transform(n.v, x -> x * x))
+         |        - 2 * list_sum(list_transform(list_zip(n.v, c.cv),
+         |            p -> p[1] * p[2]))
+         |        + list_sum(list_transform(c.cv, x -> x * x)),
+         |        c.cluster) AS rn
+         |    FROM n CROSS JOIN c${KMeansOps.iters} c) t WHERE rn = 1)
+         |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(list_sum(list_transform(list_zip(a.v, b.v),
+         |           p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
+         |FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE round(list_sum(list_transform(list_zip(a.v, b.v),
+         |    p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin))
+
+  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11)
 }
