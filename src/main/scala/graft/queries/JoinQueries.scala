@@ -3,6 +3,7 @@ package graft.queries
 import graft.Q
 import graft.ops.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Join operators (SURVEY.md §2.3). Dimension tables (region, nation,
   * customer, supplier, part) are small at any scale factor relative to
@@ -212,5 +213,78 @@ object JoinQueries {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9)
+  /** J10 (beyond the reference): interval-OVERLAP join via bucket
+    * blocking — per-user activity sessions (30-min-gap construction)
+    * joined against global error windows (error event ±5 min) on the
+    * overlap predicate `s.start ≤ e.hi AND e.lo ≤ s.end`. A theta join
+    * would be a cartesian product at scale; instead both interval sets
+    * explode into the 10-min buckets they cover and equi-join on the
+    * bucket key (lossless: overlapping intervals share every bucket of
+    * their intersection), dedup, then verify the exact predicate.
+    * Shuffle cost is O(intervals × buckets-covered), never |A|×|B|.
+    * The oracle is the plain theta join — proving the blocked plan
+    * returns exactly the unblocked answer.
+    */
+  private val j10 = Q(
+    "j10_interval_overlap_join",
+    (s, dir) => {
+      val bucket = 600000000L // 10 min in micros
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val sess = ev
+        .withColumn("new_sess",
+          when(lag("t", 1).over(w).isNull ||
+            col("t") - lag("t", 1).over(w) >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("t").as("s_lo"), max("t").as("s_hi"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"),
+          (col("t") - 300000000L).as("e_lo"), (col("t") + 300000000L).as("e_hi"))
+      val sessB = sess.withColumn("bk",
+        explode(sequence(floor(col("s_lo") / bucket).cast("long"),
+          floor(col("s_hi") / bucket).cast("long"))))
+      val errB = err.withColumn("bk",
+        explode(sequence(floor(col("e_lo") / bucket).cast("long"),
+          floor(col("e_hi") / bucket).cast("long"))))
+      sessB.join(errB, Seq("bk"))
+        .filter(col("s_lo") <= col("e_hi") && col("e_lo") <= col("s_hi"))
+        .select("user_id", "sid", "s_lo", "event_id").distinct()
+        .groupBy("user_id", "sid", "s_lo")
+        .agg(count(lit(1)).as("n_err_overlaps"))
+        .select(col("user_id"), col("s_lo").as("session_start"),
+          col("n_err_overlaps"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH ev AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+              FROM events),
+            g AS (
+              SELECT user_id, t,
+                CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+            sess AS (
+              SELECT user_id, sid, min(t) AS s_lo, max(t) AS s_hi FROM (
+                SELECT user_id, t,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+              GROUP BY 1, 2),
+            err AS (
+              SELECT event_id, t - 300000000 AS e_lo, t + 300000000 AS e_hi
+              FROM ev WHERE event_type = 'error')
+            SELECT s.user_id, s.s_lo AS session_start,
+                   count(DISTINCT e.event_id) AS n_err_overlaps
+            FROM sess s JOIN err e
+              ON s.s_lo <= e.e_hi AND e.e_lo <= s.s_hi
+            GROUP BY s.user_id, s.sid, s.s_lo
+            ORDER BY s.user_id, session_start"""))
+
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10)
 }

@@ -346,5 +346,50 @@ object WindowQueries {
             HAVING count(*) >= 3
             ORDER BY user_id, island"""))
 
-  def all: Seq[Q] = Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15)
+  /** W16 (beyond the reference): cumulative DISTINCT count — running
+    * total of distinct purchasing users per day. Spark has no
+    * distinct-over-expanding-window aggregate; the scalable spelling is
+    * the first-occurrence reduction: per-user min(day) (one
+    * user-keyed shuffle), daily new-user counts, then a running sum
+    * over the DAY-cardinality rollup (the global window sorts days,
+    * not events — 30 rows here, bounded by calendar length at any
+    * corpus scale). Joined with per-day active counts for context.
+    */
+  private val w16 = Q(
+    "w16_cumulative_distinct",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val daily = ev.distinct()
+        .groupBy("day").agg(count(lit(1)).as("n_active"))
+      val firstDays = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(firstDays, Seq("day"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .withColumn("cum_distinct_users", sum("n_new").over(w))
+        .select("day", "n_active", "n_new", "cum_distinct_users")
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events WHERE event_type = 'purchase'),
+            daily AS (
+              SELECT day, count(*) AS n_active FROM ev GROUP BY 1),
+            firstd AS (
+              SELECT day, count(*) AS n_new FROM (
+                SELECT user_id, min(day) AS day FROM ev GROUP BY 1)
+              GROUP BY 1)
+            SELECT d.day, d.n_active,
+                   coalesce(f.n_new, 0) AS n_new,
+                   CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_distinct_users
+            FROM daily d LEFT JOIN firstd f USING (day)
+            ORDER BY d.day"""))
+
+  def all: Seq[Q] =
+    Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16)
 }

@@ -96,6 +96,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("aggregate(zip_with"), p.take(3000))
   }
 
+  test("pl4 corpus prep fuses admission+redact+sample into one scan pass " +
+      "with a map-side window group limit") {
+    val p = plan("pl4_corpus_prep")
+    // a single parquet scan: quality filter, sampling predicate, and
+    // redaction all evaluate in the scan's codegen stage
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+    // the rn=1 dedup survivorship runs as a WindowGroupLimit (map-side
+    // pre-filter before the fingerprint shuffle), not a full window sort
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("t10 naive Bayes scores with broadcast model joins") {
+    val p = plan("t10_naive_bayes")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the corpus-sized test explode must not be sort-merge-joined
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("src5 fact scan is dynamically partition-pruned by the dim subquery") {
     val df = SparkEntry.queries("src5_partition_pruned_join")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
