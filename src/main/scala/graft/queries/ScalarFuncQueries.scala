@@ -153,5 +153,41 @@ object ScalarFuncQueries {
                    round(sum(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(strings, dates, math, arrays)
+  /** Map/struct surface: literal-keyed maps (map, map_concat,
+    * element_at, map_keys), nested structs (named_struct, field
+    * access), flattened back to scalar columns so the oracle can derive
+    * every output directly from the base columns — the check is that
+    * Spark's map/struct evaluation round-trips values exactly.
+    */
+  private val maps = Q(
+    "f_map_struct_funcs",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("m",
+          map(lit("pri"), col("o_orderpriority"),
+            lit("stat"), col("o_orderstatus")))
+        .withColumn("m2",
+          map_concat(col("m"),
+            map(lit("yr"), year(col("o_orderdate")).cast("string"))))
+        .withColumn("st",
+          named_struct(lit("key"), col("o_orderkey"),
+            lit("inner"), named_struct(lit("price"), col("o_totalprice"))))
+        .select(col("o_orderkey"),
+          element_at(col("m2"), "pri").as("pri"),
+          element_at(col("m2"), "yr").as("yr"),
+          size(col("m2")).as("m_size"),
+          concat_ws(",", array_sort(map_keys(col("m2")))).as("keys_csv"),
+          col("st.inner.price").as("price2"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority AS pri,
+                   CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) AS yr,
+                   3 AS m_size,
+                   'pri,stat,yr' AS keys_csv,
+                   o_totalprice AS price2
+            FROM orders WHERE o_custkey <= 100
+            ORDER BY o_orderkey"""))
+
+  def all: Seq[Q] = Seq(strings, dates, math, arrays, maps)
 }

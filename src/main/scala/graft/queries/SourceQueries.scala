@@ -184,5 +184,59 @@ object SourceQueries {
             FROM orders JOIN dim ON year(CAST(o_orderdate AS DATE)) = d_yr
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5)
+  /** S6: malformed-row handling — real corpus drops always contain
+    * broken records, and the engine must both SKIP them (DROPMALFORMED)
+    * and COUNT them (PERMISSIVE + corrupt-record column) without
+    * failing the job. The fixture plants a deterministic non-numeric
+    * value in an INT column for every doc_id ≡ 0 (mod 97); the oracle
+    * reproduces the survivors as `doc_id % 97 <> 0`, proving the
+    * dropped set is exactly the planted set.
+    */
+  private val s6 = Q(
+    "src6_csv_malformed",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = tmpDir("documents_bad_csv")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(col("doc_id") % 97 === 0, lit("BAD"))
+            .otherwise(col("n_chars").cast("string")).as("n_chars"))
+        .write.mode("overwrite").option("header", true).csv(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", IntegerType),
+        StructField("_bad", StringType)))
+      // PERMISSIVE + corrupt-record column: broken rows survive as
+      // non-null _bad; count them for the audit column
+      // Spark refuses filter/count plans over ONLY the corrupt-record
+      // column of a raw CSV scan
+      // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+      // documented workaround is to cache the parsed frame first.
+      val perm = s.read.option("header", true).schema(schema)
+        .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+        .cache()
+      val nCorrupt =
+        try perm.filter(col("_bad").isNotNull).count()
+        finally perm.unpersist()
+      // DROPMALFORMED: broken rows silently skipped — the load path a
+      // bulk ingest uses when an audit trail isn't needed
+      val good = s.read.option("header", true)
+        .schema(StructType(schema.fields.dropRight(1)))
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+      good.groupBy("lang")
+        .agg(count(lit(1)).as("n_good"),
+          sum("n_chars").as("sum_chars"))
+        .withColumn("n_corrupt_total", lit(nCorrupt))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_good,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   (SELECT count(*) FROM documents WHERE doc_id % 97 = 0)
+                     AS n_corrupt_total
+            FROM documents WHERE doc_id % 97 <> 0
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6)
 }
