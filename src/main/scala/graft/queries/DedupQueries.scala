@@ -380,7 +380,7 @@ object DedupQueries {
       // per-element cast + norm run once (small: vec_id + 64 doubles).
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
+          col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),

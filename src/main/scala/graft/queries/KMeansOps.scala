@@ -38,7 +38,7 @@ object KMeansOps {
   def loadV(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
 
   /** Scan-local assignment: argmin_{cluster} ||v − c||² with the
     * centroids embedded as literal arrays. Ties break toward the lower

@@ -377,7 +377,7 @@ object MlQueries {
         call_function("graft_dot", a, b)
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
+          col("embedding").cast("array<double>").as("v"))
       val seeds = e.filter(col("vec_id") < 4)
         .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
       val wAsg = Window.partitionBy("vec_id").orderBy("d2", "cluster")

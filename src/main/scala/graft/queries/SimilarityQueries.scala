@@ -41,7 +41,7 @@ object SimilarityQueries {
   }
 
   private def vecDouble: Column =
-    transform(col("embedding"), x => x.cast("double"))
+    col("embedding").cast("array<double>")
 
   /** Codegen'd native dot product (graft.functions.DotProduct via
     * GraftExtensions). The interpreted HOF spelling
