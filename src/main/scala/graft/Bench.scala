@@ -40,10 +40,14 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // Failures must be VISIBLE, not silently timed: a broken query's
+    // time-to-exception would otherwise masquerade as a benchmark number.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Map[String, Double] =
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         name -> dt
@@ -55,7 +59,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
