@@ -286,5 +286,41 @@ object JoinQueries {
             GROUP BY s.user_id, s.sid, s.s_lo
             ORDER BY s.user_id, session_start"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10)
+  /** J11 (beyond the reference): NULL-SAFE equi-join (`<=>` /
+    * IS NOT DISTINCT FROM) — open orders are mapped to a NULL key and
+    * must still match the dimension's NULL row, which a plain `=` join
+    * silently drops. The null-match contract matters for canonical
+    * "unknown" buckets in dimension joins; Spark plans `<=>` as a
+    * hashable key (coalesce-to-sentinel under the hood), so it is
+    * broadcast/shuffle-joinable like any equi-key, not a theta join.
+    */
+  private val j11 = Q(
+    "j11_null_safe_join",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("k",
+          when(col("o_orderstatus") === "O", lit(null: String))
+            .otherwise(col("o_orderstatus")))
+      val dim = Seq(("F", "finished"), ("P", "pending"),
+        (null.asInstanceOf[String], "open"))
+        .toDF("k", "label")
+      o.join(broadcast(dim), o("k") <=> dim("k"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 4).as("total"))
+        .orderBy("label")
+    },
+    Some("""WITH o AS (
+              SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+                          ELSE o_orderstatus END AS k, o_totalprice
+              FROM orders),
+            dim(k, label) AS (
+              VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
+            SELECT label, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11)
 }

@@ -166,6 +166,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("foreachBatch sink lands every micro-batch in parquet with batch ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_fb").toString + "/agg"
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sinkViaForeachBatch(
+      EventStreams.tumblingCounts(mem.toDF()), out).start()
+    mem.addData(events.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+    // both micro-batches landed, tagged distinctly
+    assert(landed.select("batch_id").distinct().count() == 2)
+    // the LAST update per (window, type) equals the batch answer
+    val last = landed
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start", "event_type")
+          .orderBy(org.apache.spark.sql.functions.col("batch_id").desc)))
+      .filter($"rk" === 1)
+      .select("window_start", "event_type", "n", "sum_value")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batched = EventStreams.tumblingCounts(events.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(last == batched)
+  }
+
   test("sessionCounts groups by 30-min gaps per user") {
     import spark.implicits._
     val out = EventStreams.sessionCounts(events.toDF())
