@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.TopKAggregator
+import graft.ops.Sequential
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties for the pure kernels (SURVEY.md §5.4): the
+  * algebraic laws that must hold for ANY input, complementing the
+  * fixed-fixture oracle checks.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val rows: Gen[List[(Long, Double)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(-100.0, 100.0)))
+
+  private def refTopK(xs: List[(Long, Double)], k: Int): Seq[(Long, Double)] =
+    xs.sortBy { case (id, v) => (-v, id) }.take(k)
+
+  test("TopKAggregator: reduce over any order equals sort-take reference") {
+    val agg = new TopKAggregator(3)
+    check(Prop.forAll(rows) { xs0 =>
+      val xs = xs0.distinctBy(_._1) // ids unique per group in real use
+      xs.foldLeft(agg.zero)(agg.reduce) == refTopK(xs, 3)
+    })
+  }
+
+  test("TopKAggregator: merge of any split equals whole-list fold") {
+    val agg = new TopKAggregator(3)
+    check(Prop.forAll(rows, Gen.choose(0, 100)) { (xs0, cut) =>
+      val xs = xs0.distinctBy(_._1)
+      val (l, r) = xs.splitAt(cut % (xs.length + 1))
+      agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)) ==
+        xs.foldLeft(agg.zero)(agg.reduce)
+    })
+  }
+
+  private val optSeries: Gen[IndexedSeq[Option[Double]]] =
+    Gen.listOf(Gen.option(Gen.choose(-50.0, 50.0))).map(_.toIndexedSeq)
+
+  test("smoothFill: output never contains NaN and keeps length") {
+    check(Prop.forAll(optSeries) { xs =>
+      val out = Sequential.smoothFill(xs)
+      out.length == xs.length && out.forall(v => !v.isNaN)
+    })
+  }
+
+  test("smoothFill: defined edges are preserved") {
+    check(Prop.forAll(optSeries) { xs =>
+      xs.isEmpty || xs.forall(_.isEmpty) || {
+        val out = Sequential.smoothFill(xs)
+        Seq(xs.head -> 0, xs.last -> (xs.length - 1)).forall {
+          case (edge, i) => edge.forall(v => out(i) == v)
+        }
+      }
+    })
+  }
+
+  test("sirSimulate: conserves pc+pr+ps when z1 = 0") {
+    // alpha*ps*pc leaves ps and enters pc; beta*pc leaves pc and enters
+    // pr — with z1=0 the three-compartment sum is invariant
+    val g = for {
+      c0 <- Gen.choose(1.0, 100.0); r0 <- Gen.choose(0.0, 50.0)
+      n0 <- Gen.choose(100.0, 1e4)
+      a <- Gen.choose(1e-6, 1e-4); b <- Gen.choose(0.01, 0.5)
+      len <- Gen.choose(1, 20)
+    } yield (c0, r0, n0, a, b, len)
+    check(Prop.forAll(g) { case (c0, r0, n0, a, b, len) =>
+      val out = Sequential.sirSimulate(c0, r0, n0, a, b,
+        IndexedSeq.fill(len)(0.0))
+      val total0 = c0 + r0 + n0
+      out.forall { case (pc, pr, ps) =>
+        math.abs((pc + pr + ps) - total0) <= 1e-6 * total0
+      }
+    })
+  }
+
+  test("arRollout: zero weights collapse to the bias constant") {
+    val g = for {
+      n <- Gen.choose(1, 10)
+      seed <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+      bias <- Gen.choose(-5.0, 5.0)
+      steps <- Gen.choose(1, 30)
+    } yield (seed.toIndexedSeq, bias, steps)
+    check(Prop.forAll(g) { case (seed, bias, steps) =>
+      Sequential.arRollout(seed,
+        IndexedSeq.fill(seed.length)(0.0), bias, steps)
+        .forall(_ == bias)
+    })
+  }
+}
