@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared corpus-prep building blocks — single source of truth for the
+  * PII regexes (t9), the stratified sampling thresholds (p11), and the
+  * chunk geometry (t8), so the composed pl4 pipeline provably applies
+  * the same operators it claims to compose.
+  */
+object Corpus {
+
+  /** Email-shaped spans (t9 / pl4 redaction). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs — phone/id-shaped spans. */
+  val digitRe = "[0-9]{7,}"
+
+  /** Redact both PII span classes. */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      digitRe, "<NUM>")
+
+  /** Per-source keep-threshold (2-hex-digit md5 prefix compares
+    * lexicographically in numeric order): sources 0-4 keep all, 5-9
+    * one half, 10-14 one quarter, 15+ one eighth.
+    */
+  def sourceThreshold(source: Column): Column = {
+    val srcNum = regexp_extract(source, "(\\d+)", 1).cast("int")
+    when(srcNum < 5, lit("zz"))
+      .when(srcNum < 10, lit("80"))
+      .when(srcNum < 15, lit("40"))
+      .otherwise(lit("20"))
+  }
+
+  /** Keep-predicate of the stratified sample. */
+  def sampleKeep(text: Column, source: Column): Column =
+    substring(md5(text), 1, 2) < sourceThreshold(source)
+
+  /** Token-window chunk geometry (t8 / pl4). */
+  val chunkSize = 40
+  val chunkStride = 30
+
+  /** Chunk start offsets for a document of `nToks` tokens (empty docs
+    * still emit one empty chunk). */
+  def chunkStarts(nToks: Int): Range =
+    0 until math.max(nToks, 1) by chunkStride
+}

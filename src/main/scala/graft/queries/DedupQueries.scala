@@ -641,7 +641,11 @@ object DedupQueries {
       var prevSum = lblSum(labels)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
+      // min-label propagation converges in <= diameter rounds, so the
+      // cap is a bug guard only — hitting it means the labels are NOT
+      // component minima, which must fail loudly, not ship silently.
+      val maxRounds = 1000
+      while (!converged && rounds < maxRounds) {
         val nbrMin = edges
           .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
           .groupBy(col("doc_a").as("doc_id"))
@@ -656,6 +660,8 @@ object DedupQueries {
         prevSum = curSum
         rounds += 1
       }
+      require(converged,
+        s"connected-components did not converge within $maxRounds rounds")
       labels.select(col("doc_id"), col("lbl").as("cluster"))
   }
 
@@ -754,9 +760,12 @@ object DedupQueries {
     (s, dir) => {
       def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
       val cent = KMeansOps.centroids(s, dir, KMeansOps.iters)
+      // e feeds both self-join sides; persist so the scan + k-literal
+      // argmin assignment + norm run once (same pattern as d6's e)
       val e = KMeansOps.loadV(s, dir)
         .withColumn("cell", KMeansOps.assignExpr(cent))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val a = e.select(col("cell"), col("vec_id").as("vec_a"),
         col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("cell"), col("vec_id").as("vec_b"),

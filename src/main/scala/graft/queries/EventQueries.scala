@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -283,6 +284,33 @@ object EventQueries {
 
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Shared replay harness for the stream-batch equivalence rows (e10,
+    * e11): readStream over the events parquet (file-source streams need
+    * an explicit schema and take a directory — glob-select the one
+    * table) with the same nanos→micros ts normalization as Tables.load,
+    * run the given streaming aggregate into a uniquely-named memory
+    * sink (Bench re-runs queries in one session; memory sinks are
+    * per-name) under an AvailableNow trigger, and return the sink
+    * table. Complete mode because the memory sink holds final state.
+    */
+  private def replayToMemorySink(s: SparkSession, dir: String, tag: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"${tag}_${streamRun.incrementAndGet()}"
+    val q = agg(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Streaming batch-equivalence (X24 promoted into the verified
     * surface): the events parquet is replayed through Structured
     * Streaming — `readStream` → the SAME tumbling-window aggregation
@@ -297,26 +325,8 @@ object EventQueries {
   private val e10 = Q(
     "e10_stream_batch_equiv",
     (s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      // file-source streams need an explicit schema and take a
-      // directory; glob-select the events table, then apply the same
-      // exact nanos->micros normalization as Tables.load
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // unique sink name per invocation: Bench re-runs each query in
-      // one session and memory sinks are per-query-name
-      val name = s"stream_equiv_${streamRun.incrementAndGet()}"
-      val q = graft.streaming.EventStreams.tumblingCounts(stream)
-        .writeStream
-        .format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
+      replayToMemorySink(s, dir, "stream_equiv")(
+        graft.streaming.EventStreams.tumblingCounts)
         .select(col("event_type"),
           col("window_start").as("hour_window"),
           col("n"), round(col("sum_value"), 4).as("sum_value"))
@@ -338,21 +348,8 @@ object EventQueries {
   private val e11 = Q(
     "e11_stream_session_equiv",
     (s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val name = s"stream_sess_${streamRun.incrementAndGet()}"
-      val q = graft.streaming.EventStreams.sessionCounts(stream)
-        .writeStream
-        .format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name)
+      replayToMemorySink(s, dir, "stream_sess")(
+        graft.streaming.EventStreams.sessionCounts)
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start"),
           col("n_events"), round(col("session_value"), 4).as("session_value"))
@@ -388,14 +385,22 @@ object EventQueries {
   private val e12 = Q(
     "e12_funnel",
     (s, dir) => {
+      import org.apache.spark.storage.StorageLevel
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // each stage table is user-cardinality and feeds BOTH the next
+      // stage's join and its own count — persist them (and the shared
+      // projection) so the three stage counts scan events once, not
+      // once per lineage replay
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("t").as("t_view"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val c = ev.filter(col("event_type") === "click")
         .join(v, Seq("user_id"))
         .filter(col("t") > col("t_view"))
         .groupBy("user_id").agg(min("t").as("t_click"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, Seq("user_id"))
         .filter(col("t") > col("t_click"))
@@ -403,6 +408,9 @@ object EventQueries {
       val nv = v.count()
       val nc = c.count()
       val np = p.count()
+      // the result below is built from the three scalar counts only —
+      // nothing downstream references the cached frames
+      ev.unpersist(); v.unpersist(); c.unpersist()
       import s.implicits._
       Seq(("1_view", nv), ("2_click_after_view", nc),
         ("3_purchase_after_click", np))

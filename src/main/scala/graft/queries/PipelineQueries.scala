@@ -364,20 +364,12 @@ object PipelineQueries {
     "pl4_corpus_prep",
     (s, dir) => {
       import s.implicits._
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val digitRe = "[0-9]{7,}"
-      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
-      val thr = when(srcNum < 5, lit("zz"))
-        .when(srcNum < 10, lit("80"))
-        .when(srcNum < 15, lit("40"))
-        .otherwise(lit("20"))
+      import graft.ops.Corpus
       val staged = Tables.load(s, dir, "documents")
         .filter(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
           >= 20)
-        .filter(substring(md5(col("text")), 1, 2) < thr)
-        .withColumn("clean",
-          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-            digitRe, "<NUM>"))
+        .filter(Corpus.sampleKeep(col("text"), col("source")))
+        .withColumn("clean", Corpus.redact(col("text")))
       val w = Window.partitionBy("fp").orderBy("doc_id")
       val surv = staged
         .withColumn("fp",
@@ -388,8 +380,8 @@ object PipelineQueries {
         .as[(Long, String, String)]
         .mapPartitions(_.flatMap { case (id, src, text) =>
           val toks = text.split(" ").filter(_.nonEmpty)
-          val starts = 0 until math.max(toks.length, 1) by 30
-          starts.map(st => (id, src, math.min(40, toks.length - st)))
+          graft.ops.Corpus.chunkStarts(toks.length).map(st =>
+            (id, src, math.min(graft.ops.Corpus.chunkSize, toks.length - st)))
         })
         .toDF("doc_id", "source", "n_tok")
       chunks.groupBy("source")

@@ -216,14 +216,9 @@ object RelationalQueries {
   private val p11 = Q(
     "p11_stratified_sample",
     (s, dir) => {
-      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
-      val thr = when(srcNum < 5, lit("zz"))       // keep all
-        .when(srcNum < 10, lit("80"))             // keep 1/2
-        .when(srcNum < 15, lit("40"))             // keep 1/4
-        .otherwise(lit("20"))                     // keep 1/8
       Tables.load(s, dir, "documents")
         .withColumn("kept",
-          (substring(md5(col("text")), 1, 2) < thr).cast("int"))
+          graft.ops.Corpus.sampleKeep(col("text"), col("source")).cast("int"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_total"),
           sum("kept").as("n_kept"),

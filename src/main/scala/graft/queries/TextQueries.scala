@@ -292,6 +292,7 @@ object TextQueries {
     "t8_token_chunks",
     (s, dir) => {
       import s.implicits._
+      import graft.ops.Corpus
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
@@ -299,9 +300,8 @@ object TextQueries {
           val md5 = graft.ops.Hashing.newMd5()
           it.flatMap { case (id, text) =>
             val toks = text.split(" ").filter(_.nonEmpty)
-            val starts = 0 until math.max(toks.length, 1) by 30
-            starts.zipWithIndex.map { case (st, i) =>
-              val chunk = toks.slice(st, st + 40)
+            Corpus.chunkStarts(toks.length).zipWithIndex.map { case (st, i) =>
+              val chunk = toks.slice(st, st + Corpus.chunkSize)
               (id, i, st, chunk.length, md5.hex(chunk.mkString(" ")))
             }
           }
@@ -336,14 +336,11 @@ object TextQueries {
   private val t9 = Q(
     "t9_pii_redact",
     (s, dir) => {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val digitRe = "[0-9]{7,}"
+      import graft.ops.Corpus
       Tables.load(s, dir, "documents")
-        .withColumn("n_email", regexp_count(col("text"), lit(emailRe)))
-        .withColumn("n_digit", regexp_count(col("text"), lit(digitRe)))
-        .withColumn("clean",
-          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-            digitRe, "<NUM>"))
+        .withColumn("n_email", regexp_count(col("text"), lit(Corpus.emailRe)))
+        .withColumn("n_digit", regexp_count(col("text"), lit(Corpus.digitRe)))
+        .withColumn("clean", Corpus.redact(col("text")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_email").as("n_email_hits"),

@@ -151,10 +151,11 @@ object EventStreams {
   /** foreachBatch incremental sink: apply an arbitrary batch write per
     * micro-batch — the production pattern for sinks Structured
     * Streaming lacks natively (JDBC upserts, multi-table fan-out,
-    * partitioned parquet appends). Here each micro-batch of the
-    * windowed aggregate is appended to a parquet directory tagged with
-    * its batch id; exactly-once comes from the checkpoint + idempotent
-    * overwrite-by-batch-id convention.
+    * partitioned parquet layouts). Each micro-batch lands in its own
+    * `batch_id=` partition via DYNAMIC partition overwrite, so a
+    * post-crash redelivery of the same batchId rewrites that partition
+    * instead of appending duplicates — the idempotence that upgrades
+    * the checkpoint's at-least-once redelivery to exactly-once output.
     */
   def sinkViaForeachBatch(agg: DataFrame, outDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -162,7 +163,10 @@ object EventStreams {
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
       }
 
   /** Runnable demo: stream the events parquet through the tumbling
