@@ -438,5 +438,56 @@ object SimilarityQueries {
              SELECT query_id, neighbor_id, cosine, rank FROM ranked
              WHERE rank <= 3 ORDER BY query_id, rank"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6)
+  /** ANN QUALITY SCOREBOARD: recall@3 of every approximate variant
+    * against the exact brute-force truth — the evaluation an index
+    * rollout runs before trusting an ANN tier at scale, expressed as a
+    * first-class query composing the existing registry entries (each
+    * variant's own plan runs unchanged; hits = left-semi join of its
+    * top-3 against the truth's). The oracle nests every variant's
+    * proven SQL as a derived table, so the recall arithmetic is
+    * cross-checked end to end.
+    */
+  private val s7 = Q(
+    "s7_ann_recall",
+    (s, dir) => {
+      import s.implicits._
+      val truth = s1.fn(s, dir).select("query_id", "neighbor_id")
+        .persist()
+      val nTruth = truth.count()
+      val variants = Seq(s2, s3, s4, s5, s6)
+      val rows = variants.map { q =>
+        val hit = q.fn(s, dir).select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        (q.name, hit, nTruth)
+      }
+      truth.unpersist()
+      rows.toDF("variant", "n_hit", "n_truth")
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_truth"), 4))
+        .orderBy("variant")
+    },
+    Some {
+      def sub(q: Q): String =
+        s"(SELECT query_id, neighbor_id FROM (${q.oracle.get}))"
+      val variants = Seq(s2, s3, s4, s5, s6)
+      val hitCtes = variants.zipWithIndex.map { case (q, i) =>
+        s"""h$i AS (
+           |  SELECT count(*) AS c FROM ${sub(q)} v
+           |  SEMI JOIN truth USING (query_id, neighbor_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = variants.zipWithIndex.map { case (q, i) =>
+        s"""SELECT '${q.name}' AS variant,
+           |  (SELECT c FROM h$i) AS n_hit,
+           |  (SELECT count(*) FROM truth) AS n_truth,
+           |  round((SELECT c FROM h$i) * 1.0
+           |    / (SELECT count(*) FROM truth), 4) AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH truth AS (
+         |  SELECT query_id, neighbor_id FROM (${s1.oracle.get})),
+         |$hitCtes
+         |SELECT * FROM ($rows) ORDER BY variant""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7)
 }
