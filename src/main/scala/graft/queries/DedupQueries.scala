@@ -800,5 +800,67 @@ object DedupQueries {
          |    p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin))
 
-  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11)
+  /** DECONTAMINATION: flag training documents sharing word 3-grams
+    * with a held-out evaluation set (here: the src0 documents) — the
+    * benchmark-leakage check an LLM data pipeline runs before
+    * training. The eval shingle set is eval-sized (broadcast at any
+    * corpus scale); training docs pay one scan-local shingle pass and
+    * a semi-join-shaped overlap count, so cost is O(corpus shingles),
+    * never corpus × eval. Emits per-source contamination rates and the
+    * worst overlap count.
+    */
+  private val d12 = Q(
+    "d12_decontaminate",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val sh = shingled(s, dir)
+      val evalIds = docs.filter(col("source") === "src0")
+        .select("doc_id")
+      val evalShingles = sh.join(evalIds, Seq("doc_id"), "left_semi")
+        .select("sh").distinct()
+      val overlaps = sh
+        .join(docs.filter(col("source") =!= "src0"), Seq("doc_id"))
+        .join(evalShingles, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+      docs.filter(col("source") =!= "src0")
+        .join(overlaps, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_contam"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_contam") >= 3, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          max("n_contam").as("max_overlap"))
+        .withColumn("contam_rate",
+          round(col("n_contaminated").cast("double") / col("n_docs"), 4))
+        .orderBy("source")
+    },
+    Some(s"""WITH sets AS (
+               SELECT doc_id, $duckShingles AS shs FROM documents),
+             ex AS (
+               SELECT doc_id, unnest(shs) AS sh FROM sets),
+             eval_sh AS (
+               SELECT DISTINCT sh FROM ex
+               SEMI JOIN (SELECT doc_id FROM documents
+                          WHERE source = 'src0') ev
+                 USING (doc_id)),
+             ov AS (
+               SELECT e.doc_id, count(*) AS n_contam
+               FROM ex e
+               JOIN documents d USING (doc_id)
+               SEMI JOIN eval_sh USING (sh)
+               WHERE d.source <> 'src0'
+               GROUP BY 1)
+             SELECT d.source, count(*) AS n_docs,
+                    CAST(sum(CASE WHEN coalesce(o.n_contam, 0) >= 3
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+                    CAST(max(coalesce(o.n_contam, 0)) AS BIGINT)
+                      AS max_overlap,
+                    round(sum(CASE WHEN coalesce(o.n_contam, 0) >= 3
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS contam_rate
+             FROM documents d LEFT JOIN ov o USING (doc_id)
+             WHERE d.source <> 'src0'
+             GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12)
 }

@@ -189,5 +189,33 @@ object ScalarFuncQueries {
             FROM orders WHERE o_custkey <= 100
             ORDER BY o_orderkey"""))
 
-  def all: Seq[Q] = Seq(strings, dates, math, arrays, maps)
+  /** Bitwise surface: AND/OR/XOR, shifts, bit_count — the operations
+    * flag-packed columns and hash-partitioned ids need (the LSH bucket
+    * math in SimilarityQueries is built on exactly these).
+    */
+  private val bitwise = Q(
+    "f_bitwise_funcs",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("low_byte"),
+          (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_flag"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("mixed"),
+          expr("shiftleft(o_orderkey, 2)").as("shl2"),
+          expr("shiftright(o_orderkey, 3)").as("shr3"),
+          bit_count(col("o_orderkey")).as("n_bits"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   o_orderkey & 255 AS low_byte,
+                   o_orderkey | 4096 AS with_flag,
+                   xor(o_orderkey, o_custkey) AS mixed,
+                   o_orderkey << 2 AS shl2,
+                   o_orderkey >> 3 AS shr3,
+                   CAST(bit_count(o_orderkey) AS INT) AS n_bits
+            FROM orders WHERE o_custkey <= 100
+            ORDER BY o_orderkey"""))
+
+  def all: Seq[Q] = Seq(strings, dates, math, arrays, maps, bitwise)
 }

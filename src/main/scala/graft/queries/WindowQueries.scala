@@ -390,6 +390,35 @@ object WindowQueries {
             FROM daily d LEFT JOIN firstd f USING (day)
             ORDER BY d.day"""))
 
+  /** W17 (beyond the reference): running maximum + drawdown — the
+    * peak-to-current decline over an expanding frame, the classic
+    * monitoring statistic (order values here; loss curves or QPS in a
+    * pipeline). One window pass per partition key.
+    */
+  private val w17 = Q(
+    "w17_running_max_drawdown",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .withColumn("peak", max("o_totalprice").over(w))
+        .withColumn("drawdown",
+          round((col("peak") - col("o_totalprice")) / col("peak"), 4))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "peak", "drawdown")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                   max(o_totalprice) OVER w AS peak,
+                   round((max(o_totalprice) OVER w - o_totalprice)
+                     / max(o_totalprice) OVER w, 4) AS drawdown
+            FROM orders WHERE o_custkey <= 200
+            WINDOW w AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING)
+            ORDER BY o_custkey, o_orderkey"""))
+
   def all: Seq[Q] =
-    Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16)
+    Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17)
 }
