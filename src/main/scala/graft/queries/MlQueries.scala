@@ -106,6 +106,91 @@ object MlQueries {
                      / (swxx - swx*swx/sw) * swx/sw, 4) AS intercept
             FROM a ORDER BY l_returnflag"""))
 
+  /** M1c — the SECOND IRLS iteration, still closed form: iteration 1's
+    * per-group (slope, intercept) — kept unrounded — re-enter the
+    * working-response construction (mu1 = exp(a1 + b1·x), w = mu1,
+    * z = ln(mu1) + (y − mu1)/mu1) and a second weighted least squares
+    * produces the next coefficients. Proves the IRLS *iteration* (not
+    * just one step) cross-engine: two chained rounds of the exact
+    * update MLlib's m1 runs 25 of. Per iteration: one sum-aggregate
+    * shuffle + one broadcast join of the group-cardinality
+    * coefficient table — the distributed cost model of the full GLM.
+    */
+  private val m1c = Q(
+    "m1c_poisson_irls2",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity")).as("y"), col("l_discount").as("x"))
+      def wls(rows: org.apache.spark.sql.DataFrame) = rows
+        .groupBy("l_returnflag")
+        .agg(sum("w").as("sw"),
+          sum(col("w") * col("x")).as("swx"),
+          sum(col("w") * col("z")).as("swz"),
+          sum(col("w") * col("x") * col("z")).as("swxz"),
+          sum(col("w") * col("x") * col("x")).as("swxx"))
+        .withColumn("b",
+          (col("swxz") - col("swx") * col("swz") / col("sw"))
+            / (col("swxx") - col("swx") * col("swx") / col("sw")))
+        .withColumn("a",
+          col("swz") / col("sw")
+            - (col("swxz") - col("swx") * col("swz") / col("sw"))
+              / (col("swxx") - col("swx") * col("swx") / col("sw"))
+              * col("swx") / col("sw"))
+        .select("l_returnflag", "a", "b")
+      val it1 = wls(d
+        .withColumn("mu", col("y") + lit(0.5))
+        .withColumn("w", col("mu"))
+        .withColumn("z", log(col("mu")) + (col("y") - col("mu")) / col("mu")))
+      val it2 = wls(d.join(broadcast(it1), Seq("l_returnflag"))
+        .withColumn("mu", exp(col("a") + col("b") * col("x")))
+        .withColumn("w", col("mu"))
+        .withColumn("z", log(col("mu")) + (col("y") - col("mu")) / col("mu")))
+      it2.select(col("l_returnflag"),
+        round(col("b"), 4).as("slope"),
+        round(col("a"), 4).as("intercept"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH d AS (
+              SELECT l_returnflag, round(l_quantity) AS y, l_discount AS x
+              FROM lineitem),
+            z1 AS (
+              SELECT l_returnflag, x, y,
+                     y + CAST(0.5 AS DOUBLE) AS w,
+                     ln(y + CAST(0.5 AS DOUBLE))
+                       + (y - (y + CAST(0.5 AS DOUBLE)))
+                         / (y + CAST(0.5 AS DOUBLE)) AS z
+              FROM d),
+            a1 AS (
+              SELECT l_returnflag, sum(w) AS sw, sum(w*x) AS swx,
+                     sum(w*z) AS swz, sum(w*x*z) AS swxz,
+                     sum(w*x*x) AS swxx
+              FROM z1 GROUP BY 1),
+            c1 AS (
+              SELECT l_returnflag,
+                     swz/sw - (swxz - swx*swz/sw)
+                       / (swxx - swx*swx/sw) * swx/sw AS a,
+                     (swxz - swx*swz/sw) / (swxx - swx*swx/sw) AS b
+              FROM a1),
+            z2 AS (
+              SELECT d.l_returnflag, d.x, c.a, c.b,
+                     exp(c.a + c.b * d.x) AS w,
+                     ln(exp(c.a + c.b * d.x))
+                       + (d.y - exp(c.a + c.b * d.x))
+                         / exp(c.a + c.b * d.x) AS z
+              FROM d JOIN c1 c USING (l_returnflag)),
+            a2 AS (
+              SELECT l_returnflag, sum(w) AS sw, sum(w*x) AS swx,
+                     sum(w*z) AS swz, sum(w*x*z) AS swxz,
+                     sum(w*x*x) AS swxx
+              FROM z2 GROUP BY 1)
+            SELECT l_returnflag,
+                   round((swxz - swx*swz/sw) / (swxx - swx*swx/sw), 4)
+                     AS slope,
+                   round(swz/sw - (swxz - swx*swz/sw)
+                     / (swxx - swx*swx/sw) * swx/sw, 4) AS intercept
+            FROM a2 ORDER BY l_returnflag"""))
+
   /** M2 mixed-effects approximation: pooled OLS slope/intercept
     * (fixed effects) + per-group empirical-Bayes-shrunk deviations
     * (ridge toward the pooled slope, lambda=30) — the same per-state
@@ -604,5 +689,6 @@ object MlQueries {
          |  SELECT * FROM r3)
          |ORDER BY iter""".stripMargin))
 
-  def all: Seq[Q] = Seq(m1, m1b, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12)
+  def all: Seq[Q] =
+    Seq(m1, m1b, m1c, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12)
 }
