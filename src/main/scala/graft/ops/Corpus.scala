@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Exact-dedup content fingerprint: md5 over whitespace-normalized
+    * lowercased text (t4 / d2 / pl3 / pl4 — one spelling, one key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Marker-word sets of the heuristic language ID (t3 / pl3), in the
+    * fixed en/es/fr tie order.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "les", "et", "de"))
+
   /** Email-shaped spans (t9 / pl4 redaction). */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

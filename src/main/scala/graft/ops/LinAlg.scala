@@ -7,6 +7,18 @@ package graft.ops
   */
 object LinAlg {
 
+  /** The native codegen dot product (graft.functions.DotProduct,
+    * injected by GraftExtensions as `graft_dot`) — the single wrapper
+    * every vector query uses; the interpreted HOF spelling
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is ~40× slower. Same
+    * accumulation order as the HOF version and the DuckDB oracles'
+    * list_sum(list_transform(list_zip(...))), so doubles match
+    * bit-for-bit.
+    */
+  def dot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
   /** Solve A x = b in place (A square, row-major copies made). */
   def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
     val n = b0.length

@@ -80,8 +80,7 @@ object DedupQueries {
     (s, dir) => {
       val w = Window.partitionBy("fp").orderBy("doc_id")
       Tables.load(s, dir, "documents")
-        .withColumn("fp",
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .withColumn("fp", graft.ops.Corpus.fingerprint(col("text")))
         .withColumn("rn", row_number().over(w))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -200,12 +199,14 @@ object DedupQueries {
       .toDF()
   }
 
-  /** LSH-verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
-    * the d4 plan body, shared with the cluster query d9: signatures →
-    * band self-join candidates → exact verify restricted to candidate
-    * documents' shingle sets.
+  /** The shared stages of the MinHash/LSH family (d4, d8, d9, d10):
+    * persisted signatures, band self-join candidate pairs, and the
+    * candidate-restricted shingle sets for exact verification.
     */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private case class LshParts(sigs: DataFrame, cand: DataFrame,
+      candSets: DataFrame)
+
+  private def lshParts(s: SparkSession, dir: String): LshParts = {
     val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until 4).map(j =>
@@ -232,11 +233,19 @@ object DedupQueries {
     val candSets = shingleSets(s, dir)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = candSets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+    LshParts(sigs, cand, candSets)
+  }
+
+  /** LSH-verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
+    * the d4 plan body, shared with the cluster queries d9/d10.
+    */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = lshParts(s, dir)
+    val a = p.candSets.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
       col("shs").as("shs_a"))
-    val b = candSets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+    val b = p.candSets.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
       col("shs").as("shs_b"))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    p.cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard", round(col("shared").cast("double")
         / (col("na") + col("nb") - col("shared")), 4))
@@ -375,7 +384,7 @@ object DedupQueries {
       // zip_with/aggregate lambdas are interpreted per pair (~36 s);
       // unrolling dim=64 into scalar Add chains stalls Catalyst
       // constraint inference for minutes.)
-      def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+      def dot(a: Column, b: Column): Column = graft.ops.LinAlg.dot(a, b)
       // e feeds both join sides; persist so the scan + interpreted
       // per-element cast + norm run once (small: vec_id + 64 doubles).
       val e = Tables.load(s, dir, "embeddings")
@@ -519,42 +528,24 @@ object DedupQueries {
   private val d8 = Q(
     "d8_minhash_est",
     (s, dir) => {
-      // Narrow signature persist (4 uses: band self-join + both est
-      // sides); shingle arrays are re-derived for candidate docs only,
-      // as in d4 — the cache never holds corpus-wide arrays.
-      val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val bands = sigs.select(col("doc_id"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band_idx"),
-            md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
-              .as("band_key"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val candDocs = cand
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct()
-      val candSets = shingleSets(s, dir)
-        .join(candDocs, Seq("doc_id"), "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val aCols = sigs.select(
+      // Shares the persisted sigs/cand/candSets stages with the rest of
+      // the LSH family (lshParts); the signature persist serves 4 uses
+      // here (band self-join + both est sides), and shingle arrays are
+      // only ever candidate-restricted.
+      val p = lshParts(s, dir)
+      val aCols = p.sigs.select(
         col("doc_id").as("doc_a") +:
           (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
-      val bCols = sigs.select(
+      val bCols = p.sigs.select(
         col("doc_id").as("doc_b") +:
           (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
-      val aSet = candSets.select(col("doc_id").as("doc_a"),
+      val aSet = p.candSets.select(col("doc_id").as("doc_a"),
         col("nsh").as("na"), col("shs").as("shs_a"))
-      val bSet = candSets.select(col("doc_id").as("doc_b"),
+      val bSet = p.candSets.select(col("doc_id").as("doc_b"),
         col("nsh").as("nb"), col("shs").as("shs_b"))
       val nEq = (0 until 8).map(i =>
         when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-      cand.join(aCols, Seq("doc_a")).join(bCols, Seq("doc_b"))
+      p.cand.join(aCols, Seq("doc_a")).join(bCols, Seq("doc_b"))
         .join(aSet, Seq("doc_a")).join(bSet, Seq("doc_b"))
         .withColumn("est_j", round(nEq.cast("double") / 8.0, 4))
         .withColumn("shared", size(array_intersect(col("shs_a"), col("shs_b"))))
@@ -758,7 +749,7 @@ object DedupQueries {
   private val d11 = Q(
     "d11_semantic_dedup",
     (s, dir) => {
-      def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+      def dot(a: Column, b: Column): Column = graft.ops.LinAlg.dot(a, b)
       val cent = KMeansOps.centroids(s, dir, KMeansOps.iters)
       // e feeds both self-join sides; persist so the scan + k-literal
       // argmin assignment + norm run once (same pattern as d6's e)

@@ -263,24 +263,32 @@ object EventQueries {
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")
     },
-    Some("""WITH g AS (
-              SELECT user_id, value, epoch_us(ts) AS ts_us,
-                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                          >= 1800000000
-                     THEN 1 ELSE 0 END AS new_sess
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
-            sess AS (
-              SELECT user_id, ts_us, value,
-                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-                  ROWS UNBOUNDED PRECEDING) AS sid
-              FROM g)
-            SELECT user_id, min(ts_us) AS session_start,
-                   count(*) AS n_events,
-                   round(sum(value), 4) AS session_value
-            FROM sess GROUP BY user_id, sid
-            ORDER BY user_id, session_start"""))
+    Some(sessionOracleSql))
+
+  /** The independent lag/running-sum session construction — the single
+    * source of truth both e9 (native batch session_window) and e11
+    * (streaming session_window replay) are hash-checked against, so
+    * the two proofs can never silently assert different gap semantics.
+    */
+  private val sessionOracleSql =
+    """WITH g AS (
+      |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+      |              >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |sess AS (
+      |  SELECT user_id, ts_us, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts_us) AS session_start,
+      |       count(*) AS n_events,
+      |       round(sum(value), 4) AS session_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -355,24 +363,7 @@ object EventQueries {
           col("n_events"), round(col("session_value"), 4).as("session_value"))
         .orderBy("user_id", "session_start")
     },
-    Some("""WITH g AS (
-              SELECT user_id, value, epoch_us(ts) AS ts_us,
-                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                          >= 1800000000
-                     THEN 1 ELSE 0 END AS new_sess
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
-            sess AS (
-              SELECT user_id, ts_us, value,
-                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-                  ROWS UNBOUNDED PRECEDING) AS sid
-              FROM g)
-            SELECT user_id, min(ts_us) AS session_start,
-                   count(*) AS n_events,
-                   round(sum(value), 4) AS session_value
-            FROM sess GROUP BY user_id, sid
-            ORDER BY user_id, session_start"""))
+    Some(sessionOracleSql))
 
   /** Funnel analysis: view → click → purchase, strictly ordered per
     * user (each stage's first occurrence must follow the previous

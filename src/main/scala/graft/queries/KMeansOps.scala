@@ -25,6 +25,16 @@ case class LloydIter(iter: Int, sizes: Map[Int, Long],
   * order (v·v − 2·(v·c) + c·c) so the exact-IEEE argmin matches, and
   * all emitted floats are rounded at 6 so last-bit differences between
   * Spark's partial-sum averages and DuckDB's never surface.
+  *
+  * Assignment-stability assumption: the argmin consumes UNROUNDED
+  * centroids that each engine averages independently, so integer
+  * outputs (cluster sizes, cell memberships) are stable only while
+  * every vector's margin between its two nearest centroids exceeds the
+  * engines' centroid drift (~1 ulp of partial-sum reordering). That
+  * holds by a wide margin on the synthetic embeddings (verified by the
+  * m10/s5/d11 oracle runs every round); a production corpus with
+  * near-equidistant vectors would round centroids to a fixed scale
+  * between iterations in both engines to pin assignments.
   */
 object KMeansOps {
 
@@ -33,7 +43,7 @@ object KMeansOps {
   val dim = 64
 
   private def dot(a: Column, b: Column): Column =
-    call_function("graft_dot", a, b)
+    graft.ops.LinAlg.dot(a, b)
 
   def loadV(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")

@@ -444,6 +444,13 @@ object MlQueries {
             FROM d JOIN b USING (l_suppkey)
             ORDER BY l_suppkey, l_orderkey, l_linenumber, pred"""))
 
+  /** (m9 deliberately keeps its own window-argmin spelling instead of
+    * delegating to [[KMeansOps.assignExpr]]'s array_min-struct argmin:
+    * the two independent constructions of the same Lloyd step, each
+    * hash-proven against its own oracle, cross-validate one another —
+    * the same pattern as e9's native session_window vs e2's
+    * lag/running-sum sessions.)
+    */
   /** M9 (beyond the reference): one Lloyd iteration of k-means over the
     * embeddings — seed centroids (vec_id < 4), exact argmin-L2
     * assignment, centroid recompute, per-cluster size + centroid shift.
@@ -459,7 +466,7 @@ object MlQueries {
     "m9_kmeans_step",
     (s, dir) => {
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        call_function("graft_dot", a, b)
+        graft.ops.LinAlg.dot(a, b)
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
@@ -657,7 +664,7 @@ object MlQueries {
       import s.implicits._
       import org.apache.spark.storage.StorageLevel
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        call_function("graft_dot", a, b)
+        graft.ops.LinAlg.dot(a, b)
       val e = KMeansOps.loadV(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       var v: Seq[Double] = Seq.fill(64)(0.125) // unit norm
       val trace =

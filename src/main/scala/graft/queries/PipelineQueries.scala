@@ -252,9 +252,9 @@ object PipelineQueries {
       val scored = Tables.load(s, dir, "documents")
         .withColumn("n_tokens",
           size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
-        .withColumn("s_en", score(Seq("the", "a", "and", "of")))
-        .withColumn("s_es", score(Seq("el", "la", "de", "que")))
-        .withColumn("s_fr", score(Seq("le", "les", "et", "de")))
+        .withColumn("s_en", score(graft.ops.Corpus.langMarkers(0)._2))
+        .withColumn("s_es", score(graft.ops.Corpus.langMarkers(1)._2))
+        .withColumn("s_fr", score(graft.ops.Corpus.langMarkers(2)._2))
         .withColumn("pred_lang",
           when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
             .when(col("s_es") >= col("s_fr"), "es")
@@ -262,8 +262,7 @@ object PipelineQueries {
         .filter(col("n_tokens") >= 20 && col("pred_lang") === col("lang"))
       val w = Window.partitionBy("fp").orderBy("doc_id")
       scored
-        .withColumn("fp",
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .withColumn("fp", graft.ops.Corpus.fingerprint(col("text")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy("source", "lang")
@@ -372,8 +371,7 @@ object PipelineQueries {
         .withColumn("clean", Corpus.redact(col("text")))
       val w = Window.partitionBy("fp").orderBy("doc_id")
       val surv = staged
-        .withColumn("fp",
-          md5(regexp_replace(lower(trim(col("clean"))), "\\s+", " ")))
+        .withColumn("fp", graft.ops.Corpus.fingerprint(col("clean")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
       val chunks = surv.select(col("doc_id"), col("source"), col("clean"))

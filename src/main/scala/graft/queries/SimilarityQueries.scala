@@ -50,10 +50,10 @@ object SimilarityQueries {
     * doubles are bit-identical to the HOF version and the oracle.
     */
   private def dot(a: Column, b: Column): Column =
-    call_function("graft_dot", a, b)
+    graft.ops.LinAlg.dot(a, b)
 
   private def norm(v: Column): Column =
-    sqrt(call_function("graft_dot", v, v))
+    sqrt(graft.ops.LinAlg.dot(v, v))
 
   /** Normalized vectors with per-plane LSH sign bits → bucket. */
   private def withBucket(df: DataFrame): DataFrame = {

@@ -109,8 +109,9 @@ object SourceQueries {
     "src4_bucketed_join",
     (s, dir) => {
       // external tables (explicit path option) — nothing lands in the
-      // static warehouse dir; the in-memory catalog holds the bucket spec
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      // static warehouse dir; the in-memory catalog holds the bucket
+      // spec. (No conf mutation here: queries share one session, and
+      // autoBucketedScan is already on by default.)
       Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
         .write.mode("overwrite")

@@ -93,9 +93,9 @@ object TextQueries {
       def score(markers: Seq[String]) =
         size(filter(toks, x => x.isInCollection(markers)))
       Tables.load(s, dir, "documents")
-        .withColumn("s_en", score(Seq("the", "a", "and", "of")))
-        .withColumn("s_es", score(Seq("el", "la", "de", "que")))
-        .withColumn("s_fr", score(Seq("le", "les", "et", "de")))
+        .withColumn("s_en", score(graft.ops.Corpus.langMarkers(0)._2))
+        .withColumn("s_es", score(graft.ops.Corpus.langMarkers(1)._2))
+        .withColumn("s_fr", score(graft.ops.Corpus.langMarkers(2)._2))
         .withColumn("pred_lang",
           when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
             .when(col("s_es") >= col("s_fr"), "es")
@@ -128,8 +128,7 @@ object TextQueries {
     "t4_fingerprint",
     (s, dir) => {
       Tables.load(s, dir, "documents")
-        .withColumn("fp",
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .withColumn("fp", graft.ops.Corpus.fingerprint(col("text")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("fp").as("n_unique"),
