@@ -270,7 +270,9 @@ object EventQueries {
     * (streaming session_window replay) are hash-checked against, so
     * the two proofs can never silently assert different gap semantics.
     */
-  private val sessionOracleSql =
+  // lazy: referenced by e9, whose val initializes before this point in
+  // the object's declaration order
+  private lazy val sessionOracleSql =
     """WITH g AS (
       |  SELECT user_id, value, epoch_us(ts) AS ts_us,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

