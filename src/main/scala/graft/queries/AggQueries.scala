@@ -381,6 +381,35 @@ object AggQueries {
               FROM orders WHERE o_custkey <= 200)
             WHERE rank <= 3 ORDER BY o_custkey, rank"""))
 
+  /** A16 (beyond the reference): argmin/argmax aggregates — the value
+    * of one column at another column's extreme (min_by/max_by), the
+    * single-pass alternative to a self-join or window for "the order
+    * key of the cheapest/priciest order per customer". Deterministic
+    * here because o_totalprice values are unique within each customer
+    * group in the testdata; ties would need a struct-ordering spelling.
+    */
+  private val a16 = Q(
+    "a16_argminmax",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 300)
+        .groupBy("o_custkey")
+        .agg(
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+          round(min("o_totalprice"), 4).as("min_price"),
+          round(max("o_totalprice"), 4).as("max_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey,
+                   arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+                   arg_max(o_orderkey, o_totalprice) AS priciest_order,
+                   round(min(o_totalprice), 4) AS min_price,
+                   round(max(o_totalprice), 4) AS max_price
+            FROM orders WHERE o_custkey <= 300
+            GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
-    Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, a12, a13, a14, a15)
+    Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, a12, a13, a14, a15,
+      a16)
 }

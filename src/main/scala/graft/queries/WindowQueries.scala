@@ -419,6 +419,52 @@ object WindowQueries {
               ROWS UNBOUNDED PRECEDING)
             ORDER BY o_custkey, o_orderkey"""))
 
+  /** W18 (beyond the reference): resample to a regular daily grid +
+    * forward fill — the time-series regularization step (the reference
+    * interpolates gaps per location, W5; this is the calendar-spine
+    * variant): per customer, a generated day spine from first to last
+    * order date left-joins the actual daily totals, and missing days
+    * take the last observed value (last_value IGNORE NULLS over an
+    * expanding frame). Spine generation is sequence()-per-key — no
+    * driver loop — and the fill is one window pass.
+    */
+  private val w18 = Q(
+    "w18_resample_ffill",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+        .agg(round(sum("o_totalprice"), 4).as("day_total"))
+      val spine = daily.groupBy("o_custkey")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("o_custkey"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("o_custkey", "day"), "left")
+        .withColumn("filled_total",
+          last("day_total", ignoreNulls = true).over(w))
+        .withColumn("is_observed", col("day_total").isNotNull.cast("int"))
+        .select("o_custkey", "day", "filled_total", "is_observed")
+        .orderBy("o_custkey", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                     round(sum(o_totalprice), 4) AS day_total
+              FROM orders WHERE o_custkey <= 50 GROUP BY 1, 2),
+            spine AS (
+              SELECT o_custkey,
+                unnest(generate_series(min(day), max(day),
+                  INTERVAL 1 DAY))::DATE AS day
+              FROM daily GROUP BY o_custkey)
+            SELECT s.o_custkey, s.day,
+                   last_value(d.day_total IGNORE NULLS) OVER (
+                     PARTITION BY s.o_custkey ORDER BY s.day
+                     ROWS UNBOUNDED PRECEDING) AS filled_total,
+                   CAST(d.day_total IS NOT NULL AS INT) AS is_observed
+            FROM spine s LEFT JOIN daily d USING (o_custkey, day)
+            ORDER BY s.o_custkey, s.day"""))
+
   def all: Seq[Q] =
-    Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17)
+    Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18)
 }
