@@ -41,21 +41,26 @@ object Bench {
       spark.catalog.clearCache()
     }
     // Failures must be VISIBLE, not silently timed: a broken query's
-    // time-to-exception would otherwise masquerade as a benchmark number.
+    // time-to-exception must neither appear as its per-query number nor
+    // contribute to the headline total — only successful passes count.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Map[String, Double] =
-      queries.map { case (name, fn) =>
+      queries.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => failed += name; false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        name -> dt
+        if (ok) Some(name -> dt) else None
       }
     val p1 = timedPass()
     val p2 = timedPass()
     val results = scala.collection.immutable.ListMap(
-      queries.keys.map(k => k -> math.min(p1(k), p2(k))).toSeq: _*)
+      queries.keys.flatMap(k => (p1.get(k), p2.get(k)) match {
+        case (Some(a), Some(b)) => Some(k -> math.min(a, b))
+        case (a, b)             => a.orElse(b).map(k -> _)
+      }).toSeq: _*)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

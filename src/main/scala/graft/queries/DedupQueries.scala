@@ -805,7 +805,9 @@ object DedupQueries {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"))
-      val sh = shingled(s, dir)
+      // sh feeds both the eval-shingle derivation and the overlap count;
+      // persist so the shingle scan pass runs once
+      val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val evalIds = docs.filter(col("source") === "src0")
         .select("doc_id")
       val evalShingles = sh.join(evalIds, Seq("doc_id"), "left_semi")

@@ -274,16 +274,16 @@ object EventQueries {
   // the object's declaration order
   private lazy val sessionOracleSql =
     """WITH g AS (
-      |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
       |              >= 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
       |sess AS (
       |  SELECT user_id, ts_us, value,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |      ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM g)
       |SELECT user_id, min(ts_us) AS session_start,

@@ -263,7 +263,7 @@ object JoinQueries {
               SELECT event_id, user_id, event_type, epoch_us(ts) AS t
               FROM events),
             g AS (
-              SELECT user_id, t,
+              SELECT user_id, event_id, t,
                 CASE WHEN lag(t) OVER w IS NULL
                        OR t - lag(t) OVER w >= 1800000000
                      THEN 1 ELSE 0 END AS new_sess
@@ -272,7 +272,8 @@ object JoinQueries {
             sess AS (
               SELECT user_id, sid, min(t) AS s_lo, max(t) AS s_hi FROM (
                 SELECT user_id, t,
-                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                  sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id
                     ROWS UNBOUNDED PRECEDING) AS sid
                 FROM g)
               GROUP BY 1, 2),

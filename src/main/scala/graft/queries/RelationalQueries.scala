@@ -252,10 +252,9 @@ object RelationalQueries {
 
   /** Data-quality constraint report — the validation pass a pipeline
     * runs before promoting a dataset: null keys, duplicate primary
-    * keys, referential integrity (orders→customer), domain ranges
-    * (non-negative quantity, discount ∈ [0,1]), and cross-field sanity
-    * (shipdate ≤ receiptdate proxy via date ordering columns). One
-    * scan per table + one anti-join; emits a fixed constraint × count
+    * keys, referential integrity (orders→customer), and domain ranges
+    * (non-negative quantity, discount ∈ [0,1]). One
+    * scan per table + one anti-join; emits a fixed rule × count
     * table, where zero is the passing value. At scale each check is a
     * partial-aggregable count — the report costs one pass, not one
     * job per rule.

@@ -358,9 +358,11 @@ object WindowQueries {
   private val w16 = Q(
     "w16_cumulative_distinct",
     (s, dir) => {
+      // ev feeds both the active-day counts and the first-day reduction
       val ev = Tables.load(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), to_date(col("ts")).as("day"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val daily = ev.distinct()
         .groupBy("day").agg(count(lit(1)).as("n_active"))
       val firstDays = ev.groupBy("user_id").agg(min("day").as("day"))
@@ -431,10 +433,12 @@ object WindowQueries {
   private val w18 = Q(
     "w18_resample_ffill",
     (s, dir) => {
+      // daily feeds both the spine bounds and the fill join
       val daily = Tables.load(s, dir, "orders")
         .filter(col("o_custkey") <= 50)
         .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
         .agg(round(sum("o_totalprice"), 4).as("day_total"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val spine = daily.groupBy("o_custkey")
         .agg(min("day").as("d0"), max("day").as("d1"))
         .select(col("o_custkey"),
