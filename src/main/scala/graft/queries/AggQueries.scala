@@ -409,7 +409,37 @@ object AggQueries {
             FROM orders WHERE o_custkey <= 300
             GROUP BY 1 ORDER BY 1"""))
 
+  /** A17 (beyond the reference): explicit GROUPING SETS — exactly the
+    * strata you ask for (unlike ROLLUP/CUBE's fixed lattices), one
+    * shuffle for all of them with map-side partial aggregation per
+    * stratum. pl1 uses this internally for its roll-up union; this is
+    * the visible, SQL-level form.
+    */
+  private val a17 = Q(
+    "a17_grouping_sets",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                      CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                      round(sum(l_quantity), 4) AS sum_qty,
+                      count(*) AS n
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                       (l_returnflag), ())
+               ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""))
+
   def all: Seq[Q] =
     Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, a12, a13, a14, a15,
-      a16)
+      a16, a17)
 }

@@ -114,6 +114,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("e12 funnel stage tables broadcast against the events pass") {
+    val df = SparkEntry.queries("e12_funnel")(spark, sfDir)
+    // the stage-table construction runs eagerly inside the query fn;
+    // pin the plan property on the click-after-view stage instead
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("t") > col("t_view"))
+    c.collect()
+    val p = c.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(df.count() == 3)
+  }
+
+  test("d12 decontamination joins stay keyed - no cartesian product") {
+    val df = SparkEntry.queries("d12_decontaminate")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("src5 fact scan is dynamically partition-pruned by the dim subquery") {
     val df = SparkEntry.queries("src5_partition_pruned_join")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
