@@ -426,5 +426,77 @@ object PipelineQueries {
                    CAST(sum(n_tok) AS BIGINT) AS sum_tokens
             FROM chunks GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(pl1, pl2, mm1, pl3, mm2, pl4)
+  /** Multimodal ENCODER→ANN plumbing: a stubbed per-partition encoder
+    * turns each binary payload into a 16-dim feature vector (byte-
+    * position sums over the first 64 header bytes — deterministic fake;
+    * a real CLIP-style encoder slots into the same mapPartitions
+    * batch), then the stub embeddings drive an exact kNN search (first
+    * 10 docs as queries, graft_dot cosine, top-3) — the
+    * encode-then-index shape a multimodal training pipeline runs. All
+    * header arithmetic is integer-exact, so the oracle replays it from
+    * the text column byte-for-byte.
+    */
+  private val mm3 = Q(
+    "mm3_media_embedding",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // one "encoder" per partition (stubbed, like mm1's decoder)
+          def at(b: Array[Byte], i: Int): Int =
+            if (i < b.length) b(i) & 0xff else 0
+          it.map { case (id, bytes) =>
+            val v = Array.tabulate(16) { d =>
+              (0 until 4).map(k => at(bytes, d + 16 * k)).sum.toDouble
+            }
+            (id, v.toSeq)
+          }
+        }.toDF("doc_id", "v")
+        .withColumn("nrm", sqrt(graft.ops.LinAlg.dot(col("v"), col("v"))))
+      val q = emb.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q).crossJoin(emb)
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(graft.ops.LinAlg.dot(col("qv"), col("v"))
+            / (col("qn") * col("nrm")), 4))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (
+              SELECT doc_id, list_transform(range(0, 16), d ->
+                CAST(ascii(substr(text, d + 1, 1))
+                   + ascii(substr(text, d + 17, 1))
+                   + ascii(substr(text, d + 33, 1))
+                   + ascii(substr(text, d + 49, 1)) AS DOUBLE)) AS v
+              FROM documents),
+            n AS (
+              SELECT doc_id, v,
+                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM e),
+            q AS (
+              SELECT doc_id AS query_id, v AS qv, nrm AS qn FROM n
+              WHERE doc_id < 10),
+            scored AS (
+              SELECT q.query_id, n.doc_id AS neighbor_id,
+                round(list_sum(list_transform(list_zip(qv, v),
+                    p -> p[1] * p[2])) / (qn * nrm), 4) AS cosine
+              FROM q CROSS JOIN n WHERE n.doc_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked
+            WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  def all: Seq[Q] = Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3)
 }
