@@ -855,5 +855,113 @@ object DedupQueries {
              WHERE d.source <> 'src0'
              GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12)
+  /** SimHash within HAMMING DISTANCE ≤ 2 — the real near-dup contract
+    * (d5's exact-equality match is its degenerate k=0 case). Candidate
+    * generation uses the pigeonhole banding trick: the 16-bit signature
+    * splits into 3 bands (5/5/6 bits); any pair within distance 2 has
+    * ≥1 band with zero differing bits, so equal-band pairs are a
+    * superset of the answer and candidates come from three equi-joins
+    * on (band_idx, band_bits) — never an all-pairs XOR. Verify =
+    * bit_count(xor) ≤ 2 on candidates only. At 100 TB the shuffle
+    * carries (band key, doc) rows; fanout is bounded by band-bucket
+    * occupancy exactly like MinHash-LSH banding.
+    */
+  private val d13 = Q(
+    "d13_simhash_hamming",
+    (s, dir) => {
+      import s.implicits._
+      val sig = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md5 = graft.ops.Hashing.newMd5()
+          it.flatMap { case (id, text) =>
+            val toks = text.split(" ").filter(_.nonEmpty)
+            if (toks.length < 3) Iterator.empty
+            else {
+              val shs = toks.sliding(3).map(_.mkString(" ")).toSet
+              val sums = new Array[Int](16)
+              shs.foreach { sh =>
+                val h = md5.hex(sh)
+                var k = 0
+                while (k < 16) {
+                  val v = Character.digit(h.charAt(k), 16)
+                  sums(k) += (if (v >= 8) 1 else -1)
+                  k += 1
+                }
+              }
+              var sim = 0L
+              var k = 0
+              while (k < 16) {
+                if (sums(k) > 0) sim |= 1L << k
+                k += 1
+              }
+              Iterator.single(DocSim(id, sim))
+            }
+          }
+        }.toDF()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // bands: bits [0,5), [5,10), [10,16)
+      val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("band_idx"),
+            (col("simhash").bitwiseAND(lit(31L))).as("band_bits")),
+          struct(lit(1).as("band_idx"),
+            (expr("shiftright(simhash, 5)").bitwiseAND(lit(31L)))
+              .as("band_bits")),
+          struct(lit(2).as("band_idx"),
+            expr("shiftright(simhash, 10)").as("band_bits")))).as("b"))
+        .select(col("doc_id"), col("simhash"),
+          col("b.band_idx"), col("b.band_bits"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_bits") === col("y.band_bits") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH sets AS (
+               SELECT doc_id, $duckShingles AS shs FROM documents),
+             ex AS (
+               SELECT doc_id, md5(unnest(shs)) AS h FROM sets),
+             bits AS (
+               SELECT doc_id,
+                 ${(1 to 16).map(k =>
+                   s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, $k, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS s$k")
+                   .mkString(", ")}
+               FROM ex GROUP BY 1),
+             sig AS (
+               SELECT doc_id,
+                 ${(1 to 16).map(k =>
+                   s"(CASE WHEN s$k > 0 THEN ${1L << (k - 1)} ELSE 0 END)")
+                   .mkString(" + ")} AS simhash
+               FROM bits),
+             bands AS (
+               SELECT doc_id, simhash, 0 AS band_idx,
+                      simhash & 31 AS band_bits FROM sig
+               UNION ALL
+               SELECT doc_id, simhash, 1, (simhash >> 5) & 31 FROM sig
+               UNION ALL
+               SELECT doc_id, simhash, 2, simhash >> 10 FROM sig),
+             cand AS (
+               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      x.simhash AS sig_a, y.simhash AS sig_b
+               FROM bands x JOIN bands y
+                 ON x.band_idx = y.band_idx
+                AND x.band_bits = y.band_bits
+                AND x.doc_id < y.doc_id)
+             SELECT doc_a, doc_b,
+                    CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+             FROM cand
+             WHERE bit_count(xor(sig_a, sig_b)) <= 2
+             ORDER BY doc_a, doc_b"""))
+
+  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13)
 }
