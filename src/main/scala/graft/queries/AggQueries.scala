@@ -257,6 +257,40 @@ object AggQueries {
               SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
             ORDER BY cohort, o_custkey"""))
 
+  /** U3 (beyond the reference): BAG-semantics set operations —
+    * INTERSECT ALL / EXCEPT ALL preserve multiplicities (a customer
+    * with 3 early and 2 late orders appears twice in the intersection
+    * and once in the early-only difference), where u2's set variants
+    * collapse them. The distinction matters whenever row counts carry
+    * meaning (per-order rows, not per-customer membership).
+    */
+  private val u3 = Q(
+    "u3_bag_setops",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val early = o.filter(col("o_orderdate") < "1998-01-01")
+        .select("o_custkey")
+      val late = o.filter(col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+      early.intersectAll(late).withColumn("cohort", lit("both_bag"))
+        .unionByName(early.exceptAll(late)
+          .withColumn("cohort", lit("early_excess")))
+        .groupBy("o_custkey", "cohort")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy("cohort", "o_custkey")
+    },
+    Some("""SELECT o_custkey, cohort, count(*) AS multiplicity FROM (
+              SELECT o_custkey, 'both_bag' AS cohort FROM (
+                SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+                INTERSECT ALL
+                SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
+              UNION ALL
+              SELECT o_custkey, 'early_excess' FROM (
+                SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+                EXCEPT ALL
+                SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01'))
+            GROUP BY 1, 2 ORDER BY cohort, o_custkey"""))
+
   /** A12 (beyond the reference): CUBE over two dimensions with
     * GROUPING() disambiguation — all four grouping strata in one pass.
     * At scale this is one shuffle; Spark expands the cube map-side and
@@ -440,6 +474,6 @@ object AggQueries {
             ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""))
 
   def all: Seq[Q] =
-    Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, a12, a13, a14, a15,
-      a16, a17)
+    Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, u3, a12, a13, a14,
+      a15, a16, a17)
 }
