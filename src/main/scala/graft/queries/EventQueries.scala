@@ -303,7 +303,8 @@ object EventQueries {
     * per-name) under an AvailableNow trigger, and return the sink
     * table. Complete mode because the memory sink holds final state.
     */
-  private def replayToMemorySink(s: SparkSession, dir: String, tag: String)(
+  private def replayToMemorySink(s: SparkSession, dir: String, tag: String,
+      mode: String = "complete")(
       agg: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -314,7 +315,7 @@ object EventQueries {
     val name = s"${tag}_${streamRun.incrementAndGet()}"
     val q = agg(stream).writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -366,6 +367,85 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     },
     Some(sessionOracleSql))
+
+  /** Third stream-batch equivalence row (X62 promoted into the
+    * verified surface): the events parquet replayed through the
+    * Spark 4 transformWithState API —
+    * [[graft.streaming.RunningTotalsProcessor]], typed ValueState per
+    * user in the RocksDB state store — in Update output mode, so the
+    * memory sink accumulates one row per (user, micro-batch) and the
+    * FINAL state per user is the update with the highest n_events
+    * (strictly increasing per key, so the pick is deterministic). The
+    * DuckDB oracle is the plain batch running-totals SQL: the driver
+    * hash-proves that arbitrary keyed state managed by the processor
+    * lands on exactly the batch answer.
+    */
+  private val e14 = Q(
+    "e14_stream_tws_equiv",
+    (s, dir) => {
+      // transformWithState requires the RocksDB state store provider
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val sink = replayToMemorySink(s, dir, "stream_tws", "update")(
+          ev => graft.streaming.EventStreams.runningUserTotalsTws(ev).toDF())
+        val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+        sink.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 4).as("total_value"))
+          .orderBy("user_id")
+      } finally
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** foreachBatch exactly-once sink proof (X78 promoted into the
+    * verified surface): the events stream lands in partitioned parquet
+    * via [[graft.streaming.EventStreams.sinkViaForeachBatch]], then the
+    * crash-recovery path is driven DELIBERATELY — batch 0 is
+    * redelivered through the same
+    * [[graft.streaming.EventStreams.writeBatchIdempotent]] call the
+    * sink uses (what the checkpoint does after a failure between write
+    * and commit). The dynamic partition overwrite rewrites the
+    * `batch_id=0` partition instead of appending, so the re-read
+    * aggregate still hash-matches the batch oracle: at-least-once
+    * redelivery + idempotent writes = exactly-once output.
+    */
+  private val e15 = Q(
+    "e15_foreachbatch_sink_equiv",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = System.getProperty("java.io.tmpdir") +
+        s"/graft_fb_sink_${streamRun.incrementAndGet()}"
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(outPath, true) // clean slate across Bench re-runs
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val proj = Seq("event_id", "user_id", "event_type", "value")
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(proj.map(col): _*)
+      val q = graft.streaming.EventStreams.sinkViaForeachBatch(stream, out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // single-file source + AvailableNow = one micro-batch; assert it
+      // so the redelivery below provably replays batch 0's exact content
+      val nb = s.read.parquet(out).select("batch_id").distinct().count()
+      require(nb == 1, s"expected a single micro-batch, got $nb")
+      val redelivered = Tables.load(s, dir, "events").select(proj.map(col): _*)
+      graft.streaming.EventStreams.writeBatchIdempotent(redelivered, 0L, out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** Funnel analysis: view → click → purchase, strictly ordered per
     * user (each stage's first occurrence must follow the previous
@@ -486,5 +566,6 @@ object EventQueries {
             FROM cohort c LEFT JOIN offs o USING (user_id)
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
+  def all: Seq[Q] =
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15)
 }

@@ -162,12 +162,23 @@ object EventStreams {
     agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
+        writeBatchIdempotent(batch, batchId, outDir)
       }
+
+  /** The per-batch write [[sinkViaForeachBatch]] runs — a NAMED method
+    * so the crash-recovery path is testable: redelivering a batchId
+    * (what the checkpoint does after a failure between write and
+    * commit) re-invokes this very function, and the dynamic partition
+    * overwrite rewrites that `batch_id=` partition instead of
+    * appending duplicates. e15 drives exactly that in the registry.
+    */
+  def writeBatchIdempotent(batch: Dataset[org.apache.spark.sql.Row],
+      batchId: Long, outDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
 
   /** Runnable demo: stream the events parquet through the tumbling
     * aggregation with an availableNow trigger (process-everything-
