@@ -392,6 +392,17 @@ object DedupQueries {
           col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // BASELINE-ONLY GUARD: exact all-pairs cosine is O(n²) by
+      // definition — this query exists as the labeled ground-truth
+      // baseline for d11 (cell-blocked semantic dedup, same threshold)
+      // and the ANN tier (s2/s5). Refuse loudly rather than silently
+      // launch a cartesian over a production-sized corpus. (The count
+      // also warms the persisted cache both join sides reuse.)
+      val nVecs = e.count()
+      require(nVecs <= 200000L,
+        s"d6_embedding_neardup is the exact all-pairs baseline " +
+          s"($nVecs vectors): use d11_semantic_dedup / s5_ivf_kmeans " +
+          "at corpus scale")
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("nrm_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),

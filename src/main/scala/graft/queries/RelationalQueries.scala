@@ -307,6 +307,46 @@ object RelationalQueries {
                                    WHERE c.c_custkey = o.o_custkey)))
             ORDER BY rule"""))
 
+  /** In-flight observed metrics (X85 promoted into the verified
+    * surface): `df.observe` accumulates audit counters DURING the job
+    * that computes the business answer — no second scan of the input.
+    * The query runs one filtered count over lineitem; the Observation
+    * rides that same job and yields total rows, total quantity, and
+    * return-row count, which are emitted as a one-row table the DuckDB
+    * oracle recomputes with plain aggregates. At 100 TB this is the
+    * difference between auditing for free and paying a second full
+    * pass. (ObservationSpec proves the same equality in-process;
+    * this row puts it under the driver's hash gate.)
+    */
+  private val obs1 = Q(
+    "obs1_inflight_metrics",
+    (s, dir) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val li = Tables.load(s, dir, "lineitem")
+      val nHi = li
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returns"))
+        .filter(col("l_quantity") > 25)
+        .count() // the ONE job; the observation fires with it
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("n_returns").asInstanceOf[Long],
+        nHi))
+        .toDF("n_rows", "sum_qty", "n_returns", "n_hi_qty")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_returns,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                    WHERE l_quantity > 25) AS n_hi_qty
+            FROM lineitem"""))
+
   def all: Seq[Q] =
-    Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1)
+    Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1)
 }
