@@ -40,7 +40,15 @@ object Corpus {
     * one half, 10-14 one quarter, 15+ one eighth.
     */
   def sourceThreshold(source: Column): Column = {
-    val srcNum = regexp_extract(source, "(\\d+)", 1).cast("int")
+    // Loud-fail on a source with no numeric stratum: Spark's
+    // regexp_extract yields '' (→ NULL int) where DuckDB's
+    // CAST('' AS INT) raises — align on the DuckDB behavior (error)
+    // instead of silently routing unknown sources to the 1/8 bucket.
+    val parsed = regexp_extract(source, "(\\d+)", 1)
+    val srcNum = when(parsed === "",
+      raise_error(concat(
+        lit("sourceThreshold: source without numeric stratum: "), source)))
+      .otherwise(parsed.cast("int"))
     when(srcNum < 5, lit("zz"))
       .when(srcNum < 10, lit("80"))
       .when(srcNum < 15, lit("40"))

@@ -416,11 +416,14 @@ object AggQueries {
             WHERE rank <= 3 ORDER BY o_custkey, rank"""))
 
   /** A16 (beyond the reference): argmin/argmax aggregates — the value
-    * of one column at another column's extreme (min_by/max_by), the
-    * single-pass alternative to a self-join or window for "the order
-    * key of the cheapest/priciest order per customer". Deterministic
-    * here because o_totalprice values are unique within each customer
-    * group in the testdata; ties would need a struct-ordering spelling.
+    * of one column at another column's extreme, the single-pass
+    * alternative to a self-join or window for "the order key of the
+    * cheapest/priciest order per customer". Spelled as min/max over
+    * (price, orderkey) STRUCTS rather than min_by/max_by: Spark's
+    * min_by tie behavior is non-deterministic, while struct ordering
+    * makes the tie-break explicit (cheapest tie → smallest orderkey,
+    * priciest tie → largest), so the hash check cannot go flaky if a
+    * fixture regeneration introduces duplicate prices.
     */
   private val a16 = Q(
     "a16_argminmax",
@@ -429,19 +432,29 @@ object AggQueries {
         .filter(col("o_custkey") <= 300)
         .groupBy("o_custkey")
         .agg(
-          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
-          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+          min(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("cheapest_order"),
+          max(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("priciest_order"),
           round(min("o_totalprice"), 4).as("min_price"),
           round(max("o_totalprice"), 4).as("max_price"))
         .orderBy("o_custkey")
     },
-    Some("""SELECT o_custkey,
-                   arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-                   arg_max(o_orderkey, o_totalprice) AS priciest_order,
+    Some("""WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice, o_orderkey) AS rmin,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax
+              FROM orders WHERE o_custkey <= 300)
+            SELECT o_custkey,
+                   min(CASE WHEN rmin = 1 THEN o_orderkey END)
+                     AS cheapest_order,
+                   min(CASE WHEN rmax = 1 THEN o_orderkey END)
+                     AS priciest_order,
                    round(min(o_totalprice), 4) AS min_price,
                    round(max(o_totalprice), 4) AS max_price
-            FROM orders WHERE o_custkey <= 300
-            GROUP BY 1 ORDER BY 1"""))
+            FROM r GROUP BY 1 ORDER BY 1"""))
 
   /** A17 (beyond the reference): explicit GROUPING SETS — exactly the
     * strata you ask for (unlike ROLLUP/CUBE's fixed lattices), one

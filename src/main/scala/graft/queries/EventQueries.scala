@@ -488,8 +488,12 @@ object EventQueries {
       Seq(("1_view", nv), ("2_click_after_view", nc),
         ("3_purchase_after_click", np))
         .toDF("stage", "n_users")
+        // empty-first-stage guard: emit NULL (not NaN/Inf) when no
+        // 'view' events exist, matching the oracle's CASE
         .withColumn("conv_from_first",
-          round(col("n_users").cast("double") / lit(nv.toDouble), 4))
+          when(lit(nv) > 0,
+            round(col("n_users").cast("double") / lit(nv.toDouble), 4))
+            .otherwise(lit(null).cast("double")))
         .orderBy("stage")
     },
     Some("""WITH v AS (
@@ -512,8 +516,9 @@ object EventQueries {
               UNION ALL
               SELECT '3_purchase_after_click', (SELECT count(*) FROM p))
             SELECT stage, n_users,
-                   round(n_users * 1.0
-                     / (SELECT count(*) FROM v), 4) AS conv_from_first
+                   CASE WHEN (SELECT count(*) FROM v) > 0
+                     THEN round(n_users * 1.0
+                       / (SELECT count(*) FROM v), 4) END AS conv_from_first
             FROM stages ORDER BY stage"""))
 
   /** Retention cohorts: users grouped by first-signup day, tracked by

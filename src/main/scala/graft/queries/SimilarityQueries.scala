@@ -451,17 +451,26 @@ object SimilarityQueries {
     "s7_ann_recall",
     (s, dir) => {
       import s.implicits._
-      val truth = s1.fn(s, dir).select("query_id", "neighbor_id")
-        .persist()
-      val nTruth = truth.count()
+      // The truth set is tiny by construction (10 queries × top-3):
+      // hold it as driver rows so the cache can be cleared between
+      // variants — each ANN pipeline persists its own corpus/signature
+      // frames internally, and without the per-variant clearCache the
+      // composite query's peak cache footprint stacks ALL variants.
+      val truthDf0 = s1.fn(s, dir).select("query_id", "neighbor_id")
+      val truthSchema = truthDf0.schema
+      val truthRows = truthDf0.collect()
+      val nTruth = truthRows.length.toLong
+      s.catalog.clearCache() // drop s1's internal persists
       val variants = Seq(s2, s3, s4, s5, s6)
       val rows = variants.map { q =>
+        val truth = s.createDataFrame(
+          java.util.Arrays.asList(truthRows: _*), truthSchema)
         val hit = q.fn(s, dir).select("query_id", "neighbor_id")
-          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left_semi")
           .count()
+        s.catalog.clearCache() // bound peak cache to one variant
         (q.name, hit, nTruth)
       }
-      truth.unpersist()
       rows.toDF("variant", "n_hit", "n_truth")
         .withColumn("recall",
           round(col("n_hit").cast("double") / col("n_truth"), 4))
