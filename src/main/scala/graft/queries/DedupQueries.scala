@@ -609,15 +609,15 @@ object DedupQueries {
   /** Dedup CLUSTERS: connected components over the LSH-verified
     * near-dup pairs — the step that turns pairwise matches into
     * dedup groups (pick one survivor per component, not per pair; a
-    * pair list alone double-counts chains A~B~C). Spark side: iterative
-    * min-label propagation over the symmetric edge list, a driver loop
-    * of join+groupBy rounds run to FIXPOINT (the per-round aggregate
-    * Σlabels is strictly decreasing until convergence, so the loop
-    * terminates in ≤ diameter rounds; near-dup components are tiny
-    * cliques/chains, so 2-3 rounds in practice). At 100 TB each round
-    * is one equi-join shuffle on doc_id — the standard DataFrame CC;
-    * for adversarially deep graphs the large-star/small-star variant
-    * halves rounds to O(log d), noted here as the escalation path.
+    * pair list alone double-counts chains A~B~C). Spark side:
+    * [[graft.ops.ConnectedComponents.minLabel]] — min-label
+    * propagation WITH per-round pointer jumping, run to FIXPOINT
+    * (Σlabels strictly decreases until convergence). The jump makes
+    * rounds O(log diameter) instead of O(diameter), so adversarially
+    * chain-shaped corpora converge in ~13 rounds at depth 4096
+    * (measured, ConnectedComponentsSpec) while the tiny-clique common
+    * case still finishes in 2-3. At 100 TB each round is two
+    * doc_id-keyed equi-join shuffles.
     * Oracle: DuckDB recursive CTE computing min reachable doc_id.
     */
   /** Connected-component labels (doc_id → min reachable doc_id) over
@@ -626,45 +626,15 @@ object DedupQueries {
     */
   private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
-      // localCheckpoint (eager) truncates the logical plan to the
-      // materialized RDD: without it every round re-ANALYZES the whole
-      // minhash/verify lineage plus one more join layer, and Catalyst
-      // planning (seconds per round on the deep tree) dwarfs the
-      // execution of the tiny cached data (measured: 1-2.5 s/round
-      // planning vs ~50 ms execution at sf0.1).
-      val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint()
-      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id"))
-        .localCheckpoint()
-      def lblSum(df: DataFrame): Long =
-        df.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
-      var prevSum = lblSum(labels)
-      var converged = false
-      var rounds = 0
-      // min-label propagation converges in <= diameter rounds, so the
-      // cap is a bug guard only — hitting it means the labels are NOT
-      // component minima, which must fail loudly, not ship silently.
-      val maxRounds = 1000
-      while (!converged && rounds < maxRounds) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-          .groupBy(col("doc_a").as("doc_id"))
-          .agg(min("lbl").as("nlbl"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        val curSum = lblSum(next)
-        labels = next
-        converged = curSum == prevSum
-        prevSum = curSum
-        rounds += 1
-      }
-      require(converged,
-        s"connected-components did not converge within $maxRounds rounds")
-      labels.select(col("doc_id"), col("lbl").as("cluster"))
+    // the symmetric union is localCheckpoint'ed inside
+    // ConnectedComponents.minLabel, truncating the minhash/verify
+    // lineage once before the loop (the d9 lesson: per-round Catalyst
+    // re-analysis of the growing tree, not execution, was the cost —
+    // measured 1-2.5 s/round planning vs ~50 ms execution at sf0.1).
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val (labels, _) = graft.ops.ConnectedComponents.minLabel(edges)
+    labels.select(col("doc_id"), col("lbl").as("cluster"))
   }
 
   private val d9 = Q(

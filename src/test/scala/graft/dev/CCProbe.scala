@@ -3,8 +3,12 @@ package graft.dev
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Probe: how many label-propagation rounds does d9 need at a given sf,
-  * and what does each round cost? usage: Test/runMain graft.dev.CCProbe <sfDir>
+/** Probe: rounds + wall time of the pointer-jumping CC
+  * (graft.ops.ConnectedComponents) on (a) the real d4 near-dup graph
+  * and (b) adversarial chain graphs of growing depth — the case plain
+  * min-label propagation handles in O(d) rounds and the escalation
+  * must handle in O(log d).
+  * usage: Test/runMain graft.dev.CCProbe [sfDir]
   */
 object CCProbe {
   def main(args: Array[String]): Unit = {
@@ -17,35 +21,27 @@ object CCProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def sym(df: org.apache.spark.sql.DataFrame) =
+      df.union(df.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+
+    // (a) the real near-dup graph
     val t0 = System.nanoTime()
     val pairs = graft.SparkEntry.queries("d4_minhash_lsh")(spark, dir)
       .select("doc_a", "doc_b")
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).persist()
-    var prev = labels.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
-    println(s"setup ${(System.nanoTime() - t0) / 1e9}s  nverts=${labels.count()}  nedges=${edges.count()}")
-    var done = false
-    var r = 0
-    while (!done && r < 30) {
+    val (lbl, rounds) = graft.ops.ConnectedComponents.minLabel(sym(pairs))
+    println(f"d4-graph  rounds=$rounds  nverts=${lbl.count()}  " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+
+    // (b) adversarial chains: depth d needs d rounds without jumping
+    for (n <- Seq(256L, 1024L, 4096L, 16384L)) {
       val t1 = System.nanoTime()
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min("lbl").as("nlbl"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
-      val cur = next.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
-      labels.unpersist()
-      labels = next
-      done = cur == prev
-      prev = cur
-      r += 1
-      println(f"round $r  sum=$cur  ${(System.nanoTime() - t1) / 1e9}%.2fs")
+      val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val (cl, r) = graft.ops.ConnectedComponents.minLabel(sym(chain))
+      val bad = cl.filter(col("lbl") =!= 0L).count()
+      println(f"chain n=$n  rounds=$r  mislabeled=$bad  " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2fs")
     }
     spark.stop()
   }
