@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * pass and candidate-bounded verify is the 100 TB design claim;
   * quadratic growth would falsify it.
   * usage: Test/runMain graft.dev.ScaleProbe [q1 q2 ...]
+  *        Test/runMain graft.dev.ScaleProbe ann   (ANN-family mode:
+  *        replicate embeddings m×, time s1/s2/s5/s6 + recall@3 vs the
+  *        per-scale brute-force truth)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ann")) { annProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -49,6 +53,59 @@ object ScaleProbe {
         spark.catalog.clearCache()
         println(f"SCALE x$m%-2d $q%-22s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
+    }
+    spark.stop()
+  }
+
+  /** ANN scaling: corpus replicated m× with perturbed vectors (replica
+    * i scales every component by 1+i/100 — near but not exact dups);
+    * the query set stays the 10 original vec_id<10 vectors, so runtime
+    * growth isolates corpus-side cost. Recall@3 is measured against
+    * the per-scale brute-force truth.
+    */
+  private def annProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    for (m <- Seq(1, 2, 4, 8)) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_ann_x$m"
+      val e = spark.read.parquet(s"$src/embeddings.parquet")
+      val n = e.count()
+      (0 until m).map(i =>
+          e.withColumn("vec_id", col("vec_id") + lit(i * n))
+            .withColumn("embedding",
+              if (i == 0) col("embedding")
+              else transform(col("embedding"),
+                x => x * lit(1.0f + i / 100.0f))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val truth = graft.SparkEntry.queries("s1_knn_bruteforce")(spark, dir)
+        .select("query_id", "neighbor_id").persist()
+      val nTruth = truth.count()
+      spark.catalog.clearCache() // keep s1's internals out of the timings
+      truth.persist(); truth.count()
+      for (q <- Seq("s1_knn_bruteforce", "s2_lsh_ann", "s5_ivf_kmeans",
+        "s6_lsh_multiprobe")) {
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm
+        spark.catalog.clearCache(); truth.persist(); truth.count()
+        val t0 = System.nanoTime()
+        val top = fn(spark, dir).select("query_id", "neighbor_id")
+        val hit = top.join(truth, Seq("query_id", "neighbor_id"),
+          "left_semi").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); truth.persist(); truth.count()
+        println(f"ANN x$m%-2d $q%-20s recall@3=${hit.toDouble / nTruth}%.2f" +
+          f"  $sec%.2fs")
+      }
+      truth.unpersist()
     }
     spark.stop()
   }
