@@ -152,22 +152,23 @@ object CovidSimulator {
     val resid = train.withColumn("r",
       col("y") - xs.zipWithIndex.map { case (c, i) => col(c) * lit(beta(i)) }
         .reduce(_ + _))
-    val perState = resid.groupBy("state").agg(
+    // per-state 2×2 solves run DISTRIBUTED: the sufficient statistics
+    // are one state-keyed aggregate shuffle, and the ridge solve is a
+    // per-row typed map on the executors — no group-cardinality data
+    // ever reaches the driver (only the p²-sized pooled fit above does)
+    val rows = resid.groupBy("state").agg(
         count(lit(1)).cast("double").as("n"),
         sum("lag_confirmed").as("sz"),
         sum(col("lag_confirmed") * col("lag_confirmed")).as("szz"),
         sum("r").as("sr"),
         sum(col("lag_confirmed") * col("r")).as("szr"))
-      .collect()
-    val rows = perState.map { row =>
-      val n = row.getAs[Double]("n"); val sz = row.getAs[Double]("sz")
-      val szz = row.getAs[Double]("szz"); val sr = row.getAs[Double]("sr")
-      val szr = row.getAs[Double]("szr")
-      val u = LinAlg.solve(
-        Array(Array(n + lambda, sz), Array(sz, szz + lambda)),
-        Array(sr, szr))
-      (row.getAs[String]("state"), "Intercept", u(0), u(1))
-    }.toSeq
+      .as[(String, Double, Double, Double, Double, Double)]
+      .map { case (state, n, sz, szz, sr, szr) =>
+        val u = LinAlg.solve(
+          Array(Array(n + lambda, sz), Array(sz, szz + lambda)),
+          Array(sr, szr))
+        (state, "Intercept", u(0), u(1))
+      }
     val rc = rows.toDF("state", "coef_name", "coef_value", "re_lag_confirmed")
       .withColumn("fe_Intercept", lit(beta(0)))
       .withColumn("Intercept", col("fe_Intercept") + col("coef_value"))
