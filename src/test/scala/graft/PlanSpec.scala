@@ -147,4 +147,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the partition column, not a static one
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
   }
+
+  test("CC loop output plan is checkpoint-truncated (d9 lineage pin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val (labels, _) = graft.ops.ConnectedComponents.minLabel(edges)
+    val p = labels.queryExecution.optimizedPlan.toString
+    // each round localCheckpoints, so the RETURNED frame's lineage is a
+    // materialized RDD scan — not the stack of per-round joins. If a
+    // refactor drops the truncation, the joins reappear here and every
+    // d9/d10 round re-pays Catalyst analysis of the growing tree
+    // (measured 8.7 s -> 2.4 s at sf0.1).
+    assert(p.contains("LogicalRDD") || p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.length < 2000,
+      s"CC output plan unexpectedly large (${p.length} chars) — lineage leak")
+  }
+
+  test("m10 k-means assignment pass is scan-local: literal centroids, " +
+      "no join, no exchange before the aggregate") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.queries.KMeansOps.loadV(spark, sfDir)
+    val cent = graft.queries.KMeansOps.seeds(e)
+    val assigned = e.withColumn("cluster",
+      graft.queries.KMeansOps.assignExpr(cent))
+    val p = assigned.queryExecution.executedPlan.toString
+    // the per-iteration assignment must never join against a centroid
+    // table — centroids ride as literals, so the pass is one scan with
+    // zero shuffles (the property that keeps m10/s5/d11 at one
+    // corpus-pass per Lloyd round at 100 TB)
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("graft_dot"), p.take(2000))
+  }
 }
