@@ -464,5 +464,146 @@ object TextQueries {
             SELECT lang, pred_lang, count(*) AS n
             FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
+  /** Repetition-based quality filter (the Gopher/C4 rule family): per
+    * document, the distinct-word fraction and the fraction of words
+    * covered by the single most frequent bigram — the cheap structural
+    * signals that catch boilerplate and degenerate repetition before
+    * any model-based scoring. All metrics are computed SCAN-LOCALLY in
+    * one typed mapPartitions pass (per-doc token array never leaves
+    * the task; the only shuffle is the final order), so the filter
+    * costs one corpus pass at any scale. The oracle recomputes the
+    * same metrics through a completely different construction (SQL
+    * unnest + group-by), cross-checking the per-doc combinatorics.
+    */
+  private val t11 = Q(
+    "t11_repetition_filter",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split(" ").filter(_.nonEmpty)
+          val n = toks.length
+          val nDistinct = toks.distinct.length
+          val topBigram =
+            if (n < 2) 0L
+            else toks.sliding(2).map(a => (a(0), a(1))).toSeq
+              .groupBy(identity).valuesIterator.map(_.size).max.toLong
+          (id, n.toLong, nDistinct.toLong, topBigram)
+        })
+        .toDF("doc_id", "n_words", "n_distinct", "top_bigram_n")
+        .filter(col("n_words") > 0)
+        .withColumn("distinct_frac",
+          round(col("n_distinct") / col("n_words"), 4))
+        .withColumn("top_bigram_frac",
+          round(col("top_bigram_n") * lit(2.0) / col("n_words"), 4))
+        .withColumn("keep",
+          (col("distinct_frac") >= 0.3 && col("top_bigram_frac") <= 0.2)
+            .cast("int"))
+        .select("doc_id", "n_words", "distinct_frac", "top_bigram_frac",
+          "keep")
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                x -> x <> '') AS ws
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     len(list_distinct(ws)) AS n_distinct, ws
+              FROM w WHERE len(ws) > 0),
+            bg AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+              FROM base, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+            bgc AS (
+              SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+            topb AS (
+              SELECT doc_id, max(c) AS top_c FROM bgc GROUP BY 1),
+            m AS (
+              SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+                     round(b.n_distinct * 1.0 / b.n_words, 4)
+                       AS distinct_frac,
+                     round(coalesce(t.top_c, 0) * 2.0 / b.n_words, 4)
+                       AS top_bigram_frac
+              FROM base b LEFT JOIN topb t USING (doc_id))
+            SELECT doc_id, n_words, distinct_frac, top_bigram_frac,
+                   CAST(CASE WHEN distinct_frac >= 0.3
+                          AND top_bigram_frac <= 0.2
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM m ORDER BY doc_id"""))
+
+  /** Model-based quality scoring (the KenLM-filter shape): train the
+    * add-1-smoothed bigram LM on the WHOLE corpus, then score the
+    * first 20 documents by average bigram log-probability
+    * ln((c12+1)/(c1+V)) — low scores flag out-of-distribution or
+    * degenerate text. Scale shape: the model is two
+    * vocabulary-bounded aggregates (bigram counts + unigram
+    * continuations) joined back onto the scored docs' bigrams — at
+    * 100 TB the model tables broadcast and scoring is one pass over
+    * the docs to score; nothing corpus-sized shuffles twice.
+    */
+  private val t12 = Q(
+    "t12_lm_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          text.toLowerCase(java.util.Locale.ROOT)
+            .split(" ").filter(_.nonEmpty).iterator.map((id, _))
+        })
+        .toDF("doc_id", "w")
+      val bigrams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val ts = text.toLowerCase(java.util.Locale.ROOT)
+            .split(" ").filter(_.nonEmpty)
+          if (ts.length < 2) Iterator.empty
+          else ts.sliding(2).map(a => (id, a(0), a(1)))
+        })
+        .toDF("doc_id", "w1", "w2")
+      val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1s = counts.groupBy("w1").agg(sum("c12").as("c1"))
+      val vocab = toks.select(countDistinct("w").as("v"))
+      bigrams.filter(col("doc_id") < 20)
+        .join(counts, Seq("w1", "w2"))
+        .join(c1s, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp",
+          log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("lp"), 4).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, t.pos, t.w1 FROM documents,
+                LATERAL (SELECT unnest(list_filter(
+                  string_split(lower(text), ' '), x -> x <> '')) AS w1,
+                  generate_subscripts(list_filter(
+                    string_split(lower(text), ' '), x -> x <> ''), 1) AS pos)
+                  t),
+            bigrams AS (
+              SELECT doc_id, w1,
+                lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM toks),
+            bg AS (SELECT * FROM bigrams WHERE w2 IS NOT NULL),
+            counts AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            c1s AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT w1) AS v FROM toks)
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln((c.c12 + 1.0)
+                     / (h.c1 + (SELECT v FROM vocab)))), 4) AS avg_logprob
+            FROM bg b
+            JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+            JOIN c1s h ON b.w1 = h.w1
+            WHERE b.doc_id < 20
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12)
 }
