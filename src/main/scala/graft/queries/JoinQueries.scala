@@ -323,5 +323,48 @@ object JoinQueries {
             FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11)
+  /** J12 (beyond the reference): FULL OUTER join with survivor-side
+    * markers — the reconciliation shape (two sources, rows unique to
+    * either side must surface, not drop). The two inputs are made to
+    * overlap only partially so all three row classes (both / left-only
+    * / right-only) appear. At scale a full outer join cannot broadcast
+    * either side — Spark plans a SortMergeJoin with one shuffle per
+    * side on the key, which is exactly right; `coalesce` of the two
+    * keys restores a total order for the hash check.
+    */
+  private val j12 = Q(
+    "j12_full_outer_join",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 150)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_custkey").between(100, 200))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("total"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"), col("total"),
+          col("o_custkey").isNull.cast("int").as("left_only"),
+          col("c_custkey").isNull.cast("int").as("right_only"))
+        .orderBy("custkey")
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 150),
+            o AS (
+              SELECT o_custkey, count(*) AS n_orders,
+                     round(sum(o_totalprice), 4) AS total
+              FROM orders WHERE o_custkey BETWEEN 100 AND 200
+              GROUP BY 1)
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_name, o.n_orders, o.total,
+                   CAST(o.o_custkey IS NULL AS INT) AS left_only,
+                   CAST(c.c_custkey IS NULL AS INT) AS right_only
+            FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
+            ORDER BY custkey"""))
+
+  def all: Seq[Q] =
+    Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12)
 }
