@@ -447,6 +447,72 @@ object EventQueries {
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Checkpoint RESUME proof (the other half of exactly-once, after
+    * e15's idempotent redelivery): the events table is split into two
+    * parquet files; the stream (file source → foreachBatch parquet
+    * sink, explicit checkpointLocation) is started with only file 1
+    * present, runs to completion under AvailableNow, and STOPS. File 2
+    * is then added and the query is STARTED AGAIN from the same
+    * checkpoint — the source's committed offsets make the second run
+    * process ONLY file 2 (as batch 1; a broken checkpoint would
+    * re-process file 1 as a duplicate or skip file 2). The re-read
+    * aggregate hash-matches the whole-table batch oracle, and the
+    * batch-id set {0,1} is asserted loudly.
+    */
+  private val e16 = Q(
+    "e16_stream_checkpoint_resume",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_ckpt_${streamRun.incrementAndGet()}"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val inDir = s"$base/in"; val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      fs.mkdirs(new Path(inDir))
+      val proj = Seq("event_id", "user_id", "event_type", "value")
+      val ev = Tables.load(s, dir, "events").select(proj.map(col): _*)
+      // stage one half as one flat file the file-source can list
+      def stage(half: DataFrame, name: String): Unit = {
+        val tmp = s"$base/stage_$name"
+        half.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$inDir/$name.parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(ev.schema).parquet(inDir)
+        val q = stream.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              graft.streaming.EventStreams
+                .writeBatchIdempotent(batch, batchId, outDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(ev.filter(col("event_id") % 2 === 0), "half0")
+      runOnce() // processes half0 as batch 0, commits offsets
+      stage(ev.filter(col("event_id") % 2 =!= 0), "half1")
+      runOnce() // RESUMES: only half1, as batch 1
+      // partition-dir inference types batch_id as int on read-back
+      val bids = s.read.parquet(outDir)
+        .select(col("batch_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      require(bids == Set(0L, 1L),
+        s"checkpoint resume broken: batch ids $bids (expected {0, 1})")
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** Funnel analysis: view → click → purchase, strictly ordered per
     * user (each stage's first occurrence must follow the previous
     * stage's). Each stage is a per-user min-aggregate joined onto the
@@ -572,5 +638,6 @@ object EventQueries {
             GROUP BY 1 ORDER BY 1"""))
 
   def all: Seq[Q] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
+      e16)
 }

@@ -148,6 +148,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("j12 full outer join plans as a sort-merge join (cannot broadcast)") {
+    val p = plan("j12_full_outer_join")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("CC loop output plan is checkpoint-truncated (d9 lineage pin)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
