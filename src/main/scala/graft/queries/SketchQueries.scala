@@ -31,5 +31,52 @@ object SketchQueries {
     },
     None) // sketches are engine-specific; bounded by SketchSpec instead
 
-  def all: Seq[Q] = Seq(sk1)
+  /** Cross-engine sketch ERROR-BOUND check: approximate values are
+    * implementation-defined (sk1 stays rows-only), but the property a
+    * production rollout actually needs — "the sketch is within
+    * tolerance of the exact answer" — IS engine-checkable: both
+    * engines compute their own sketch, their own exact answer, and the
+    * same tolerance predicate, and the hash compares the exact values
+    * plus the boolean verdicts. Spark's HLL++ at 2% target and
+    * percentile_approx at 10k accuracy sit far inside the 5% gate, as
+    * do DuckDB's HLL/t-digest — so the row is deterministic even
+    * though the underlying sketches never agree. At 100 TB the sketch
+    * side shuffles fixed-size state per group while the exact side
+    * shuffles every distinct value: this query IS the measured
+    * justification for shipping sketches.
+    */
+  private val sk2 = Q(
+    "sk2_sketch_error_bounds",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_custs"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("ac"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("am"))
+        .select(col("o_orderpriority"), col("exact_custs"),
+          round(col("exact_median"), 4).as("exact_median"),
+          (abs(col("ac") - col("exact_custs"))
+            <= col("exact_custs") * 0.05).cast("int").as("custs_within_5pct"),
+          (abs(col("am") - col("exact_median"))
+            <= abs(col("exact_median")) * 0.05).cast("int")
+            .as("median_within_5pct"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+                   round(median(o_totalprice), 4) AS exact_median,
+                   CAST(abs(approx_count_distinct(o_custkey)
+                          - count(DISTINCT o_custkey))
+                     <= count(DISTINCT o_custkey) * 0.05 AS INT)
+                     AS custs_within_5pct,
+                   CAST(abs(approx_quantile(o_totalprice, 0.5)
+                          - median(o_totalprice))
+                     <= abs(median(o_totalprice)) * 0.05 AS INT)
+                     AS median_within_5pct
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(sk1, sk2)
 }
