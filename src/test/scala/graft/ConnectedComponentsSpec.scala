@@ -60,6 +60,24 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds <= 4, s"tiny components took $rounds rounds")
   }
 
+  test("labels equal union-find on seeded random graphs (sparse + dense)") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val nVerts = 30 + rnd.nextInt(50)
+      // sparse seeds give forests/chains, dense ones give big components
+      val nEdges = nVerts / 2 + rnd.nextInt(nVerts * 2)
+      val pairs = Seq.fill(nEdges)(
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        val (labels, rounds) = ConnectedComponents.minLabel(symmetric(pairs))
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == unionFind(pairs), s"seed=$seed mismatch")
+        assert(rounds <= 16, s"seed=$seed took $rounds rounds")
+      }
+    }
+  }
+
   test("4096-vertex chain converges in O(log d) rounds, not O(d)") {
     val n = 4096L
     val pairs = (0L until n - 1).map(i => (i, i + 1))
