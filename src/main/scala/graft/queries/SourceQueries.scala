@@ -239,5 +239,37 @@ object SourceQueries {
             FROM documents WHERE doc_id % 97 <> 0
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6)
+  /** S7 (beyond the reference): raw TEXT-line source — the
+    * log-ingestion path. The nation table is serialized to
+    * pipe-delimited text lines with interleaved `#` comment lines
+    * (what real log/dump files carry), written via the text SINK, read
+    * back with `spark.read.text`, comment-filtered, and field-parsed
+    * with codegen'd split/cast expressions. The round-tripped rows
+    * must hash-match DuckDB reading the original parquet — proving the
+    * whole serialize → text-scan → parse path. At scale text scans
+    * split by line ranges exactly like CSV; the parse is scan-local.
+    */
+  private val s7 = Q(
+    "src7_text_lines_roundtrip",
+    (s, dir) => {
+      val out = tmpDir("nation_text_s7")
+      Tables.load(s, dir, "nation")
+        .select(concat_ws("|", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+        // interleave comment lines the reader must skip
+        .union(s.range(3).select(
+          concat(lit("# comment "), col("id")).as("value")))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .filter(!col("value").startsWith("#"))
+        .select(split(col("value"), "\\|").as("f"))
+        .select(col("f").getItem(0).cast("bigint").as("n_nationkey"),
+          col("f").getItem(1).as("n_name"),
+          col("f").getItem(2).cast("bigint").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7)
 }
