@@ -513,6 +513,80 @@ object EventQueries {
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Watermark LATE-DATA semantics proof: the oldest hour of events is
+    * delivered in a SECOND micro-batch, after the on-time remainder
+    * has advanced the watermark far past its windows — so the
+    * streaming tumbling aggregate (update mode, 1-hour watermark) must
+    * DROP every late row, and the final state equals the batch answer
+    * over the on-time subset only. The oracle recomputes exactly that
+    * subset (ts ≥ min(ts)+1h) in DuckDB — if the engine failed to drop
+    * late rows (or dropped the wrong boundary rows) the hash breaks.
+    * Complete-mode replays (e10/e11) prove batch equivalence; this row
+    * proves the watermark CONTRACT, which is what bounds state at
+    * 100 TB stream scale.
+    */
+  private val e17 = Q(
+    "e17_watermark_late_drop",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_late_${streamRun.incrementAndGet()}"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val inDir = s"$base/in"; val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      fs.mkdirs(new Path(inDir))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val cutoff = ev.agg((min(col("ts"))
+        + expr("INTERVAL 1 HOUR")).as("c")).first().getTimestamp(0)
+      val onTime = ev.filter(col("ts") >= lit(cutoff))
+      val late = ev.filter(col("ts") < lit(cutoff))
+      require(late.count() > 0 && onTime.count() > 0,
+        "late-drop proof is vacuous: need rows on both sides of cutoff")
+      def stage(half: DataFrame, name: String): Unit = {
+        val tmp = s"$base/stage_$name"
+        half.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$inDir/$name.parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(ev.schema).parquet(inDir)
+        val q = graft.streaming.EventStreams.tumblingCounts(stream)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              graft.streaming.EventStreams
+                .writeBatchIdempotent(batch, batchId, outDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(onTime, "a_ontime")
+      runOnce() // batch 0: on-time; commits watermark = max(ts) - 1h
+      stage(late, "b_late")
+      runOnce() // batch 1: every row is below the watermark -> dropped
+      val w = Window.partitionBy("event_type", "window_start")
+        .orderBy(col("batch_id").cast("long").desc)
+      s.read.parquet(outDir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1) // last update per window (batch 0's)
+        .select(col("event_type"),
+          col("window_start").as("hour_window"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("event_type", "hour_window")
+    },
+    Some("""WITH b AS (
+              SELECT min(ts) + INTERVAL 1 HOUR AS cutoff FROM events)
+            SELECT event_type, date_trunc('hour', ts) AS hour_window,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events, b WHERE ts >= b.cutoff
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Funnel analysis: view → click → purchase, strictly ordered per
     * user (each stage's first occurrence must follow the previous
     * stage's). Each stage is a per-user min-aggregate joined onto the
@@ -639,5 +713,5 @@ object EventQueries {
 
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16)
+      e16, e17)
 }
