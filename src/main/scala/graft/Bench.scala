@@ -65,7 +65,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The driver's BENCH artifact preserves only a ~2.2 KB stdout tail,
+    // which truncates the per-query map once the registry outgrows it
+    // (round 6 lost 85/144 timings). Persist the COMPLETE machine-readable
+    // result to a file (committed per round as BENCH_LOCAL_r{N}.json) so
+    // round-over-round comparisons never degrade; the same JSON is still
+    // printed as the very last stdout line so the tail captures its end.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -31,7 +31,8 @@ object Registry {
       graft.queries.SimilarityQueries.all ++
       graft.queries.EventQueries.all ++
       graft.queries.SketchQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.HeadlineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
 object Irls {
 
   /** Fit result: coefficient vector (intercept first, then `xCols`
-    * order), iterations used, and the final max |Δβ|.
+    * order), iterations used, the final max |Δβ|, and whether the
+    * tolerance was reached. `converged` is always true when
+    * `poissonFit` runs with its default strict mode — the loose mode
+    * exists only for callers that explicitly opt into inspecting a
+    * partial fit.
     */
-  final case class Fit(beta: Array[Double], iters: Int, delta: Double)
+  final case class Fit(beta: Array[Double], iters: Int, delta: Double,
+      converged: Boolean)
 
   /** Run IRLS to convergence for a Poisson GLM with log link.
     *
@@ -32,7 +37,8 @@ object Irls {
     * one the hash-proven m1b/m1c registry rows replay in DuckDB).
     */
   def poissonFit(df: DataFrame, yCol: String, xCols: Seq[String],
-      tol: Double = 1e-10, maxIter: Int = 25): Fit = {
+      tol: Double = 1e-10, maxIter: Int = 25,
+      requireConverged: Boolean = true): Fit = {
     val p = xCols.length + 1
     val xs = lit(1.0) +: xCols.map(col)
     var beta: Array[Double] = null
@@ -65,6 +71,13 @@ object Irls {
       beta = next
       it += 1
     }
-    Fit(beta, it, delta)
+    // Loud-fail on a non-converged fit (same posture as
+    // ConnectedComponents.minLabel's round cap): silently returning
+    // coefficients with delta >= tol would let a caller ship a bad model.
+    if (requireConverged) require(delta < tol,
+      s"Poisson IRLS did not converge in $maxIter iterations " +
+        s"(delta=$delta, tol=$tol); raise maxIter or pass " +
+        "requireConverged=false to inspect the partial fit")
+    Fit(beta, it, delta, converged = delta < tol)
   }
 }

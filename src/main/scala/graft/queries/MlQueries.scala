@@ -19,9 +19,18 @@ case class Rk4Out(l_suppkey: Long, rn: Int, sir_confirmed: Double,
 object MlQueries {
 
   /** M1 Poisson GLM (MLlib GeneralizedLinearRegression, IRLS,
-    * log link): round(l_quantity) ~ discount + tax + is_return.
-    * Emits the fitted coefficient table (the reference prints model
-    * summaries; downstream consumers join on the coefficient rows).
+    * log link), fitted per l_returnflag group: round(l_quantity) ~
+    * l_discount — the exact model whose closed-form IRLS path m1b/m1c
+    * hash-prove step-by-step and m1d runs to convergence. The Spark side
+    * here is MLlib's own IRLS solver (three group fits, each a fully
+    * distributed optimization; the driver holds 3 flag strings and 2
+    * doubles per group); the DuckDB oracle replays the closed-form IRLS
+    * to its fixed point (the m1d CTE chain) and reads the converged
+    * coefficients — so this row hash-proves MLLIB ITSELF against an
+    * independent engine, not just our re-derivation. IrlsSpec is the
+    * unit-level cross-check, and the multivariate (discount, tax,
+    * is_return) variant of this kernel is covered by the distributed
+    * normal-equations solver [[graft.ops.Irls.poissonFit]] + IrlsSpec.
     * Ref: covid_simulator.py:60-94.
     */
   private val m1 = Q(
@@ -29,26 +38,31 @@ object MlQueries {
     (s, dir) => {
       import org.apache.spark.ml.feature.VectorAssembler
       import org.apache.spark.ml.regression.GeneralizedLinearRegression
-      val df = Tables.load(s, dir, "lineitem")
-        .select(round(col("l_quantity")).as("y"),
-          col("l_discount"), col("l_tax"),
-          (col("l_returnflag") === "R").cast("double").as("is_return"))
-      val features = Array("l_discount", "l_tax", "is_return")
-      val assembled = new VectorAssembler()
-        .setInputCols(features).setOutputCol("features")
-        .transform(df)
-      val model = new GeneralizedLinearRegression()
-        .setFamily("poisson").setLink("log")
-        .setLabelCol("y").setMaxIter(25)
-        .fit(assembled)
-      val rows = ("intercept", model.intercept) +:
-        features.zip(model.coefficients.toArray).toSeq
       import s.implicits._
-      rows.toDF("feature", "coef")
-        .withColumn("coef", round(col("coef"), 4))
-        .orderBy("feature")
+      val df = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity")).as("y"), col("l_discount").as("x"))
+      val flags = df.select("l_returnflag").distinct()
+        .collect().map(_.getString(0)).sorted // 3 group labels
+      val rows = flags.toSeq.map { flag =>
+        val assembled = new VectorAssembler()
+          .setInputCols(Array("x")).setOutputCol("features")
+          .transform(df.filter(col("l_returnflag") === flag))
+        val model = new GeneralizedLinearRegression()
+          .setFamily("poisson").setLink("log")
+          .setLabelCol("y").setMaxIter(50).setTol(1e-10)
+          .fit(assembled)
+        (flag, model.coefficients(0), model.intercept)
+      }
+      rows.toDF("l_returnflag", "slope", "intercept")
+        .withColumn("slope", round(col("slope"), 4))
+        .withColumn("intercept", round(col("intercept"), 4))
+        .orderBy("l_returnflag")
     },
-    None) // IRLS is not SQL-expressible; driver records rows-only
+    Some(duckIrlsCtes(irlsIters) + s"""
+         |SELECT l_returnflag, round(b, 4) AS slope,
+         |       round(a, 4) AS intercept
+         |FROM c$irlsIters ORDER BY l_returnflag""".stripMargin))
 
   /** M1b — one IRLS iteration of the Poisson GLM (log link), closed
     * form, per l_returnflag group: cold start mu0 = y + 0.5 (the
@@ -197,7 +211,7 @@ object MlQueries {
     * delta column is exactly 0.0 from iteration 6 on, so 8 rounds SHOW
     * convergence inside the hash-checked trace rather than asserting it.
     */
-  private val irlsIters = 8
+  private def irlsIters = 8 // def: referenced by m1 above its definition
 
   /** DuckDB CTE chain replaying n closed-form IRLS rounds (the m1d
     * oracle): z$i rebuilds working weights/responses from iteration
