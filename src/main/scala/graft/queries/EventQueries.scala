@@ -545,6 +545,20 @@ object EventQueries {
       val late = ev.filter(col("ts") < lit(cutoff))
       require(late.count() > 0 && onTime.count() > 0,
         "late-drop proof is vacuous: need rows on both sides of cutoff")
+      // Sufficiency precondition, not just non-vacuity: batch 1 drops
+      // EVERY late row only if each late window's END (≤ the hour-ceiling
+      // of cutoff, since late ts < cutoff and windows are hour buckets)
+      // is ≤ the watermark batch 0 commits (max on-time ts − 1h). A
+      // regenerated events fixture spanning < ~3 hours would otherwise
+      // pass the non-vacuity guard yet surface as a confusing hash
+      // mismatch downstream — fail loudly here instead.
+      val maxTs = onTime.agg(max(col("ts"))).first().getTimestamp(0)
+      val hourMs = 3600000L
+      val ceilCutoffMs = ((cutoff.getTime + hourMs - 1) / hourMs) * hourMs
+      require(maxTs.getTime - hourMs >= ceilCutoffMs,
+        s"late-drop proof precondition broken: watermark " +
+          s"${maxTs.getTime - hourMs} ms < latest late window end " +
+          s"$ceilCutoffMs ms — the events fixture must span ≥ 3 hours")
       def stage(half: DataFrame, name: String): Unit = {
         val tmp = s"$base/stage_$name"
         half.coalesce(1).write.parquet(tmp)
@@ -586,6 +600,35 @@ object EventQueries {
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events, b WHERE ts >= b.cutoff
             GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** flatMapGroupsWithState batch-equivalence (the last spec-only
+    * streaming path lifted into the verified surface): the events
+    * parquet replayed through
+    * [[graft.streaming.EventStreams.runningUserTotals]] — arbitrary
+    * per-user (count, total) state via the classic
+    * flatMapGroupsWithState API, Update output mode — into a memory
+    * sink, mirroring e14's shape (e14 proves the Spark 4
+    * transformWithState successor; this row proves the original API on
+    * the default HDFS-backed state store). The sink holds one row per
+    * (user, micro-batch); n_events is strictly increasing per key, so
+    * the max-n_events row is the final state, and the DuckDB oracle is
+    * the plain batch running-totals SQL.
+    */
+  private val e18 = Q(
+    "e18_stream_fmgws_equiv",
+    (s, dir) => {
+      val sink = replayToMemorySink(s, dir, "stream_fmgws", "update")(
+        ev => graft.streaming.EventStreams.runningUserTotals(ev).toDF())
+      val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+      sink.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** Funnel analysis: view → click → purchase, strictly ordered per
     * user (each stage's first occurrence must follow the previous
@@ -713,5 +756,5 @@ object EventQueries {
 
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17)
+      e16, e17, e18)
 }

@@ -71,4 +71,52 @@ class ImageHeaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = parse("hello, definitely not a png".getBytes("US-ASCII"))
     assert(!r.getBoolean(0))
   }
+
+  // ---- PngCodec: real pixel decode (mm5) ----
+
+  test("PngCodec round-trips grayscale pixels through a real PNG") {
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val png = graft.ops.PngCodec.encodeGray(w, h, px)
+    // the emitted bytes are ALSO a valid PNG for the mm4 header parser
+    val r = parse(png)
+    assert(r.getBoolean(0) && r.getInt(1) == w && r.getInt(2) == h)
+    assert(r.getInt(3) == 8 && r.getInt(4) == 1) // gray = 1 channel
+    val g = graft.ops.PngCodec.decodeGray(png)
+    assert(g.width == w && g.height == h)
+    assert(g.pixels.toSeq == px.toSeq)
+  }
+
+  test("PngCodec decodes a PNG written by the JDK's ImageIO encoder " +
+      "(independent real-world producer, arbitrary filter choices)") {
+    import java.awt.image.BufferedImage
+    val w = 9; val h = 6
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array.tabulate(w * h)(i => (i * 53 + 7) % 256)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(y * w + x))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val g = graft.ops.PngCodec.decodeGray(baos.toByteArray)
+    assert(g.width == w && g.height == h)
+    assert(g.pixels.map(_ & 0xff).toSeq == px.toSeq)
+  }
+
+  test("PngCodec loud-fails on corrupted bytes instead of decoding " +
+      "wrong pixels") {
+    val png = graft.ops.PngCodec.encodeGray(4, 3,
+      Array.tabulate(12)(_.toByte))
+    // flip one byte inside the IDAT payload -> CRC mismatch
+    val corrupt = png.clone()
+    corrupt(40) = (corrupt(40) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.PngCodec.decodeGray(corrupt)
+    }
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("chunk")
+      || e.getMessage.contains("zlib"))
+    val noSig = "plain text".getBytes("US-ASCII")
+    intercept[IllegalArgumentException] {
+      graft.ops.PngCodec.decodeGray(noSig)
+    }
+  }
 }
