@@ -8,6 +8,12 @@ object Verify {
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet // optional query-name filter for dev iteration
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE posture: deliberately NOT configured — adaptive execution and
+    // its skew-join split stay at Spark's defaults (on) here and in every
+    // other session builder in this repo, so runtime re-planning (skew
+    // split, partition coalescing, join-strategy flips) is always armed.
+    // PlanSpec asserts this and proves the skew split engages;
+    // ScaleProbe's `skew` mode measures what it buys.
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",

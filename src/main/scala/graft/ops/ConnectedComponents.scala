@@ -42,8 +42,14 @@ object ConnectedComponents {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint()
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).first().getLong(0)
+    // Convergence metric aggregated as DECIMAL(38,0): labels are vertex
+    // ids, and at billion-scale 64-bit ids a Long sum can overflow and
+    // wrap — two DISTINCT label states could then compare equal and
+    // fake convergence. 38 decimal digits hold any sum of 2^63-sized
+    // ids over < 10^19 vertices exactly.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
     var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
@@ -70,7 +76,7 @@ object ConnectedComponents {
         .localCheckpoint()
       val curSum = lblSum(jumped)
       labels = jumped
-      converged = curSum == prevSum
+      converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       rounds += 1
     }

@@ -55,6 +55,36 @@ object Corpus {
       .otherwise(lit("20"))
   }
 
+  /** True when `source` carries no numeric stratum — the rows
+    * [[sourceThreshold]] refuses. Exposed so lenient-mode callers can
+    * count or quarantine them (e.g. `df.observe("quarantine",
+    * sum(Corpus.stratumUnparseable(col("source")).cast("long")))`).
+    */
+  def stratumUnparseable(source: Column): Column =
+    regexp_extract(source, "(\\d+)", 1) === ""
+
+  /** Opt-in LENIENT stratum threshold for production ingest: malformed
+    * sources route to the most-conservative 1/8 keep-bucket instead of
+    * aborting the whole corpus pass, and callers count/quarantine them
+    * via [[stratumUnparseable]]. Verification runs keep the strict
+    * [[sourceThreshold]] (raise_error) so the oracle comparison can
+    * never silently diverge on poison rows — that strictness is
+    * deliberate, not an oversight, and this is its documented escape
+    * hatch at scale.
+    */
+  def sourceThresholdLenient(source: Column): Column = {
+    val parsed = regexp_extract(source, "(\\d+)", 1)
+    // guard BEFORE the cast: under ANSI mode (Spark 4 default) casting
+    // the '' of a non-match throws — exactly the abort this mode avoids
+    val srcNum = when(parsed === "", lit(null)).otherwise(parsed)
+      .cast("int")
+    when(srcNum.isNull, lit("20"))
+      .when(srcNum < 5, lit("zz"))
+      .when(srcNum < 10, lit("80"))
+      .when(srcNum < 15, lit("40"))
+      .otherwise(lit("20"))
+  }
+
   /** Keep-predicate of the stratified sample. */
   def sampleKeep(text: Column, source: Column): Column =
     substring(md5(text), 1, 2) < sourceThreshold(source)

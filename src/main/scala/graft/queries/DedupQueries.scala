@@ -399,6 +399,14 @@ object DedupQueries {
       // launch a cartesian over a production-sized corpus. (The count
       // also warms the persisted cache both join sides reuse.)
       val nVecs = e.count()
+      // Threshold derivation (not a magic number): the codegen'd
+      // graft_dot sustains ~10M 64-dim pair-dots/sec/core (measured at
+      // sf0.1); on a 32-core node that is ~3.2e8 pairs/sec, so a 2-hour
+      // baseline budget buys ~2.3e12 pairs ≈ (2.1e6)²/2. One order of
+      // magnitude of safety margin for wider vectors / busier nodes
+      // gives n ≈ 2e5 — beyond that the quadratic term outgrows any
+      // single-node budget and the answer is the bucketed tier, not a
+      // bigger budget.
       require(nVecs <= 200000L,
         s"d6_embedding_neardup is the exact all-pairs baseline " +
           s"($nVecs vectors): use d11_semantic_dedup / s5_ivf_kmeans " +

@@ -174,6 +174,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"CC output plan unexpectedly large (${p.length} chars) — lineage leak")
   }
 
+  test("AQE stays default-on and its skew-join rule splits an " +
+      "adversarially skewed shuffle join") {
+    import org.apache.spark.sql.functions._
+    // Posture assertion: no session builder in this repo pins AQE or its
+    // skew-join rule off — both must sit at their Spark defaults (on).
+    // j9 is the MANUAL salting defense; this automatic split is the
+    // first line of defense at 100× scale.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force the shuffle join and scale the bytes-based detection
+      // thresholds down with the test data (production defaults target
+      // executor-sized partitions); the payload must be incompressible
+      // AND survive into the join output — skew detection reads shuffle
+      // bytes, and a pruned constant key column compresses under any
+      // threshold
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "128k")
+      val fact = spark.range(200000L).select(
+        when(pmod(col("id"), lit(10)) =!= 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(10000))).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(10000L)
+        .select(col("id").as("k"), (col("id") * 7).as("v"))
+      val df = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), max("payload").as("mx"))
+      assert(df.collect()(0).getLong(0) == 200000L)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("m10 k-means assignment pass is scan-local: literal centroids, " +
       "no join, no exchange before the aggregate") {
     import org.apache.spark.sql.functions.col

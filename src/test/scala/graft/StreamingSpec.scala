@@ -207,4 +207,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // user 2: 01:05 | 02:30 -> 2 sessions
     assert(out == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
   }
+
+  test("watermark BOUNDS state-store size: rows plateau under the 1-hour " +
+      "horizon and grow without end when no watermark is set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // 12 micro-batches, each one event in a NEW hour window — so a
+    // stream that keeps every window accumulates 12 state rows, while
+    // the 1-hour watermark (e17 proves its drop semantics; this proves
+    // its STATE contract, the property that matters at 100 TB) retains
+    // only the windows still inside the horizon.
+    def run(withWm: Boolean): Seq[Long] = {
+      val mem = MemoryStream[Ev]
+      val agg =
+        if (withWm) EventStreams.tumblingCounts(mem.toDF())
+        else mem.toDF()
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory")
+        .queryName(s"state_probe_$withWm")
+        .outputMode(if (withWm) "update" else "complete")
+        .start()
+      val sizes = (0 until 12).map { h =>
+        mem.addData(Ev(h, ts(f"2024-01-01 $h%02d:15:00"), h, "click", 1.0))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      q.stop()
+      sizes
+    }
+    val bounded = run(withWm = true)
+    val unbounded = run(withWm = false)
+    info(s"state rows with 1h watermark: ${bounded.mkString(",")}")
+    info(s"state rows without watermark: ${unbounded.mkString(",")}")
+    // no watermark: every hour window stays in the store forever
+    assert(unbounded.last >= 12L, unbounded.mkString(","))
+    // watermark: eviction keeps only the horizon (plus the one-batch
+    // lag with which the watermark trails event time)
+    assert(bounded.max <= 4L, bounded.mkString(","))
+    assert(bounded.last <= 4L, bounded.mkString(","))
+  }
 }

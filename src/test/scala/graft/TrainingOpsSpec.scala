@@ -87,4 +87,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("best6") < col("best2")).count()
     assert(worse == 0)
   }
+
+  test("Corpus stratum thresholds: strict aborts on a malformed source, " +
+      "lenient quarantines it into the 1/8 bucket") {
+    import spark.implicits._
+    import graft.ops.Corpus
+    val good = Seq("src3", "src7", "src12", "src20").toDF("source")
+    // strict and lenient agree wherever strict is defined
+    assert(good.filter(Corpus.sourceThresholdLenient(col("source"))
+      =!= Corpus.sourceThreshold(col("source"))).count() == 0)
+    val bad = Seq("srcX", "src3").toDF("source")
+    intercept[Exception] {
+      bad.select(Corpus.sourceThreshold(col("source"))).collect()
+    }
+    val lenient = bad.select(
+      Corpus.sourceThresholdLenient(col("source")).as("thr"),
+      Corpus.stratumUnparseable(col("source")).as("quarantined")).collect()
+    assert(lenient.exists(r => r.getString(0) == "20" && r.getBoolean(1)))
+    assert(lenient.exists(r => r.getString(0) == "zz" && !r.getBoolean(1)))
+  }
 }

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ann")) { annProbe(); return }
+    if (args.headOption.contains("skew")) { skewProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -53,6 +54,58 @@ object ScaleProbe {
         spark.catalog.clearCache()
         println(f"SCALE x$m%-2d $q%-22s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
+    }
+    spark.stop()
+  }
+
+  /** AQE skew-join probe: an adversarially skewed shuffle join — 90% of
+    * 20M fact rows share ONE join key — timed with the AQE skew-join
+    * rule on vs off. j9 is the manual salting defense; at 100× the
+    * FIRST defense is AQE's automatic skewed-partition split, so this
+    * measures that it actually engages (the executed plan shows
+    * `skew=true` on the SMJ) and what it buys. Broadcast is disabled to
+    * force the shuffle join, and the detection thresholds are scaled
+    * down with the data (production defaults, factor 5 / 256 MB, target
+    * real executor-sized partitions) so the probe exercises the same
+    * rule the cluster would. AQE itself stays at its default-on
+    * posture everywhere in this repo — no session builder pins it.
+    * usage: Test/runMain graft.dev.ScaleProbe skew
+    */
+  private def skewProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // incompressible per-row payload (md5 hex) that SURVIVES into the
+    // join output: skew detection is shuffle-BYTES-based, and a pruned
+    // all-zero hot key column compresses below any threshold (measured:
+    // a bare 8-byte key column never triggers the split)
+    val n = 10000000L
+    val fact = spark.range(n).select(
+      when(pmod(col("id"), lit(10)) =!= 0, lit(0L))
+        .otherwise(pmod(col("id"), lit(1000000))).as("k"),
+      md5(col("id").cast("string")).as("payload"))
+    val dim = spark.range(1000000L)
+      .select(col("id").as("k"), (col("id") * 7).as("v"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    for (on <- Seq(true, false); rep <- 1 to 2) {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)
+      val t0 = System.nanoTime()
+      val df = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n_rows"), sum("v").as("checksum"),
+          max("payload").as("mx"))
+      val row = df.collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val split = df.queryExecution.executedPlan.toString.contains("skew=true")
+      println(f"SKEW aqe_skewjoin=$on%-5s rep=$rep $sec%6.2fs " +
+        f"skew_split=$split rows=${row.getLong(0)}")
     }
     spark.stop()
   }
