@@ -473,7 +473,11 @@ object EventQueries {
       fs.mkdirs(new Path(inDir))
       val proj = Seq("event_id", "user_id", "event_type", "value")
       val ev = Tables.load(s, dir, "events").select(proj.map(col): _*)
-      // stage one half as one flat file the file-source can list
+      // stage one half as one flat file the file-source can list.
+      // coalesce(1) is TEST-HARNESS staging of a micro-batch fixture —
+      // never copy it into a real sink: one task would serialize the
+      // whole write (the real sinks here are the partitioned
+      // writeBatchIdempotent outputs).
       def stage(half: DataFrame, name: String): Unit = {
         val tmp = s"$base/stage_$name"
         half.coalesce(1).write.parquet(tmp)

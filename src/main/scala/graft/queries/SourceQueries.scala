@@ -271,5 +271,36 @@ object SourceQueries {
     Some("""SELECT n_nationkey, n_name, n_regionkey
             FROM nation ORDER BY n_nationkey"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7)
+  /** S8 (beyond the reference): ORC source/sink roundtrip — Spark's
+    * second native columnar format (vectorized reader, predicate
+    * pushdown and column pruning exactly like parquet; the format an
+    * existing Hive/ORC estate hands a pipeline). The lineitem
+    * projection is written as ORC, read back with a pushed filter, and
+    * aggregated; the hash must match DuckDB reading the ORIGINAL
+    * parquet — proving the ORC write→scan path preserves values,
+    * types, and filter semantics end-to-end.
+    */
+  private val s8 = Q(
+    "src8_orc_roundtrip",
+    (s, dir) => {
+      val out = tmpDir("lineitem_orc_s8")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("l_quantity") >= 25.0) // pushed into the ORC scan
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price
+            FROM lineitem WHERE l_quantity >= 25.0
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8)
 }

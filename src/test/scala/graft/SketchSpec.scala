@@ -28,7 +28,10 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   test("sk1 approximations stay within error bounds of the exact answers") {
+    // select by NAME: sk1 also carries exact/rel-err diagnostic columns
     val approx = SparkEntry.queries("sk1_approx_sketches")(spark, sfDir)
+      .select("o_orderpriority", "approx_custs", "approx_median_price",
+        "approx_p95_price")
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = graft.ops.Tables.load(spark, sfDir, "orders")
