@@ -486,7 +486,44 @@ object AggQueries {
                                     (l_returnflag), ())
             ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""))
 
+  /** A18 (beyond the reference): fixed-bin histogram — the
+    * distribution-profiling pass a data-quality/EDA stage runs before
+    * choosing filters. 20 equal-width bins over o_totalprice with
+    * explicit bounds; the bin id is pure floor arithmetic
+    * (`least(floor((x−lo)/w), n−1)`, identical double ops on both
+    * engines → identical bins), so the whole histogram is ONE
+    * map-side-combined aggregate — shuffle carries 20 rows regardless
+    * of data size, the property that makes profiling free at 100 TB.
+    */
+  private val a18 = Q(
+    "a18_histogram",
+    (s, dir) => {
+      val lo = 0.0; val hi = 600000.0; val nBins = 20
+      val w = (hi - lo) / nBins
+      Tables.load(s, dir, "orders")
+        .withColumn("bin",
+          least(floor((col("o_totalprice") - lit(lo)) / lit(w)),
+            lit(nBins - 1.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 4).as("bin_min"),
+          round(max("o_totalprice"), 4).as("bin_max"))
+        .withColumn("bin_lo", round(col("bin") * w, 4))
+        .select("bin", "bin_lo", "n", "bin_min", "bin_max")
+        .orderBy("bin")
+    },
+    Some("""SELECT bin, round(bin * 30000.0, 4) AS bin_lo,
+                   count(*) AS n,
+                   round(min(o_totalprice), 4) AS bin_min,
+                   round(max(o_totalprice), 4) AS bin_max
+            FROM (
+              SELECT o_totalprice,
+                     CAST(least(floor((o_totalprice - 0.0) / 30000.0),
+                                19.0) AS BIGINT) AS bin
+              FROM orders)
+            GROUP BY bin ORDER BY bin"""))
+
   def all: Seq[Q] =
     Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, u3, a12, a13, a14,
-      a15, a16, a17)
+      a15, a16, a17, a18)
 }

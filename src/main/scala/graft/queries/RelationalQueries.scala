@@ -347,6 +347,73 @@ object RelationalQueries {
                     WHERE l_quantity > 25) AS n_hi_qty
             FROM lineitem"""))
 
+  /** P12 (beyond the reference): SCD type-2 dimension merge — the
+    * upsert-with-history pattern every warehouse dimension needs and
+    * plain Spark (no table format) must express relationally. The
+    * current snapshot (customer, one open version per key, valid_from
+    * 1995-01-01) merges a deterministic change set (every 7th customer
+    * re-rated +100.0 acctbal, effective 1997-01-01): changed keys
+    * CLOSE their old version (valid_to = effective date) and open a
+    * new current one; untouched keys pass through. One broadcast join
+    * (the change set is always ≪ the dimension) + a union — at scale,
+    * with the dimension bucketed by key, neither side shuffles and
+    * unmatched partitions are never rewritten. A MERGE INTO engine
+    * (Delta/Iceberg) runs this same plan under the hood; here the
+    * logic is explicit and oracle-checked.
+    */
+  private val p12 = Q(
+    "p12_scd2_merge",
+    (s, dir) => {
+      // change rule is EXACT double arithmetic (+100.0, no rounding):
+      // a 2-decimal balance times 1.1 rounds at a systematic .xx5 tie,
+      // where Spark (BigDecimal HALF_UP) and DuckDB (C round) disagree
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").as("acctbal"))
+      val upd = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          (col("acctbal") + lit(100.0)).as("new_acctbal"))
+      val merged = base.join(broadcast(upd), Seq("c_custkey"), "left")
+      val closedOld = merged.filter(col("new_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_name"), col("acctbal"),
+          lit("1995-01-01").as("valid_from"),
+          lit("1997-01-01").as("valid_to"), lit(0).as("is_current"))
+      val openNew = merged.filter(col("new_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_name"),
+          col("new_acctbal").as("acctbal"),
+          lit("1997-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"), lit(1).as("is_current"))
+      val untouched = merged.filter(col("new_acctbal").isNull)
+        .select(col("c_custkey"), col("c_name"), col("acctbal"),
+          lit("1995-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"), lit(1).as("is_current"))
+      closedOld.unionByName(openNew).unionByName(untouched)
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""WITH base AS (
+              SELECT c_custkey, c_name, c_acctbal AS acctbal
+              FROM customer),
+            upd AS (
+              SELECT c_custkey, acctbal + 100.0 AS new_acctbal
+              FROM base WHERE c_custkey % 7 = 0)
+            SELECT * FROM (
+              SELECT b.c_custkey, b.c_name, b.acctbal,
+                     '1995-01-01' AS valid_from, '1997-01-01' AS valid_to,
+                     0 AS is_current
+              FROM base b JOIN upd u USING (c_custkey)
+              UNION ALL
+              SELECT b.c_custkey, b.c_name, u.new_acctbal AS acctbal,
+                     '1997-01-01' AS valid_from, NULL AS valid_to,
+                     1 AS is_current
+              FROM base b JOIN upd u USING (c_custkey)
+              UNION ALL
+              SELECT b.c_custkey, b.c_name, b.acctbal,
+                     '1995-01-01' AS valid_from, NULL AS valid_to,
+                     1 AS is_current
+              FROM base b ANTI JOIN upd u USING (c_custkey))
+            ORDER BY c_custkey, valid_from"""))
+
   def all: Seq[Q] =
-    Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1)
+    Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
+      p12)
 }

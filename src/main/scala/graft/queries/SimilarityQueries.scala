@@ -569,5 +569,58 @@ object SimilarityQueries {
              SELECT query_id, neighbor_id, qcosine, rank FROM ranked
              WHERE rank <= 3 ORDER BY query_id, rank"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8)
+  /** Centroid-distance outlier filter — the embedding-space quality
+    * gate of a training pipeline (drop vectors far from the corpus
+    * mean: encoder failures, garbage inputs, adversarial points). Two
+    * cheap passes: (1) the 64-dim corpus centroid via posexplode →
+    * per-position avg (shuffle carries dim×partitions partial sums,
+    * never vectors), collected as 64 literal doubles; (2) one
+    * codegen'd scan computing each vector's distance to it with the
+    * expansion d² = v·v − 2·v·c + c·c (three graft_dot calls — no
+    * interpreted vector subtraction), then a p95 threshold from the
+    * exact percentile of the distance column. Emits every vector's
+    * distance + outlier flag; both engines derive their own centroid,
+    * distances, and threshold, and the hash compares the verdicts.
+    */
+  private val s9 = Q(
+    "s9_embedding_outliers",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), vecDouble.as("v"))
+      val cent = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(avg("x").as("c"))
+        .orderBy("pos").collect().map(_.getDouble(1)) // 64 doubles
+      val cArr = array(cent.map(lit).toIndexedSeq: _*)
+      val cc = cent.map(x => x * x).sum
+      val scored = e.withColumn("dist",
+        sqrt(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cArr)
+          + lit(cc)))
+      val p95 = scored.agg(expr("percentile(dist, 0.95)"))
+        .first().getDouble(0)
+      scored.select(col("vec_id"), round(col("dist"), 4).as("dist"),
+          (col("dist") > lit(p95)).cast("int").as("is_outlier"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v FROM embeddings),
+             pos AS (
+               SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i
+               FROM e),
+             cent AS (
+               SELECT list(c ORDER BY i) AS cv,
+                      list_sum(list_transform(list(c ORDER BY i),
+                        x -> x * x)) AS cc
+               FROM (SELECT i, avg(x) AS c FROM pos GROUP BY i)),
+             scored AS (
+               SELECT vec_id,
+                      sqrt(${duckDot.format("v", "v")}
+                        - 2.0 * ${duckDot.format("v", "cv")} + cc) AS dist
+               FROM e CROSS JOIN cent),
+             thr AS (
+               SELECT quantile_cont(dist, 0.95) AS p95 FROM scored)
+             SELECT vec_id, round(dist, 4) AS dist,
+                    CAST(dist > p95 AS INT) AS is_outlier
+             FROM scored CROSS JOIN thr ORDER BY vec_id"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
 }

@@ -217,6 +217,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TPC-H headline plans: h1 pushes the date filter into the scan, " +
+      "h3 takes its top-10 with per-partition heaps, h5 broadcasts " +
+      "every dim tier") {
+    val p1 = plan("h1_pricing_summary")
+    // the shipdate predicate must reach the parquet reader, and the
+    // 6-group aggregate must partially combine map-side
+    assert(p1.contains("PushedFilters:") && p1.contains("l_shipdate"),
+      p1.take(2000))
+    assert("HashAggregate".r.findAllIn(p1).size >= 2, p1.take(2000))
+    val p3 = plan("h3_shipping_priority")
+    // top-10 via TakeOrderedAndProject (per-partition heaps), never a
+    // full global sort of the join output
+    assert(p3.contains("TakeOrderedAndProject"), p3.take(3000))
+    val p5 = plan("h5_local_supplier_volume")
+    // customer/supplier/nation dims all broadcast; the only
+    // shuffle-join key is the lineitem ⋈ orders orderkey
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 3, p5.take(3000))
+    assert(!p5.contains("CartesianProduct"), p5.take(3000))
+  }
+
   test("m10 k-means assignment pass is scan-local: literal centroids, " +
       "no join, no exchange before the aggregate") {
     import org.apache.spark.sql.functions.col

@@ -35,6 +35,19 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no oracle is null or blank (object-init forward-reference trap)") {
+    // a Q val referencing a shared SQL val declared LATER in its object
+    // captures Some(null) at init time and kills the WHOLE round's
+    // oracle_sql.json when Verify serializes it — fail here instead
+    Registry.all.foreach { q =>
+      q.oracle.foreach { o =>
+        assert(o != null && o.trim.nonEmpty,
+          s"${q.name}: null/blank oracle — move the shared SQL val above " +
+            "its first use or make it a def")
+      }
+    }
+  }
+
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
