@@ -634,6 +634,60 @@ object EventQueries {
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** STREAM-STREAM join (the last big Structured Streaming feature
+    * class, driver-verified): clicks and purchases — two watermarked
+    * streams derived from the replayed events — inner-joined on
+    * user_id with the ±time-range attribution condition
+    * (purchase within 30 min AFTER the click). Stream-stream joins are
+    * the hardest streaming state problem (BOTH sides buffer, and only
+    * the watermark + time-range bound lets the engine drop state), so
+    * the hash-proof here is that the incremental join emits EXACTLY
+    * the batch join's pairs. Append mode: inner-join matches emit as
+    * found; the DuckDB oracle is the plain batch self-join.
+    */
+  private val e19 = Q(
+    "e19_stream_stream_join",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      val name = s"stream_ss_join_${streamRun.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            ORDER BY 1, 2, 3"""))
+
   /** Funnel analysis: view → click → purchase, strictly ordered per
     * user (each stage's first occurrence must follow the previous
     * stage's). Each stage is a per-user min-aggregate joined onto the
@@ -760,5 +814,5 @@ object EventQueries {
 
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18)
+      e16, e17, e18, e19)
 }

@@ -17,6 +17,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ann")) { annProbe(); return }
     if (args.headOption.contains("skew")) { skewProbe(); return }
+    if (args.headOption.contains("tpch")) { tpchProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -53,6 +54,55 @@ object ScaleProbe {
         val rows = fn(spark, dir).count()
         spark.catalog.clearCache()
         println(f"SCALE x$m%-2d $q%-22s rows=$rows%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+    spark.stop()
+  }
+
+  /** TPC-H headline scaling: lineitem + orders replicated m× with
+    * offset orderkeys (dims fixed — the realistic shape: facts grow,
+    * dimensions don't), h1/h3/h18 timed at each multiple. The claim
+    * under test: scan+partial-agg (h1) and broadcast-dim join +
+    * orderkey-co-shuffled join (h3/h18) scale LINEARLY in fact rows —
+    * no quadratic term, no broadcast regression as facts grow.
+    * usage: Test/runMain graft.dev.ScaleProbe tpch
+    */
+  private def tpchProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    for (m <- Seq(1, 2, 4, 8)) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_tpch_x$m"
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      val keyStride = o.agg(max("o_orderkey")).first().getLong(0) + 1
+      (0 until m).map(i => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(i * keyStride)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      (0 until m).map(i => o.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i * keyStride)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      for (t <- Seq("customer", "supplier", "nation", "region"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      for (q <- Seq("h1_pricing_summary", "h3_shipping_priority",
+        "h18_large_orders")) {
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        spark.catalog.clearCache()
+        println(f"TPCH x$m%-2d $q%-22s rows=$rows%-6d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
     }
     spark.stop()
