@@ -952,5 +952,59 @@ object DedupQueries {
              WHERE bit_count(xor(sig_a, sig_b)) <= 2
              ORDER BY doc_a, doc_b"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13)
+  /** D14 (beyond the reference): BOILERPLATE chunk detection —
+    * cross-document duplication at sub-document granularity (headers,
+    * footers, licenses, templated spans survive whole-doc dedup but
+    * still flood a training corpus). Documents chunk with t8/pl4's
+    * exact geometry (40-token windows, stride 30, scan-local typed
+    * mapPartitions), each chunk fingerprints with md5, and any
+    * fingerprint spanning ≥2 DISTINCT docs is flagged with its doc
+    * reach and occurrence count. One scan pass + one
+    * fingerprint-keyed map-side-combined aggregate: shuffle carries
+    * (fingerprint, partial counts), never text, so cost tracks chunk
+    * cardinality at any corpus size.
+    */
+  private val d14 = Q(
+    "d14_boilerplate_chunks",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Corpus
+      val chunks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          Corpus.chunkStarts(toks.length).map { st =>
+            val hi = math.min(st + Corpus.chunkSize, toks.length)
+            (id, toks.slice(st, hi).mkString(" "))
+          }
+        }).toDF("doc_id", "chunk")
+      chunks.withColumn("fp", md5(col("chunk")))
+        .groupBy("fp")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("fp")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents),
+            chunks AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice(ts, start_tok + 1,
+                       least(start_tok + 40, len(ts))), ' ')) AS fp
+              FROM (SELECT doc_id, ts,
+                      unnest(range(0, greatest(len(ts), 1), 30))
+                        AS start_tok
+                    FROM toks))
+            SELECT fp, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences,
+                   min(doc_id) AS first_doc
+            FROM chunks GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY fp"""))
+
+  def all: Seq[Q] =
+    Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14)
 }

@@ -605,5 +605,45 @@ object TextQueries {
             WHERE b.doc_id < 20
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12)
+  /** T13 (beyond the reference): corpus token-distribution profile —
+    * the one-pass vocabulary health check run before tokenizer/vocab
+    * decisions: total tokens, distinct vocabulary, hapax count (words
+    * seen once — vocabulary tail mass), max term frequency, and
+    * top-term coverage. Two-level aggregate: the word-keyed frequency
+    * table combines map-side (shuffle = vocabulary, never corpus),
+    * then five scalars reduce it. All integer-exact except the final
+    * coverage ratio.
+    */
+  private val t13 = Q(
+    "t13_token_distribution",
+    (s, dir) => {
+      val freq = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      freq.agg(
+        sum("n").as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_count"),
+        max("n").as("max_term_freq"))
+        .withColumn("top_term_coverage",
+          round(col("max_term_freq") / col("total_tokens"), 6))
+    },
+    Some("""WITH freq AS (
+              SELECT w, count(*) AS n FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS w
+                FROM documents)
+              GROUP BY w)
+            SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+                   count(*) AS vocab_size,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS hapax_count,
+                   CAST(max(n) AS BIGINT) AS max_term_freq,
+                   round(CAST(max(n) AS DOUBLE) / sum(n), 6)
+                     AS top_term_coverage
+            FROM freq"""))
+
+  def all: Seq[Q] =
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
 }
