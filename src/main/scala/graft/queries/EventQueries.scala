@@ -812,7 +812,35 @@ object EventQueries {
             FROM cohort c LEFT JOIN offs o USING (user_id)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Streaming DEDUPLICATION equivalence (X114): the events parquet
+    * replayed through [[graft.streaming.EventStreams
+    * .dedupWithinWatermark]] — `dropDuplicatesWithinWatermark` on
+    * (user_id, event_type) under a 1-hour watermark, the streaming
+    * analogue of the batch exact-dedup family with state bounded by
+    * the watermark horizon instead of the stream's full history.
+    * Append mode: each key's FIRST arrival is emitted, later arrivals
+    * within the horizon are dropped. WHICH physical row survives
+    * depends on intra-batch processing order, so the verified output
+    * is the per-key emission count: the driver hash-proves the stream
+    * emits EXACTLY ONE row per distinct key (any duplicate leak or
+    * over-drop breaks the hash). The replay is a single AvailableNow
+    * micro-batch, so no state is evicted mid-run and the guarantee is
+    * exact dedup — the oracle is batch DISTINCT.
+    */
+  private val e20 = Q(
+    "e20_stream_dedup_equiv",
+    (s, dir) => {
+      replayToMemorySink(s, dir, "stream_dedup", "append")(
+        graft.streaming.EventStreams.dedupWithinWatermark)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_emitted"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type,
+                   CAST(1 AS BIGINT) AS n_emitted
+            FROM events ORDER BY 1, 2"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19)
+      e16, e17, e18, e19, e20)
 }

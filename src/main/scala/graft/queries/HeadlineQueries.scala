@@ -185,5 +185,52 @@ object HeadlineQueries {
             GROUP BY n_name
             ORDER BY revenue DESC, n_name"""))
 
-  val all: Seq[Q] = Seq(h1, h3, h5, h18)
+  /** TPC-H Q10: returned-item reporting — top 20 customers by revenue
+    * lost to returns in a quarter (1996-Q4 here; the testdata has no
+    * address/phone/comment columns, so c_mktsegment stands in for the
+    * contact detail). Canonical at-scale shape: both fact filters
+    * (date range on orders, returnflag on lineitem) push to the
+    * parquet scans; orders ⋈ lineitem shuffles on the shared orderkey
+    * and aggregates to customer cardinality BEFORE the dimension
+    * joins (revenue first, then decorate — the agg-then-join order
+    * is what keeps the wide customer row out of the big shuffle);
+    * nation broadcasts; top-20 via TakeOrderedAndProject.
+    */
+  private val h10 = Q(
+    "h10_returned_item_ranking",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-10-01" &&
+          col("o_orderdate") < "1997-01-01")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+      val rev = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      rev
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"), col("c_mktsegment"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue,
+                   c_acctbal, n_name, c_mktsegment
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= DATE '1996-10-01'
+              AND o_orderdate < DATE '1997-01-01'
+              AND l_returnflag = 'R'
+              AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(h1, h3, h5, h18, h10)
 }

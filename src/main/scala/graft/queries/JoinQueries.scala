@@ -365,6 +365,65 @@ object JoinQueries {
             FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
             ORDER BY custkey"""))
 
+  /** J13 (X115, beyond the reference): FUZZY RECORD LINKAGE — the
+    * block → score → survivorship pattern every entity-resolution
+    * pipeline runs at scale. A deterministic "dirty" feed is derived
+    * from customer (one character deleted from each name — a realistic
+    * single-keystroke corruption), then linked back: candidate pairs
+    * are generated ONLY within a blocking key (nationkey here; real
+    * deployments use multi-key/sorted-neighborhood blocking — the
+    * shape is identical), scored with codegen'd `levenshtein`, gated
+    * at edit-distance ≤ 2, and resolved to one best match per dirty
+    * record by (distance, key) rank. Never all-pairs: candidate count
+    * is Σ|block|² over blocks, the join is a plain equi-join shuffle
+    * on the blocking key, and survivorship is one window keyed by the
+    * high-cardinality dirty id. The `correct` column makes the row a
+    * linkage-accuracy readout too (ties at distance 1 can beat the
+    * true match — visible, not hidden).
+    */
+  private val j13 = Q(
+    "j13_fuzzy_record_linkage",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val dirty = cust.select(
+        col("c_custkey").as("d_id"),
+        concat(substring(col("c_name"), 1, 9),
+          substring(col("c_name"), 11, 9)).as("d_name"),
+        col("c_nationkey").as("d_nation"))
+      val cand = cust
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .join(dirty, col("c_nationkey") === col("d_nation"))
+        .withColumn("dist", levenshtein(col("c_name"), col("d_name")))
+        .filter(col("dist") <= 2)
+      val w = Window.partitionBy("d_id")
+        .orderBy(col("dist"), col("c_custkey"))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("d_id"), col("c_custkey").as("matched_key"),
+          col("dist"), (col("c_custkey") === col("d_id")).as("correct"))
+        .orderBy("d_id")
+    },
+    Some("""WITH dirty AS (
+              SELECT c_custkey AS d_id,
+                     substr(c_name, 1, 9) || substr(c_name, 11, 9)
+                       AS d_name,
+                     c_nationkey AS d_nation
+              FROM customer),
+            cand AS (
+              SELECT d.d_id, c.c_custkey,
+                     levenshtein(c.c_name, d.d_name) AS dist
+              FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nation
+              WHERE levenshtein(c.c_name, d.d_name) <= 2),
+            best AS (
+              SELECT d_id, c_custkey, dist,
+                     row_number() OVER (PARTITION BY d_id
+                       ORDER BY dist, c_custkey) AS rk
+              FROM cand)
+            SELECT d_id, c_custkey AS matched_key,
+                   CAST(dist AS INTEGER) AS dist,
+                   c_custkey = d_id AS correct
+            FROM best WHERE rk = 1 ORDER BY d_id"""))
+
   def all: Seq[Q] =
-    Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12)
+    Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13)
 }

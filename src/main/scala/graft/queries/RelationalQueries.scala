@@ -413,7 +413,50 @@ object RelationalQueries {
               FROM base b ANTI JOIN upd u USING (c_custkey))
             ORDER BY c_custkey, valid_from"""))
 
+  /** P13 (X116, beyond the reference): INCREMENTAL AGGREGATE
+    * MAINTENANCE — the partial-aggregate merge law that underlies
+    * every incremental view / summary-table refresh at scale. The
+    * orders table is split into a "base" snapshot (orderdate <
+    * 1999-01-01) and a "delta" batch (the rest); each side aggregates
+    * INDEPENDENTLY to per-priority partials (count, sum), and the
+    * maintained view is produced ONLY by merging the two partial
+    * tables (union → re-aggregate: counts add, sums add) — the base
+    * data is never rescanned, which is the entire point: refreshing a
+    * 100 TB rollup costs O(|delta| + |view|), not O(|base|). The
+    * DuckDB oracle recomputes from the FULL table, so the driver
+    * hash-proves merge(partial(base), partial(delta)) ==
+    * aggregate(base ∪ delta) exactly — the algebraic property that
+    * makes the maintenance valid.
+    */
+  private val p13 = Q(
+    "p13_incremental_agg_maintenance",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      // money sums in exact DECIMAL, not DOUBLE: decimal addition is
+      // associative, so merge-order vs single-pass order cannot differ
+      // by even an ulp — the merge law verifies bit-exactly with no
+      // rounding tolerance hiding a real defect
+      def partial(side: org.apache.spark.sql.DataFrame) = side
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+      val base = partial(orders.filter(col("o_orderdate") < "1999-01-01"))
+      val delta = partial(orders.filter(col("o_orderdate") >= "1999-01-01"))
+      base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum("n_orders").as("n_orders"),
+          sum("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12)
+      p12, p13)
 }

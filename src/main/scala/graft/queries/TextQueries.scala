@@ -644,6 +644,40 @@ object TextQueries {
                      AS top_term_coverage
             FROM freq"""))
 
+  /** T14 (X117, beyond the reference): BPE FIRST-MERGE profile — the
+    * character-pair frequency table that seeds byte-pair-encoding
+    * tokenizer training: every adjacent character pair in every
+    * corpus word, counted, top 20 by frequency (the first 20 merge
+    * candidates). All codegen'd: split → explode words → explode a
+    * position sequence → 2-char substr → one pair-keyed
+    * map-side-combined count. The shuffle carries (pair, partial
+    * count) — pair cardinality is bounded by alphabet², independent
+    * of corpus size — and top-20 is TakeOrdered, never a full sort.
+    */
+  private val t14 = Q(
+    "t14_bpe_first_merges",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(col("w"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH words AS (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            pairs AS (
+              SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+              FROM (SELECT w, unnest(range(1, len(w))) AS i
+                    FROM words WHERE len(w) >= 2))
+            SELECT pair, count(*) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 20"""))
+
   def all: Seq[Q] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
 }
