@@ -32,7 +32,8 @@ object Registry {
       graft.queries.EventQueries.all ++
       graft.queries.SketchQueries.all ++
       graft.queries.PipelineQueries.all ++
-      graft.queries.HeadlineQueries.all
+      graft.queries.HeadlineQueries.all ++
+      graft.queries.GraphQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)
