@@ -95,4 +95,27 @@ object Sequential {
     }
     out.toIndexedSeq
   }
+
+  /** W19 — exponentially weighted moving average, the standard
+    * time-series smoother (pandas `ewm(alpha).mean()` with
+    * `adjust=False`): e(0) = x(0), e(t) = α·x(t) + (1−α)·e(t−1).
+    * The arithmetic is written exactly as `alpha * x + oneMinus * e`
+    * with both constants passed in as exact binary doubles, so a
+    * recursive-CTE oracle evaluating the same left-associative
+    * expression matches bit-for-bit — no rounding tolerance.
+    */
+  def ewma(xs: IndexedSeq[Double], alpha: Double,
+      oneMinus: Double): IndexedSeq[Double] = {
+    if (xs.isEmpty) return IndexedSeq.empty
+    val out = Array.ofDim[Double](xs.length)
+    var e = xs(0)
+    out(0) = e
+    var i = 1
+    while (i < xs.length) {
+      e = alpha * xs(i) + oneMinus * e
+      out(i) = e
+      i += 1
+    }
+    out.toIndexedSeq
+  }
 }

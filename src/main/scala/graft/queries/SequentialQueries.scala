@@ -14,6 +14,8 @@ case class SirOut(l_suppkey: Long, rn: Int, pred_confirmed: Double,
     pred_removed: Double, pred_susceptible: Double)
 case class ArRow(key: Long, rd: Int, price: Double)
 case class ArOut(o_custkey: Long, step: Int, pred: Double)
+case class EwmaRow(key: Long, rn: Int, id: Long, v: Double)
+case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
 /** The three order-sensitive recurrences (SURVEY.md §2.7 W5/W6/W7) as
   * `groupByKey.flatMapGroups` folds over [[graft.ops.Sequential]]'s
@@ -214,5 +216,51 @@ object SequentialQueries {
             SELECT o_custkey, step, pred
             FROM roll WHERE step >= 1 ORDER BY o_custkey, step"""))
 
-  def all: Seq[Q] = Seq(w5, w6, w7)
+  /** W19 (X120, beyond the reference): per-user EWMA of event values —
+    * pandas `ewm(alpha=0.25).mean()` with `adjust=False` semantics,
+    * the standard time-series smoother. Like W5-W7 this is a true
+    * recurrence (each output feeds the next), so it runs as a
+    * task-local typed fold per user key, distributed across users —
+    * the high-cardinality axis. Both constants (0.25, 0.75) are exact
+    * binary doubles and the fold's op order matches the oracle's
+    * recursive CTE literally, so the hash match needs no rounding.
+    */
+  private val w19 = Q(
+    "w19_ewma",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rows = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .select(col("user_id").as("key"), col("rn"),
+          col("event_id").as("id"), col("value").as("v"))
+        .as[EwmaRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rn)
+          val sm = Sequential.ewma(sorted.map(_.v), 0.25, 0.75)
+          sorted.iterator.zip(sm.iterator).map { case (r, e) =>
+            EwmaOut(key, r.id, e)
+          }
+        }
+        .toDF()
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn, value AS e
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.event_id, b.rn,
+                     0.25 * b.value + 0.75 * r.e
+              FROM rec r JOIN base b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+            SELECT user_id, event_id, e AS ewma
+            FROM rec ORDER BY user_id, event_id"""))
+
+  def all: Seq[Q] = Seq(w5, w6, w7, w19)
 }

@@ -217,6 +217,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // Posture assertion: the optimizer's runtime bloom filter (build a
+    // bloom filter from the selective side's join keys, apply it to the
+    // fact side BEFORE its shuffle) stays at its Spark default (on) —
+    // at 100 TB this is what keeps a 0.1%-selective dim join from
+    // shuffling the whole fact table. The bytes thresholds target
+    // production scan sizes, so scale them to the test data; injection
+    // itself is the optimizer's, not ours.
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val df = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("TPC-H headline plans: h1 pushes the date filter into the scan, " +
       "h3 takes its top-10 with per-partition heaps, h5 broadcasts " +
       "every dim tier") {
