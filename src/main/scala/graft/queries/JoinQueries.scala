@@ -424,6 +424,47 @@ object JoinQueries {
                    c_custkey = d_id AS correct
             FROM best WHERE rk = 1 ORDER BY d_id"""))
 
+  /** J14 (X123): NULL-AWARE anti join — SQL `NOT IN (subquery)` with
+    * its full three-valued logic: an outer row with a NULL key can
+    * never satisfy NOT IN (NULL <> x is unknown), so the 7%-of-orders
+    * whose derived key is NULL are dropped alongside the actual
+    * matches. This is semantically DIFFERENT from j8's left-anti join
+    * (which keeps NULL keys) and is a classic silent-wrong-answer trap
+    * when engines rewrite NOT IN carelessly; Spark plans it as a
+    * null-aware anti join and the driver hash-proves the semantics
+    * against DuckDB's NOT IN. Verified via the per-priority survivor
+    * rollup so the row stays compact at any scale.
+    */
+  private val j14 = Q(
+    "j14_not_in_null_aware",
+    (s, dir) => {
+      graft.ops.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH keyed AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS BIGINT)
+                      ELSE o_custkey END AS k
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS n_survivors
+        FROM keyed
+        WHERE k NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal < 1000)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""WITH keyed AS (
+              SELECT o_orderpriority,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN CAST(NULL AS BIGINT)
+                          ELSE o_custkey END AS k
+              FROM orders)
+            SELECT o_orderpriority, count(*) AS n_survivors
+            FROM keyed
+            WHERE k NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal < 1000)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   def all: Seq[Q] =
-    Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13)
+    Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13, j14)
 }

@@ -636,5 +636,56 @@ object PipelineQueries {
                    CAST(list_max(ps) AS INT) AS max_pixel
             FROM px ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5)
+  /** PL5 (X121, beyond the reference): SEQUENCE PACKING — the step
+    * that turns a filtered corpus into fixed-token-budget training
+    * batches (docs concatenated into a virtual token stream, chunked
+    * every `budget` tokens; a doc straddling a boundary belongs to the
+    * batch its first token lands in — standard packed-pretraining
+    * semantics). Scale shape: documents shard by a deterministic
+    * md5-derived key (shard count = executor parallelism knob — the
+    * packing window never sees more than one shard), the running token
+    * offset is ONE window cumsum per shard, and the per-batch rollup
+    * is a map-side-combined aggregate. One shuffle on the shard key
+    * total; no global sort anywhere.
+    */
+  private val pl5 = Q(
+    "pl5_sequence_packing",
+    (s, dir) => {
+      val budget = 2048
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "),
+            w => w =!= "")).cast("long").as("n_tok"),
+          (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long") % 8)
+            .cast("int").as("shard"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("batch_id",
+          ((col("cum") - col("n_tok")) / budget).cast("long"))
+        .groupBy("shard", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("batch_tokens"))
+        .orderBy("shard", "batch_id")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS BIGINT) AS n_tok,
+                     CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER)
+                       % 8 AS INTEGER) AS shard
+              FROM documents),
+            packed AS (
+              SELECT shard, n_tok,
+                     sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM docs)
+            SELECT shard, CAST(floor((cum - n_tok) / 2048) AS BIGINT)
+                     AS batch_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS batch_tokens
+            FROM packed GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[Q] =
+    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5)
 }

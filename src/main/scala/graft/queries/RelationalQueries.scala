@@ -456,7 +456,48 @@ object RelationalQueries {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** P14 (X122, beyond the reference): WEIGHTED deterministic sampling
+    * — corpus mixing where longer/higher-quality documents get
+    * proportionally higher selection odds (the data-mixture step of a
+    * training pipeline, weighted flavor of p10/p11). Priority =
+    * hash_uniform / weight, reservoir-style: a doc's md5-derived
+    * 32-bit integer (deterministic "uniform") divided by its weight
+    * (n_chars here) — IEEE division is correctly rounded, so the
+    * priority is bit-identical on every engine and run, unlike the
+    * textbook u^(1/w) key whose `pow` can differ by an ulp across
+    * libm implementations (documented approximation: selection odds
+    * are monotone in weight, not exactly ∝ weight). Top-20 per source
+    * stratum by (priority, doc_id) — a per-stratum TakeOrdered, one
+    * shuffle on the stratum key, scan-local priorities.
+    */
+  private val p14 = Q(
+    "p14_weighted_sample",
+    (s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("priority"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double") /
+            col("n_chars")).as("priority"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("rk"), col("doc_id"), col("priority"))
+        .orderBy("source", "rk")
+    },
+    Some("""WITH pri AS (
+              SELECT source, doc_id,
+                     CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       AS DOUBLE) / n_chars AS priority
+              FROM documents),
+            rk AS (
+              SELECT source, doc_id, priority,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY priority, doc_id) AS rk
+              FROM pri)
+            SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, priority
+            FROM rk WHERE rk <= 20 ORDER BY source, rk"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13)
+      p12, p13, p14)
 }
