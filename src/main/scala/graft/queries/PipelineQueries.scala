@@ -686,6 +686,74 @@ object PipelineQueries {
                    CAST(sum(n_tok) AS BIGINT) AS batch_tokens
             FROM packed GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** MM6 (X124, beyond the reference): AUDIO decode — the WAV sibling
+    * of mm5's PNG path, extending multimodal coverage beyond images.
+    * Deterministic 16-bit mono PCM clips are synthesized from each
+    * document's bytes, encoded through the REAL RIFF writer
+    * ([[graft.ops.WavCodec.encodePcm16Mono]] — canonical 44-byte
+    * header, little-endian chunks), then a SECOND scan-local pass
+    * chunk-walks the container back ([[graft.ops.WavCodec.decode]],
+    * proven against the JDK's javax.sound reader in WavCodecSpec) and
+    * extracts the standard audio features: peak amplitude,
+    * zero-crossing count, sample sum. Everything is partition-local
+    * typed mapPartitions — the shape a 100 TB media corpus needs
+    * (decode cost scales with cores, no shuffle until the stats
+    * rollup, which here is the row set itself).
+    */
+  private val mm6 = Q(
+    "mm6_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.WavCodec
+      val wavs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("raw"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          def at(b: Array[Byte], i: Int): Int =
+            if (i < b.length) b(i) & 0xff else 0
+          it.map { case (id, raw) =>
+            val n = at(raw, 0) % 17 + 16
+            val pcm = Array.tabulate(n)(i => ((at(raw, i) - 80) * 256).toShort)
+            (id, WavCodec.encodePcm16Mono(8000, pcm))
+          }
+        }
+      val stats = wavs.mapPartitions(_.map { case (id, bytes) =>
+        val w = WavCodec.decode(bytes)
+        var peak = 0; var zc = 0; var sum = 0L
+        var i = 0
+        while (i < w.samples.length) {
+          val v = w.samples(i).toInt
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && w.samples(i - 1).toInt * v < 0) zc += 1
+          sum += v
+          i += 1
+        }
+        (id, w.samples.length, w.sampleRate, peak, zc, sum)
+      })
+      stats.toDF("doc_id", "n_samples", "sample_rate", "peak",
+          "zero_crossings", "sum_samples")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text,
+                     ascii(substr(text, 1, 1)) % 17 + 16 AS n
+              FROM documents),
+            sm AS (
+              SELECT doc_id, n,
+                     list_transform(range(0, n), i ->
+                       (ascii(substr(text, CAST(i + 1 AS INT), 1)) - 80)
+                         * 256) AS ss
+              FROM d)
+            SELECT doc_id, CAST(n AS INT) AS n_samples,
+                   8000 AS sample_rate,
+                   CAST(list_max(list_transform(ss, x -> abs(x))) AS INT)
+                     AS peak,
+                   CAST(len(list_filter(range(1, n), i ->
+                     ss[CAST(i AS INT)] * ss[CAST(i + 1 AS INT)] < 0))
+                     AS INT) AS zero_crossings,
+                   CAST(list_sum(ss) AS BIGINT) AS sum_samples
+            FROM sm ORDER BY doc_id"""))
+
   def all: Seq[Q] =
-    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5)
+    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6)
 }

@@ -302,5 +302,51 @@ object SourceQueries {
             FROM lineitem WHERE l_quantity >= 25.0
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8)
+  /** SRC9 (X126): SMALL-FILES COMPACTION — the operational fix for the
+    * classic small-files problem (a streaming or over-parallel writer
+    * leaves thousands of tiny files; NameNode/listing pressure and
+    * per-file open cost then dominate reads). The events table is
+    * deliberately exploded into 64 small parquet files, then compacted
+    * with `coalesce(4)` — a NARROW dependency: partitions merge
+    * in-place with NO shuffle, which is exactly why coalesce (not
+    * repartition) is the compaction idiom. The verified row pins the
+    * physical file counts as literals (a regression that silently
+    * re-splits or re-shuffles fails the hash) plus content integrity
+    * (row count and an exact id checksum survive both rewrites).
+    */
+  private val s9 = Q(
+    "src9_compaction",
+    (s, dir) => {
+      import s.implicits._
+      val small = tmpDir("events_small")
+      val compact = tmpDir("events_compact")
+      Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .repartition(64)
+        .write.mode("overwrite").parquet(small)
+      def dataFiles(p: String): Long = {
+        val fs = new java.io.File(p)
+        fs.listFiles().count(f => f.getName.endsWith(".parquet"))
+      }
+      val nSmall = dataFiles(small)
+      s.read.parquet(small)
+        .coalesce(4)
+        .write.mode("overwrite").parquet(compact)
+      val nCompact = dataFiles(compact)
+      s.read.parquet(compact)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("event_id").as("id_checksum"),
+          countDistinct("user_id").as("n_users"))
+        .select(lit(nSmall).as("files_before"),
+          lit(nCompact).as("files_after"),
+          col("n_rows"), col("id_checksum"), col("n_users"))
+    },
+    Some("""SELECT CAST(64 AS BIGINT) AS files_before,
+                   CAST(4 AS BIGINT) AS files_after,
+                   count(*) AS n_rows,
+                   CAST(sum(event_id) AS BIGINT) AS id_checksum,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
 }

@@ -678,6 +678,55 @@ object TextQueries {
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair LIMIT 20"""))
 
+  /** T15 (X125, beyond the reference): per-source LANGUAGE-MIX report
+    * — the corpus-composition dashboard behind data-mixture decisions:
+    * docs per source, languages present, dominant language, and a
+    * concentration score. Concentration is GINI IMPURITY computed the
+    * determinism-safe way: 1 − (Σ nᵢ²)/n² — the numerator is an exact
+    * INTEGER sum (associative, any reduction order), so the only
+    * floating-point step is ONE IEEE division, bit-identical on every
+    * engine; the naive Σ(nᵢ/n)² form sums doubles in engine-dependent
+    * order. Two-level aggregate: (source, lang) counts first (shuffle
+    * = mix cardinality), then a source-keyed rollup with a window pick
+    * of the dominant language (ties break lexicographically).
+    */
+  private val t15 = Q(
+    "t15_language_mix",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("lang"))
+      counts
+        .withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(sum("n").as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          max(when(col("rk") === 1, col("lang"))).as("top_lang"),
+          sum(col("n") * col("n")).as("sq"))
+        .withColumn("gini",
+          lit(1.0) - col("sq") / (col("n_docs") * col("n_docs")))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("top_lang"), col("gini"))
+        .orderBy("source")
+    },
+    Some("""WITH counts AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY 1, 2),
+            rk AS (
+              SELECT source, lang, n,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n DESC, lang) AS rk
+              FROM counts)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   count(*) AS n_langs,
+                   max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+                   1.0 - CAST(sum(n * n) AS DOUBLE) /
+                     (CAST(sum(n) AS DOUBLE) * sum(n)) AS gini
+            FROM rk GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
 }
