@@ -232,5 +232,72 @@ object HeadlineQueries {
             ORDER BY revenue DESC, c_custkey
             LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(h1, h3, h5, h18, h10)
+  /** TPC-H Q6: forecast revenue change — the pure-scan benchmark (no
+    * join at all): one filtered pass over lineitem, three predicates
+    * all pushed to parquet, one scalar sum. At 100 TB this is the
+    * query whose cost IS the scan — any shuffle or join in its plan
+    * would be a bug, and PlanSpec-style inspection shows none.
+    * Discount band widened to this data's 0.00-0.10 distribution.
+    */
+  private val h6 = Q(
+    "h6_forecast_revenue",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24"""))
+
+  /** TPC-H Q14: promotion effect — what fraction of a month's revenue
+    * came from PROMO parts. Lineitem's month slice (pushed to the
+    * scan) joins part on partkey; the conditional/total revenue pair
+    * is ONE map-side-combined aggregate and the percentage is computed
+    * from the two ALREADY-ROUNDED sums, so the only cross-engine FP
+    * step after the (4-decimal-stable) sums is one deterministic IEEE
+    * division. part joins broadcast at dim scale.
+    */
+  private val h14 = Q(
+    "h14_promo_effect",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-09-01" &&
+          col("l_shipdate") < "1996-10-01")
+      val p = Tables.load(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(0.0)), 4).as("promo_revenue"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            4).as("total_revenue"))
+        .withColumn("promo_pct",
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
+    },
+    Some("""WITH sums AS (
+              SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0.0 END), 4) AS promo_revenue,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= DATE '1996-09-01'
+                AND l_shipdate < DATE '1996-10-01')
+            SELECT promo_revenue, total_revenue,
+                   round(100.0 * promo_revenue / total_revenue, 4)
+                     AS promo_pct
+            FROM sums"""))
+
+  val all: Seq[Q] = Seq(h1, h3, h5, h18, h10, h6, h14)
 }

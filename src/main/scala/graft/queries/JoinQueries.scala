@@ -374,12 +374,19 @@ object JoinQueries {
     * deployments use multi-key/sorted-neighborhood blocking — the
     * shape is identical), scored with codegen'd `levenshtein`, gated
     * at edit-distance ≤ 2, and resolved to one best match per dirty
-    * record by (distance, key) rank. Never all-pairs: candidate count
-    * is Σ|block|² over blocks, the join is a plain equi-join shuffle
-    * on the blocking key, and survivorship is one window keyed by the
-    * high-cardinality dirty id. The `correct` column makes the row a
-    * linkage-accuracy readout too (ties at distance 1 can beat the
-    * true match — visible, not hidden).
+    * record by (distance, key) rank. Never all-pairs: blocking is
+    * MULTI-KEY — (nationkey, last-4-of-name), the structural key a
+    * single left-edit cannot disturb — so candidate pairs stay
+    * near-linear in record count, the join is a plain 2-key equi-join
+    * shuffle, and survivorship is one window keyed by the
+    * high-cardinality dirty id. (Round-7 measured lesson: blocking on
+    * nationkey ALONE left Σ|block|² ≈ 9M candidate pairs whose
+    * levenshtein gate fused into the join as an interpreted non-equi
+    * condition — 27 s at sf0.1; the tighter block is 45× faster AND
+    * the honest at-scale design. The price of structural blocking is
+    * recall on edits that strike the block key itself — real linkers
+    * run a second pass keyed on a different name region; the
+    * `correct` column keeps that visible.)
     */
   private val j13 = Q(
     "j13_fuzzy_record_linkage",
@@ -392,7 +399,9 @@ object JoinQueries {
         col("c_nationkey").as("d_nation"))
       val cand = cust
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-        .join(dirty, col("c_nationkey") === col("d_nation"))
+        .join(dirty, col("c_nationkey") === col("d_nation") &&
+          substring(col("c_name"), -4, 4) ===
+            substring(col("d_name"), -4, 4))
         .withColumn("dist", levenshtein(col("c_name"), col("d_name")))
         .filter(col("dist") <= 2)
       val w = Window.partitionBy("d_id")
@@ -412,7 +421,9 @@ object JoinQueries {
             cand AS (
               SELECT d.d_id, c.c_custkey,
                      levenshtein(c.c_name, d.d_name) AS dist
-              FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nation
+              FROM customer c JOIN dirty d
+                ON c.c_nationkey = d.d_nation
+               AND right(c.c_name, 4) = right(d.d_name, 4)
               WHERE levenshtein(c.c_name, d.d_name) <= 2),
             best AS (
               SELECT d_id, c_custkey, dist,

@@ -18,6 +18,7 @@ object ScaleProbe {
     if (args.headOption.contains("ann")) { annProbe(); return }
     if (args.headOption.contains("skew")) { skewProbe(); return }
     if (args.headOption.contains("tpch")) { tpchProbe(); return }
+    if (args.headOption.contains("graph")) { graphProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -67,6 +68,58 @@ object ScaleProbe {
     * no quadratic term, no broadcast regression as facts grow.
     * usage: Test/runMain graft.dev.ScaleProbe tpch
     */
+  /** Graph/linkage scaling: replicate lineitem m× with offset supplier
+    * AND part keys — each replica is a DISJOINT copy of the supply
+    * graph, so nodes and edges both grow m× (the worst case for
+    * PageRank: no density amortization) — and customer m× with
+    * per-replica name suffixes (blocks stay tight, true matches stay
+    * planted). Flat-ish per-m runtime at fixed resources is the design
+    * claim: PageRank is join+agg rounds whose shuffle grows linearly,
+    * linkage is a 2-key equi-join whose candidate set grows linearly.
+    */
+  private def graphProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    for (m <- Seq(1, 2, 4, 8)) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_graph_x$m"
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val sStride = li.agg(max("l_suppkey")).first().getLong(0) + 1
+      val pStride = li.agg(max("l_partkey")).first().getLong(0) + 1
+      (0 until m).map(i => li
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * pStride)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val cStride = cust.agg(max("c_custkey")).first().getLong(0) + 1
+      (0 until m).map(i => cust
+          .withColumn("c_custkey", col("c_custkey") + lit(i * cStride))
+          .withColumn("c_name",
+            when(lit(i) === 0, col("c_name"))
+              .otherwise(concat(col("c_name"), lit(i.toString)))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      for (q <- Seq("g1_pagerank", "j13_fuzzy_record_linkage")) {
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        spark.catalog.clearCache()
+        println(f"GRAPH x$m%-2d $q%-26s rows=$rows%-8d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+    spark.stop()
+  }
+
   private def tpchProbe(): Unit = {
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
