@@ -840,7 +840,40 @@ object EventQueries {
                    CAST(1 AS BIGINT) AS n_emitted
             FROM events ORDER BY 1, 2"""))
 
+  /** STREAM-STATIC enrichment equivalence (X129, promoting the last
+    * spec-only streaming path to a driver row): the events stream left-
+    * joins a bounded customer dimension via
+    * [[graft.streaming.EventStreams.enrichWithDim]] — `broadcast(dim)`
+    * per micro-batch, NO stream-side shuffle and NO state store (the
+    * standard pattern for attaching slowly-changing metadata at any
+    * stream rate; contrast e19 where BOTH sides buffer). Append mode:
+    * enriched rows flow straight through; the verified output is the
+    * per-segment rollup, hash-proven equal to the batch left join.
+    * Unmatched users coalesce to a sentinel segment on both engines
+    * (NULL group ordering differs Spark-vs-DuckDB, so no NULL keys).
+    */
+  private val e21 = Q(
+    "e21_stream_static_enrich",
+    (s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      replayToMemorySink(s, dir, "stream_enrich", "append")(ev =>
+        graft.streaming.EventStreams
+          .enrichWithDim(ev, dim, "user_id", "c_custkey"))
+        .withColumn("segment",
+          coalesce(col("c_mktsegment"), lit("UNMATCHED")))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("segment")
+    },
+    Some("""SELECT coalesce(c_mktsegment, 'UNMATCHED') AS segment,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events e LEFT JOIN customer c
+              ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20)
+      e16, e17, e18, e19, e20, e21)
 }

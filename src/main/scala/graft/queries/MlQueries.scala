@@ -867,6 +867,89 @@ object MlQueries {
          |  SELECT * FROM r3)
          |ORDER BY iter""".stripMargin))
 
+  /** M13 (X131, beyond the reference): EXACT distributed DECISION-STUMP
+    * fit — the inner loop of every gradient-boosted-tree trainer, run
+    * the way a 100 TB trainer must: ONE map-side-combined pass builds
+    * per-feature-value sufficient statistics (n, Σy, Σy²), a window
+    * prefix-sum over the ~50 candidate splits (candidate cardinality,
+    * NOT data cardinality — the single-task window is over 50 rows)
+    * turns them into left/right stats for every split simultaneously,
+    * and the best split is an argmin — no per-candidate rescans.
+    * Determinism discipline: Σy and Σy² accumulate in EXACT DECIMAL
+    * (associative — any reduction order), and the SSE objective is
+    * computed in doubles cast from those exact decimals with the op
+    * order written identically on both engines, so the top-3 splits
+    * hash-match with raw unrounded objective values.
+    */
+  private val m13 = Q(
+    "m13_decision_stump",
+    (s, dir) => {
+      val yd = col("l_extendedprice").cast("decimal(18,2)")
+      val perX = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_quantity").as("x"))
+        .agg(count(lit(1)).as("n"), sum(yd).as("s"),
+          sum(yd * yd).as("q"))
+      val wo = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val pre = perX
+        .withColumn("nl", sum("n").over(wo))
+        .withColumn("sl", sum("s").over(wo))
+        .withColumn("ql", sum("q").over(wo))
+        .withColumn("nt", sum("n").over(wAll))
+        .withColumn("st", sum("s").over(wAll))
+        .withColumn("qt", sum("q").over(wAll))
+      val cand = pre.filter(col("nl") < col("nt"))
+        .select(col("x").as("split"),
+          col("nl").as("n_left"), (col("nt") - col("nl")).as("n_right"),
+          (col("sl").cast("double") / col("nl")).as("mean_left"),
+          ((col("st") - col("sl")).cast("double") /
+            (col("nt") - col("nl"))).as("mean_right"),
+          ((col("ql").cast("double") -
+            col("sl").cast("double") * col("sl").cast("double") /
+              col("nl")) +
+           ((col("qt") - col("ql")).cast("double") -
+            (col("st") - col("sl")).cast("double") *
+              (col("st") - col("sl")).cast("double") /
+              (col("nt") - col("nl")))).as("sse"))
+      val rk = Window.orderBy(col("sse"), col("split"))
+      cand.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 3)
+        .select(col("rk"), col("split"), col("n_left"), col("n_right"),
+          col("mean_left"), col("mean_right"), col("sse"))
+        .orderBy("rk")
+    },
+    Some("""WITH perx AS (
+              SELECT l_quantity AS x, count(*) AS n,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(l_extendedprice AS DECIMAL(18,2))) AS q
+              FROM lineitem GROUP BY 1),
+            pre AS (
+              SELECT x, n,
+                     sum(n) OVER wo AS nl, sum(s) OVER wo AS sl,
+                     sum(q) OVER wo AS ql,
+                     sum(n) OVER () AS nt, sum(s) OVER () AS st,
+                     sum(q) OVER () AS qt
+              FROM perx
+              WINDOW wo AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+            cand AS (
+              SELECT x AS split, CAST(nl AS BIGINT) AS n_left,
+                     CAST(nt - nl AS BIGINT) AS n_right,
+                     CAST(sl AS DOUBLE) / nl AS mean_left,
+                     CAST(st - sl AS DOUBLE) / (nt - nl) AS mean_right,
+                     (CAST(ql AS DOUBLE) -
+                      CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl)
+                     + (CAST(qt - ql AS DOUBLE) -
+                        CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                          / (nt - nl)) AS sse
+              FROM pre WHERE nl < nt)
+            SELECT rk, split, n_left, n_right, mean_left, mean_right, sse
+            FROM (SELECT cand.*, row_number() OVER (ORDER BY sse, split)
+                    AS rk FROM cand)
+            WHERE rk <= 3 ORDER BY rk"""))
+
   def all: Seq[Q] =
-    Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12)
+    Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12, m13)
 }

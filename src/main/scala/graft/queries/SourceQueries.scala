@@ -348,5 +348,45 @@ object SourceQueries {
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
+  /** SRC10 (X130): SCHEMA EVOLUTION read — the operational reality of
+    * any long-lived dataset: old files lack columns newer files carry.
+    * Two generations of the orders table are written (v1: three
+    * columns; v2: adds o_totalprice), then read back as ONE dataset
+    * with `mergeSchema` — Spark unions the footers' schemas and
+    * back-fills missing columns with NULL, which the aggregate then
+    * observes (count vs count(col)). Hash-proven against an oracle
+    * that replays the generational split. At scale, schema merging is
+    * a FOOTER-only operation (no data rewrite) — which is exactly why
+    * it's the evolution path of choice for append-only lakes.
+    */
+  private val s10 = Q(
+    "src10_schema_evolution",
+    (s, dir) => {
+      val out = tmpDir("orders_evolution")
+      val orders = Tables.load(s, dir, "orders")
+      orders.filter(col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$out/g=1")
+      orders.filter(col("o_orderdate") >= "1998-01-01")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate",
+          "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/g=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/g=1", s"$out/g=2")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_with_price"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 4)
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
+                   round(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                     THEN o_totalprice ELSE 0.0 END), 4) AS sum_price
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
 }
