@@ -33,6 +33,7 @@ object Registry {
       graft.queries.SketchQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.HeadlineQueries.all ++
+      graft.queries.TpchQueries.all ++
       graft.queries.GraphQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
