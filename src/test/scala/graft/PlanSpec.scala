@@ -269,6 +269,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p5.contains("CartesianProduct"), p5.take(3000))
   }
 
+  test("TPC-H completion plans: h21's double self-join stays equi-keyed " +
+      "with a heap top-k, h19's disjunction keeps part broadcast, h12's " +
+      "interval predicate rides the equi join, h17 broadcasts the " +
+      "decorrelated threshold") {
+    val p21 = plan("h21_waiting_suppliers")
+    // EXISTS + NOT EXISTS compile to real semi/anti joins on the shared
+    // orderkey — never a nested-loop — and the top-25 never globally
+    // sorts the rollup
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      p21.take(3000))
+    assert(!p21.contains("BroadcastNestedLoopJoin") &&
+      !p21.contains("CartesianProduct"), p21.take(3000))
+    assert(p21.contains("TakeOrderedAndProject"), p21.take(3000))
+    val p19 = plan("h19_disjunctive_revenue")
+    // the OR-of-ANDs must not defeat the broadcast equi join
+    assert(p19.contains("BroadcastHashJoin"), p19.take(3000))
+    assert(!p19.contains("BroadcastNestedLoopJoin") &&
+      !p19.contains("CartesianProduct"), p19.take(3000))
+    val p12 = plan("h12_priority_shipping")
+    // lateness (l_shipdate >= o_orderdate + 90d) references both sides,
+    // so it must ride the orderkey equi join as a residual condition,
+    // never degrade to a theta join
+    assert(!p12.contains("BroadcastNestedLoopJoin") &&
+      !p12.contains("CartesianProduct"), p12.take(3000))
+    val p17 = plan("h17_small_qty_revenue")
+    // Brand#4 part keyset AND the per-part 0.2×avg threshold table both
+    // broadcast — the fact is never shuffled on partkey
+    assert("BroadcastHashJoin".r.findAllIn(p17).size >= 2, p17.take(3000))
+  }
+
   test("m10 k-means assignment pass is scan-local: literal centroids, " +
       "no join, no exchange before the aggregate") {
     import org.apache.spark.sql.functions.col
