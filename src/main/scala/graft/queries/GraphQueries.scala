@@ -59,5 +59,83 @@ object GraphQueries {
                    FROM ed JOIN i2 r ON ed.src = r.node GROUP BY ed.dst)
             SELECT node AS node_id, r AS pr FROM i3 ORDER BY node_id"""))
 
-  def all: Seq[Q] = Seq(g1)
+  /** G2 (X134, beyond the reference): MULTI-SOURCE BFS / k-hop
+    * reachability over the same symmetrized supplier–part graph as g1
+    * — the "blast radius" primitive (which parts/suppliers are within
+    * k hops of a compromised source set). Three Bellman-Ford
+    * relaxation rounds: dist' = least(dist, min over in-neighbors
+    * (dist)+1) — all BIGINT, so the per-distance census hash-matches a
+    * DuckDB oracle that unrolls the same three rounds as chained CTEs
+    * (the g1/m1d technique; `least` ignores NULLs identically in both
+    * engines). Scale shape per round: one src-keyed equi-join against
+    * the reached frontier + one dst-keyed map-side-combined MIN —
+    * the same bounded-round discipline as g1/CC, lineage truncated
+    * with localCheckpoint so planning stays O(1) per round; at 1000
+    * executors each round is one shuffle whose payload is (node,
+    * dist) pairs, never edge payloads.
+    */
+  private val g2 = Q(
+    "g2_bfs_khop",
+    (s, dir) => {
+      val pairs = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"),
+          (col("l_partkey") + 1000000L).as("pk"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionByName(pairs.select(col("pk").as("src"), col("sk").as("dst")))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var dist = nodes.withColumn("dist",
+        when(col("node").isin(0L, 1L), lit(0L))).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val nb = edges
+          .join(dist.filter(col("dist").isNotNull)
+            .select(col("node").as("rn"), col("dist").as("rd")),
+            col("src") === col("rn"))
+          .groupBy(col("dst"))
+          .agg((min("rd") + 1L).as("nd"))
+        dist = dist.join(nb, col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("dist"), col("nd")).as("dist"))
+          .localCheckpoint()
+      }
+      dist.groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+    Some("""WITH e0 AS (
+              SELECT DISTINCT l_suppkey AS sk, l_partkey + 1000000 AS pk
+              FROM lineitem),
+            edges AS (
+              SELECT sk AS src, pk AS dst FROM e0
+              UNION ALL
+              SELECT pk AS src, sk AS dst FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            d0 AS (SELECT node,
+                          CASE WHEN node IN (0, 1) THEN CAST(0 AS BIGINT)
+                          END AS dist
+                   FROM nodes),
+            d1 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d0 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d0 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node),
+            d2 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d1 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d1 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node),
+            d3 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d2 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d2 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node)
+            SELECT coalesce(dist, -1) AS dist,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM d3 GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(g1, g2)
 }

@@ -950,6 +950,64 @@ object MlQueries {
                     AS rk FROM cand)
             WHERE rk <= 3 ORDER BY rk"""))
 
+  /** M14 (X136, beyond the reference): SEASONAL-NAIVE forecast
+    * evaluation with MASE — the mandatory baseline every forecaster
+    * (the reference's LSTM, our m5 AR substitute) must beat, and the
+    * standard scale-free metric to say so. Per event type: daily
+    * totals (rounded to the repo-standard 4 decimals BEFORE any
+    * differencing, so both engines difference identical values),
+    * seasonal-naive ŷ(t)=y(t−7) vs one-step naive ŷ(t)=y(t−1),
+    * both scored over the SAME eval days (t ≥ 8, where the seasonal
+    * lag exists); MASE = one IEEE division of the two rounded MAEs.
+    * Scale shape: the daily rollup is ONE map-side-combined
+    * aggregate (shuffle = type×day cardinality, never events); the
+    * lags are one window pass per type; the scoreboard is tiny.
+    */
+  private val m14 = Q(
+    "m14_seasonal_naive_mase",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum("value"), 4).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("lag7", lag("v", 7).over(w))
+        .withColumn("lag1", lag("v", 1).over(w))
+        .filter(col("lag7").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_eval_days"),
+          round(avg(abs(col("v") - col("lag7"))), 4).as("mae_seasonal"),
+          round(avg(abs(col("v") - col("lag1"))), 4).as("mae_naive1"))
+        .withColumn("mase",
+          round(col("mae_seasonal") / col("mae_naive1"), 4))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     round(sum(value), 4) AS v
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT event_type, v,
+                     lag(v, 7) OVER (PARTITION BY event_type
+                       ORDER BY day) AS lag7,
+                     lag(v, 1) OVER (PARTITION BY event_type
+                       ORDER BY day) AS lag1
+              FROM daily),
+            scored AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_eval_days,
+                     round(avg(abs(v - lag7)), 4) AS mae_seasonal,
+                     round(avg(abs(v - lag1)), 4) AS mae_naive1
+              FROM lagged WHERE lag7 IS NOT NULL
+              GROUP BY event_type)
+            SELECT event_type, n_eval_days, mae_seasonal, mae_naive1,
+                   round(mae_seasonal / mae_naive1, 4) AS mase
+            FROM scored ORDER BY event_type"""))
+
   def all: Seq[Q] =
-    Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12, m13)
+    Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
+      m13, m14)
 }

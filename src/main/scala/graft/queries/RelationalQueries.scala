@@ -530,7 +530,64 @@ object RelationalQueries {
             GROUP BY c_nationkey, c_mktsegment
             ORDER BY c_nationkey, c_mktsegment"""))
 
+  /** P15 (X135, beyond the reference): TIME-BASED train/test split
+    * with a LEAKAGE audit — the split every forecasting/training
+    * pipeline needs (random splits leak future into past; entity
+    * overlap across the cutoff is what a dedup/decontamination gate
+    * must know about). One scan assigns the split by cutoff; ONE
+    * user-keyed map-side-combined aggregate derives per-user
+    * presence on each side; the audit row (counts, overlap, leak
+    * rate) is a tiny rollup of that. Leak rate = IEEE division of
+    * two exact BIGINTs (<2^53) — cross-engine deterministic per the
+    * repo playbook. At 100 TB: shuffle = user cardinality, never
+    * events; no second scan for the audit.
+    */
+  private val p15 = Q(
+    "p15_time_split_leakage",
+    (s, dir) => {
+      val cutoff = "2024-01-24"
+      val perUser = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          (col("ts") < lit(cutoff).cast("timestamp")).as("is_train"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train_ev"),
+          sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test_ev"))
+      perUser.agg(
+          sum("n_train_ev").as("train_events"),
+          sum("n_test_ev").as("test_events"),
+          sum(when(col("n_train_ev") > 0, 1L).otherwise(0L))
+            .as("train_users"),
+          sum(when(col("n_test_ev") > 0, 1L).otherwise(0L))
+            .as("test_users"),
+          sum(when(col("n_train_ev") > 0 && col("n_test_ev") > 0, 1L)
+            .otherwise(0L)).as("leaked_users"))
+        .withColumn("leak_rate",
+          round(col("leaked_users").cast("double") /
+            col("test_users"), 4))
+    },
+    Some("""WITH per_user AS (
+              SELECT user_id,
+                     sum(CASE WHEN ts < TIMESTAMP '2024-01-24'
+                         THEN 1 ELSE 0 END) AS n_train_ev,
+                     sum(CASE WHEN ts < TIMESTAMP '2024-01-24'
+                         THEN 0 ELSE 1 END) AS n_test_ev
+              FROM events GROUP BY user_id)
+            SELECT CAST(sum(n_train_ev) AS BIGINT) AS train_events,
+                   CAST(sum(n_test_ev) AS BIGINT) AS test_events,
+                   CAST(sum(CASE WHEN n_train_ev > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS train_users,
+                   CAST(sum(CASE WHEN n_test_ev > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS test_users,
+                   CAST(sum(CASE WHEN n_train_ev > 0 AND n_test_ev > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS leaked_users,
+                   round(CAST(sum(CASE WHEN n_train_ev > 0
+                       AND n_test_ev > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN n_test_ev > 0 THEN 1 ELSE 0 END), 4)
+                     AS leak_rate
+            FROM per_user"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2)
+      p12, p13, p14, dq2, p15)
 }

@@ -99,5 +99,79 @@ object SketchQueries {
                      AS median_within_5pct
             FROM orders GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(sk1, sk2)
+  /** SK3 (X133, beyond the reference): COUNT-MIN SKETCH heavy hitters —
+    * unlike HLL/t-digest (sk1/sk2), a count-min sketch is DETERMINISTIC
+    * integer arithmetic once the hash family is fixed, so both engines
+    * build the IDENTICAL d=3 × w=256 sketch from md5-derived bucket
+    * hashes and the row is fully hash-verified: estimates, per-item
+    * overestimate, and the CMS guarantee bit (est ≥ exact, provable —
+    * every cell counts a superset of the item's occurrences). At 100 TB
+    * the sketch build is ONE map-side-combined pass whose shuffle is
+    * the 768 fixed cells — independent of data size — versus the exact
+    * top-k's user-cardinality shuffle; this row measures exactly what
+    * that buys (the overestimate column) and what it risks (nothing:
+    * the guarantee bit). Hash pairing per the repo playbook: Spark
+    * `conv(substr(md5(...),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(...),1,15))::BIGINT` (60-bit positive, % w).
+    */
+  private val sk3 = Q(
+    "sk3_countmin_heavy_hitters",
+    (s, dir) => {
+      val W = 256
+      def bucket(row: Int, item: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(row.toString), lit(":"),
+          item.cast("string"))), 1, 15), 16, 10).cast("long") % W
+      val ev = Tables.load(s, dir, "events").select("user_id")
+      // sketch build: one scan, one shuffle of d*w=768 cells
+      val cells = ev
+        .select(posexplode(array((0 to 2).map(i =>
+          bucket(i, col("user_id"))): _*)).as(Seq("row", "bucket")))
+        .groupBy("row", "bucket").agg(count(lit(1)).as("cell"))
+      // exact top-10 candidates (the truth being estimated)
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+      // probe: each candidate reads its d cells, estimate = min
+      top
+        .select(col("user_id"), col("exact_cnt"),
+          posexplode(array((0 to 2).map(i =>
+            bucket(i, col("user_id"))): _*)).as(Seq("row2", "bucket2")))
+        .join(broadcast(cells),
+          col("row") === col("row2") && col("bucket") === col("bucket2"))
+        .groupBy("user_id", "exact_cnt")
+        .agg(min("cell").as("est_cnt"))
+        .select(col("user_id"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("exact_cnt")).as("overest"),
+          (col("est_cnt") >= col("exact_cnt")).as("cms_ok"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    },
+    Some("""WITH ev AS (SELECT user_id FROM events),
+                 rows3 AS (SELECT unnest([0, 1, 2]) AS r),
+                 hashes AS (
+                   SELECT user_id, r,
+                          ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                            CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256
+                            AS bucket
+                   FROM ev, rows3),
+                 cells AS (SELECT r, bucket,
+                                  CAST(count(*) AS BIGINT) AS cell
+                           FROM hashes GROUP BY 1, 2),
+                 top AS (SELECT user_id,
+                                CAST(count(*) AS BIGINT) AS exact_cnt
+                         FROM ev GROUP BY 1
+                         ORDER BY exact_cnt DESC, user_id LIMIT 10),
+                 probe AS (
+                   SELECT t.user_id, t.exact_cnt, r,
+                          ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                            CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 256 AS bucket
+                   FROM top t, rows3)
+            SELECT p.user_id, p.exact_cnt, min(c.cell) AS est_cnt,
+                   min(c.cell) - p.exact_cnt AS overest,
+                   min(c.cell) >= p.exact_cnt AS cms_ok
+            FROM probe p JOIN cells c
+              ON p.r = c.r AND p.bucket = c.bucket
+            GROUP BY p.user_id, p.exact_cnt
+            ORDER BY exact_cnt DESC, user_id"""))
+
+  def all: Seq[Q] = Seq(sk1, sk2, sk3)
 }
