@@ -144,11 +144,17 @@ object ScaleProbe {
           col("o_orderkey") + lit(i * keyStride)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-      for (t <- Seq("customer", "supplier", "nation", "region"))
+      for (t <- Seq("customer", "supplier", "nation", "region", "part"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      // h2/h13/h17/h21 are the suite-completion heavies: bridge
+      // DISTINCT, outer-join distribution, decorrelated threshold,
+      // triple self-join — the shapes whose scaling could differ from
+      // the scan+agg anchors.
       for (q <- Seq("h1_pricing_summary", "h3_shipping_priority",
-        "h18_large_orders")) {
+        "h18_large_orders", "h2_min_cost_supplier",
+        "h13_customer_distribution", "h17_small_qty_revenue",
+        "h21_waiting_suppliers")) {
         val fn = graft.SparkEntry.queries(q)
         fn(spark, dir).count() // warm
         val t0 = System.nanoTime()
