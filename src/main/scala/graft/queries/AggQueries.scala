@@ -523,7 +523,54 @@ object AggQueries {
               FROM orders)
             GROUP BY bin ORDER BY bin"""))
 
+  /** A19 (X137, beyond the reference): EXACT WEIGHTED MEDIAN per
+    * group — the robust location statistic when rows carry unequal
+    * mass (price-weighted, token-weighted, duplicate-count-weighted
+    * after dedup). Definition: smallest value v with
+    * 2·Σweight(≤v) ≥ Σweight. Determinism: weights are BIGINT
+    * (l_quantity is integer-valued), the cumulative window uses the
+    * default RANGE frame so ties in the order key accumulate
+    * identically in both engines, and the threshold is integer
+    * cross-multiplication (2·cum ≥ total) — no FP anywhere in the
+    * selection. Scale shape: ONE window pass partitioned on the
+    * HIGH-cardinality supplier key (never the 3-value returnflag —
+    * the low-cardinality-window pitfall measured in round 2), one
+    * broadcastable per-group total, min-aggregate of the qualifying
+    * values.
+    */
+  private val a19 = Q(
+    "a19_weighted_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("wt"))
+      val w = Window.partitionBy("l_suppkey").orderBy("v")
+      val cum = li.withColumn("cum", sum("wt").over(w))
+      val tot = li.groupBy(col("l_suppkey").as("sk"))
+        .agg(sum("wt").as("total"))
+      cum.join(broadcast(tot), col("l_suppkey") === col("sk"))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy("l_suppkey")
+        .agg(min("v").as("weighted_median"),
+          max("total").as("total_weight"))
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH cum AS (
+              SELECT l_suppkey, l_extendedprice AS v,
+                     sum(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_suppkey ORDER BY l_extendedprice)
+                       AS cum,
+                     sum(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_suppkey) AS total
+              FROM lineitem)
+            SELECT l_suppkey, min(v) AS weighted_median,
+                   CAST(max(total) AS BIGINT) AS total_weight
+            FROM cum WHERE cum * 2 >= total
+            GROUP BY l_suppkey
+            ORDER BY l_suppkey"""))
+
   def all: Seq[Q] =
     Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, u3, a12, a13, a14,
-      a15, a16, a17, a18)
+      a15, a16, a17, a18, a19)
 }

@@ -1007,7 +1007,53 @@ object MlQueries {
                    round(mae_seasonal / mae_naive1, 4) AS mase
             FROM scored ORDER BY event_type"""))
 
+  /** M15 (X140, beyond the reference): FEATURE HASHING (the hashing
+    * trick) with a collision audit — the fixed-dimension categorical
+    * featurizer that needs no vocabulary pass (vs one-hot's
+    * unbounded dictionary), plus the audit that tells you whether
+    * D=64 is too small: per hash bucket, how many DISTINCT source
+    * features landed there and how many rows they carry. md5-derived
+    * buckets (the repo's cross-engine hash pairing) make the whole
+    * row integer-exact. Scale shape: feature emission is scan-local
+    * (explode of a literal-sized array), ONE bucket-keyed map-side-
+    * combined aggregate — shuffle = D × distinct-feature cardinality,
+    * independent of row count.
+    */
+  private val m15 = Q(
+    "m15_feature_hash",
+    (s, dir) => {
+      def bucket(f: org.apache.spark.sql.Column) =
+        conv(substring(md5(f), 1, 15), 16, 10).cast("long") % 64
+      Tables.load(s, dir, "customer")
+        .select(explode(array(
+          concat(lit("seg="), col("c_mktsegment")),
+          concat(lit("nat="), col("c_nationkey").cast("string"))))
+          .as("feature"))
+        .select(col("feature"), bucket(col("feature")).as("bucket"))
+        .groupBy("bucket")
+        .agg(
+          countDistinct("feature").as("n_features"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("collision", col("n_features") > 1)
+        .orderBy("bucket")
+    },
+    Some("""WITH feats AS (
+              SELECT unnest(['seg=' || c_mktsegment,
+                             'nat=' || CAST(c_nationkey AS VARCHAR)])
+                       AS feature
+              FROM customer),
+            hashed AS (
+              SELECT feature,
+                     ('0x' || substr(md5(feature), 1, 15))::BIGINT % 64
+                       AS bucket
+              FROM feats)
+            SELECT bucket,
+                   CAST(count(DISTINCT feature) AS BIGINT) AS n_features,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   count(DISTINCT feature) > 1 AS collision
+            FROM hashed GROUP BY bucket ORDER BY bucket"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14)
+      m13, m14, m15)
 }

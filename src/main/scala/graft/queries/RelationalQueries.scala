@@ -587,7 +587,116 @@ object RelationalQueries {
                      AS leak_rate
             FROM per_user"""))
 
+  /** DQ3 (X139, beyond the reference): REFERENTIAL-INTEGRITY audit —
+    * every foreign-key edge of the star schema checked for orphans in
+    * one result table (the lake-ingest gate that catches partial
+    * loads and broken upstream joins before training reads the data).
+    * Each edge is one LEFT join against the DISTINCT parent keyset
+    * with a null-count — the dim edges broadcast; the two fact→fact
+    * edges shuffle on their shared key, which is the honest shape at
+    * 100 TB (you cannot audit lineitem→orders without touching both).
+    * All counts BIGINT, zero FP.
+    */
+  private val dq3 = Q(
+    "dq3_fk_orphans",
+    (s, dir) => {
+      def audit(edge: String, child: org.apache.spark.sql.DataFrame,
+          key: String, parent: org.apache.spark.sql.DataFrame,
+          pkey: String, bcast: Boolean) = {
+        val pk = parent.select(col(pkey).as("__pk")).distinct()
+        child.select(col(key).cast("long").as("__k"))
+          .join(if (bcast) broadcast(pk) else pk,
+            col("__k") === col("__pk"), "left")
+          .agg(lit(edge).as("fk_edge"), count(lit(1)).as("n_child"),
+            sum(when(col("__pk").isNull, 1L).otherwise(0L))
+              .as("n_orphans"))
+      }
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val su = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      val p = Tables.load(s, dir, "part")
+      audit("customer.c_nationkey->nation", c, "c_nationkey", n,
+          "n_nationkey", bcast = true)
+        .unionByName(audit("lineitem.l_orderkey->orders", li,
+          "l_orderkey", o, "o_orderkey", bcast = false))
+        .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey",
+          p, "p_partkey", bcast = true))
+        .unionByName(audit("lineitem.l_suppkey->supplier", li,
+          "l_suppkey", su, "s_suppkey", bcast = true))
+        .unionByName(audit("nation.n_regionkey->region", n,
+          "n_regionkey", r, "r_regionkey", bcast = true))
+        .unionByName(audit("orders.o_custkey->customer", o, "o_custkey",
+          c, "c_custkey", bcast = true))
+        .unionByName(audit("supplier.s_nationkey->nation", su,
+          "s_nationkey", n, "n_nationkey", bcast = true))
+        .orderBy("fk_edge")
+    },
+    Some("""WITH a AS (
+              SELECT 'customer.c_nationkey->nation' AS fk_edge,
+                     CAST(count(*) AS BIGINT) AS n_child,
+                     CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_orphans
+              FROM customer LEFT JOIN
+                (SELECT DISTINCT n_nationkey AS k FROM nation) p
+                ON c_nationkey = p.k),
+            b AS (
+              SELECT 'lineitem.l_orderkey->orders',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+              FROM lineitem LEFT JOIN
+                (SELECT DISTINCT o_orderkey AS k FROM orders) p
+                ON l_orderkey = p.k),
+            c2 AS (
+              SELECT 'lineitem.l_partkey->part',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+              FROM lineitem LEFT JOIN
+                (SELECT DISTINCT p_partkey AS k FROM part) p
+                ON l_partkey = p.k),
+            d AS (
+              SELECT 'lineitem.l_suppkey->supplier',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+              FROM lineitem LEFT JOIN
+                (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+                ON l_suppkey = p.k),
+            e AS (
+              SELECT 'nation.n_regionkey->region',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+              FROM nation LEFT JOIN
+                (SELECT DISTINCT r_regionkey AS k FROM region) p
+                ON n_regionkey = p.k),
+            f AS (
+              SELECT 'orders.o_custkey->customer',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+              FROM orders LEFT JOIN
+                (SELECT DISTINCT c_custkey AS k FROM customer) p
+                ON o_custkey = p.k),
+            g AS (
+              SELECT 'supplier.s_nationkey->nation',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+              FROM supplier LEFT JOIN
+                (SELECT DISTINCT n_nationkey AS k FROM nation) p
+                ON s_nationkey = p.k)
+            SELECT * FROM a UNION ALL SELECT * FROM b
+            UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM d
+            UNION ALL SELECT * FROM e UNION ALL SELECT * FROM f
+            UNION ALL SELECT * FROM g
+            ORDER BY fk_edge"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15)
+      p12, p13, p14, dq2, p15, dq3)
 }

@@ -727,6 +727,56 @@ object TextQueries {
                      (CAST(sum(n) AS DOUBLE) * sum(n)) AS gini
             FROM rk GROUP BY source ORDER BY source"""))
 
+  /** T16 (X138, beyond the reference): VOCABULARY COVERAGE / OOV-rate
+    * audit — before freezing a tokenizer vocabulary, measure what a
+    * top-K vocab misses per language (the signal that decides vocab
+    * size and language up/down-sampling). Same [a-z0-9]+ tokenizer as
+    * t1/t5/t13. Scale shape: vocab = one map-side-combined word count
+    * + TakeOrdered K (per-partition heaps); the coverage pass re-reads
+    * the corpus ONCE with the vocab broadcast as a left join — in-vocab
+    * is a null test, the per-language rollup is map-side combined;
+    * shuffle = vocabulary + language cardinality, never tokens.
+    * OOV rate = one IEEE division of exact BIGINTs, rounded.
+    */
+  private val t16 = Q(
+    "t16_vocab_oov",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(500)
+        .select(col("w").as("vw"))
+      toks.join(broadcast(vocab), col("w") === col("vw"), "left")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 4))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS w
+              FROM documents),
+            vocab AS (
+              SELECT w FROM (
+                SELECT w, count(*) AS c FROM toks GROUP BY w
+                ORDER BY c DESC, w LIMIT 500)),
+            flagged AS (
+              SELECT t.lang, v.w AS vw
+              FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*), 4) AS oov_rate
+            FROM flagged
+            GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
+      t16)
 }
