@@ -873,7 +873,59 @@ object EventQueries {
               ON e.user_id = c.c_custkey
             GROUP BY 1 ORDER BY 1"""))
 
+  /** E22 (X141, beyond the reference): OHLC BARS — the canonical
+    * downsampling of a value stream to per-bucket open/high/low/close/
+    * volume (market bars, sensor roll-ups, metric dashboards). Open
+    * and close are ORDER-dependent, so both engines pick them by the
+    * same total order ((ts, event_id) ascending / descending
+    * row_number — no arg_min/struct-key dependence); high/low/count
+    * are plain aggregates of stored values (no arithmetic → exact),
+    * volume is the repo-standard rounded sum. Scale shape: ONE
+    * exchange on (type, day); the two window row_numbers and the
+    * final aggregate all consume that same partitioning (two in-
+    * partition sorts, no second shuffle).
+    */
+  private val e22 = Q(
+    "e22_ohlc_bars",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+      val asc = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val desc = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy("event_type", "day")
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("volume"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH rn AS (
+              SELECT event_type, date_trunc('day', ts) AS day, value,
+                     row_number() OVER (
+                       PARTITION BY event_type, date_trunc('day', ts)
+                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+                     row_number() OVER (
+                       PARTITION BY event_type, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events)
+            SELECT event_type, day,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS volume
+            FROM rn GROUP BY event_type, day
+            ORDER BY event_type, day"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20, e21)
+      e16, e17, e18, e19, e20, e21, e22)
 }

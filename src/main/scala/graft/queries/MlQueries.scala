@@ -1053,7 +1053,106 @@ object MlQueries {
                    count(DISTINCT feature) > 1 AS collision
             FROM hashed GROUP BY bucket ORDER BY bucket"""))
 
+  /** M16 (X142, beyond the reference): CLASSIFICATION METRICS —
+    * per-class precision / recall / F1 for t3's marker-word language
+    * classifier against the true labels, the evaluation table every
+    * classifier ships with (m6 covers regression; this covers
+    * classification). Built from the confusion matrix: one scan
+    * scores and predicts, one (true, pred) rollup, then two
+    * class-keyed rollups full-outer-joined so classes the rule never
+    * predicts (and predictions outside the label set) still get a
+    * row. Determinism: tp/fp/fn are exact BIGINTs; precision and
+    * recall are one IEEE division each; F1 is computed from those
+    * two doubles with identical op order in both engines; zero
+    * denominators are NULL by explicit guard, not engine luck.
+    * Scale shape: shuffle = class-pair cardinality, never documents.
+    */
+  private val m16 = Q(
+    "m16_classification_metrics",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+      def score(markers: Seq[String]) =
+        size(filter(toks, x => x.isInCollection(markers)))
+      val conf = Tables.load(s, dir, "documents")
+        .withColumn("s_en", score(graft.ops.Corpus.langMarkers(0)._2))
+        .withColumn("s_es", score(graft.ops.Corpus.langMarkers(1)._2))
+        .withColumn("s_fr", score(graft.ops.Corpus.langMarkers(2)._2))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"),
+            "en").when(col("s_es") >= col("s_fr"), "es").otherwise("fr"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val truth = conf.groupBy(col("lang").as("cls"))
+        .agg(sum("n").as("n_true"),
+          sum(when(col("lang") === col("pred"), col("n"))
+            .otherwise(0L)).as("tp"))
+      val preds = conf.groupBy(col("pred").as("pcls"))
+        .agg(sum("n").as("n_pred"))
+      truth.join(preds, col("cls") === col("pcls"), "full")
+        .select(
+          coalesce(col("cls"), col("pcls")).as("class"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision",
+          when(col("n_pred") > 0,
+            round(col("tp").cast("double") / col("n_pred"), 4)))
+        .withColumn("recall",
+          when(col("n_true") > 0,
+            round(col("tp").cast("double") / col("n_true"), 4)))
+        .withColumn("f1",
+          when(col("precision") + col("recall") > 0,
+            round(lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall")), 4)))
+        .orderBy("class")
+    },
+    Some("""WITH scored AS (
+              SELECT lang,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('the','a','and','of'))) AS s_en,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('el','la','de','que'))) AS s_es,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('le','les','et','de'))) AS s_fr
+              FROM documents),
+            conf AS (
+              SELECT lang,
+                     CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS pred,
+                     count(*) AS n
+              FROM scored GROUP BY 1, 2),
+            truth AS (
+              SELECT lang AS cls,
+                     CAST(sum(n) AS BIGINT) AS n_true,
+                     CAST(sum(CASE WHEN lang = pred THEN n ELSE 0 END)
+                       AS BIGINT) AS tp
+              FROM conf GROUP BY 1),
+            preds AS (
+              SELECT pred AS pcls, CAST(sum(n) AS BIGINT) AS n_pred
+              FROM conf GROUP BY 1),
+            joined AS (
+              SELECT coalesce(cls, pcls) AS class,
+                     coalesce(n_true, 0) AS n_true,
+                     coalesce(n_pred, 0) AS n_pred,
+                     coalesce(tp, 0) AS tp
+              FROM truth FULL OUTER JOIN preds ON cls = pcls),
+            pr AS (
+              SELECT class, n_true, n_pred, tp,
+                     CASE WHEN n_pred > 0
+                       THEN round(CAST(tp AS DOUBLE) / n_pred, 4)
+                     END AS precision,
+                     CASE WHEN n_true > 0
+                       THEN round(CAST(tp AS DOUBLE) / n_true, 4)
+                     END AS recall
+              FROM joined)
+            SELECT class, n_true, n_pred, tp, precision, recall,
+                   CASE WHEN precision + recall > 0
+                     THEN round(2.0 * precision * recall /
+                       (precision + recall), 4)
+                   END AS f1
+            FROM pr ORDER BY class"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14, m15)
+      m13, m14, m15, m16)
 }
