@@ -925,7 +925,66 @@ object EventQueries {
             FROM rn GROUP BY event_type, day
             ORDER BY event_type, day"""))
 
+  /** E23 (X143, beyond the reference): SOURCE RATE LIMITING
+    * (`maxFilesPerTrigger`) — the backpressure knob that turns an
+    * unbounded catch-up into BOUNDED micro-batches (without it, a
+    * stream restarted after a day of downtime loads the whole backlog
+    * as ONE batch and OOMs; with it, state and shuffle per trigger
+    * stay sized to one file). Proof: 4 staged files under
+    * maxFilesPerTrigger=1 + AvailableNow must produce EXACTLY 4
+    * micro-batches (require on the idempotent sink's batch ids), and
+    * the concatenated output must equal the batch rollup — both the
+    * pacing contract and the no-loss/no-dup contract, hash-verified.
+    */
+  private val e23 = Q(
+    "e23_stream_rate_limit",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_rate_${streamRun.incrementAndGet()}"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val inDir = s"$base/in"; val outDir = s"$base/out"
+      fs.mkdirs(new Path(inDir))
+      val proj = Seq("event_id", "user_id", "event_type", "value")
+      val ev = Tables.load(s, dir, "events").select(proj.map(col): _*)
+      // stage 4 quarter-files (test-harness staging, see e16's note)
+      for (i <- 0 to 3) {
+        val tmp = s"$base/stage_$i"
+        ev.filter(col("event_id") % 4 === i).coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$inDir/q$i.parquet"))
+      }
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            graft.streaming.EventStreams
+              .writeBatchIdempotent(batch, batchId, outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val bids = s.read.parquet(outDir)
+        .select(col("batch_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      require(bids == Set(0L, 1L, 2L, 3L),
+        s"rate limit broken: batch ids $bids (expected {0,1,2,3} — " +
+          "one micro-batch per staged file)")
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20, e21, e22)
+      e16, e17, e18, e19, e20, e21, e22, e23)
 }
