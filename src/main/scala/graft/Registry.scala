@@ -34,7 +34,8 @@ object Registry {
       graft.queries.PipelineQueries.all ++
       graft.queries.HeadlineQueries.all ++
       graft.queries.TpchQueries.all ++
-      graft.queries.GraphQueries.all
+      graft.queries.GraphQueries.all ++
+      graft.queries.SqlSurfaceQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(all.map(q => q.name -> q.fn): _*)

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.Tables
+
+/** Spark 4 SQL-surface capabilities beyond the pandasql rewrites (§2.11):
+  * recursive CTEs (`WITH RECURSIVE`, new in Spark 4.0) and correlated
+  * LATERAL subquery joins. Both queries share ONE SQL string between the
+  * Spark side and the DuckDB oracle — the row proves the engines execute
+  * the identical ANSI text to the identical result, so the surface itself
+  * (not a re-formulation) is what's verified.
+  *
+  * Ref: the reference's pandasql surface (analysis_utils.py:34-60) stops
+  * at flat SELECT/GROUP BY; these rows extend it with the two constructs
+  * large pipelines ask for next (hierarchy walks, per-row top-k pullups).
+  */
+object SqlSurfaceQueries {
+
+  /** X144: RECURSIVE CTE — org-style hierarchy rollup. Suppliers form a
+    * binary tree (node = s_suppkey+1, parent = floor(node/2), root 1);
+    * the recursion walks every node up to the root and rolls up depth,
+    * ancestor count, ancestor-key sum (BIGINT-exact) and ancestor
+    * account-balance sum (DECIMAL-exact, ONE final cast) — the
+    * bill-of-materials / management-chain pattern.
+    *
+    * Determinism: integer tree arithmetic (FLOOR of IEEE division of
+    * <2^53 ints is cross-engine exact), BIGINT/DECIMAL sums only.
+    * Scale: Spark executes each recursive step as one self-join pass
+    * over the frontier; depth is log2(N) (~27 rounds at 100M suppliers),
+    * and each round shuffles only (node, anc) pairs — the same bounded-
+    * round discipline as g1/g2. The recursion-depth guard
+    * (spark.sql.cteRecursionLevelLimit, default 100) loud-fails runaway
+    * recursion instead of spinning.
+    */
+  private val hierSql = """
+    WITH RECURSIVE up(suppkey, anc, depth) AS (
+      SELECT s_suppkey, s_suppkey + 1, 0 FROM supplier
+      UNION ALL
+      SELECT suppkey, CAST(FLOOR(anc / 2.0) AS BIGINT), depth + 1
+      FROM up WHERE anc > 1
+    )
+    SELECT u.suppkey,
+           max(u.depth) AS depth,
+           CAST(count(*) AS BIGINT) AS n_ancestors,
+           CAST(sum(u.anc) AS BIGINT) AS anc_key_sum,
+           CAST(sum(a.bal) AS DECIMAL(18,2)) AS anc_bal_sum
+    FROM up u
+    JOIN (SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+          FROM supplier) a
+      ON u.anc - 1 = a.s_suppkey
+    GROUP BY u.suppkey ORDER BY u.suppkey"""
+
+  private val sql1 = Q(
+    "sql1_recursive_hierarchy",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(hierSql) },
+    Some(hierSql))
+
+  /** X145: LATERAL correlated subquery join — per-customer top-2 orders
+    * pulled up by an ORDER BY ... LIMIT subquery that references the
+    * outer row (the "top-k rows of B for every row of A" idiom SQL users
+    * reach for before window functions). Deterministic: the per-customer
+    * LIMIT is tie-broken by o_orderkey; values flow straight from
+    * parquet with zero arithmetic. Scale: Catalyst rewrites the lateral
+    * into a ranked window join (no per-row re-execution) — the executed
+    * plan is a Partial WindowGroupLimit (map-side top-2 per customer
+    * BEFORE the shuffle, so the exchange carries ≤2 rows/key) → one
+    * hash exchange on o_custkey → Final WindowGroupLimit →
+    * BroadcastHashJoin against customer. Same cost class as p8's
+    * window top-N; nothing nested-loops.
+    */
+  private val latSql = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    ORDER BY c.c_custkey, t.o_orderkey"""
+
+  private val sql2 = Q(
+    "sql2_lateral_topk",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(latSql) },
+    Some(latSql))
+
+  def all: Seq[Q] = Seq(sql1, sql2)
+}
