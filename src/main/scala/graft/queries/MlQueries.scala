@@ -1152,7 +1152,112 @@ object MlQueries {
                    END AS f1
             FROM pr ORDER BY class"""))
 
+  /** M17 (X147, beyond the reference): LEAVE-ONE-OUT TARGET ENCODING —
+    * the categorical-feature encoder every tabular training pipeline
+    * applies before a GBDT/linear fit; leave-one-out (drop the row's
+    * own target from its category mean) is the standard
+    * leakage-avoiding variant. One map-side-combined groupBy builds
+    * per-segment (n, Σtarget) with the target cast to EXACT
+    * DECIMAL(18,2); the encode is then a broadcast join back (5
+    * segments) and ONE IEEE division per row — (Σ − y_i)/(n − 1) —
+    * from exact decimal operands, so the doubles are cross-engine
+    * bit-identical. NULLIF guards singleton categories. Output sampled
+    * to every 100th order key for a bounded result. Scale: sufficient
+    * stats are a tiny broadcast; the encode never shuffles the fact
+    * table — the honest shape for a 100 TB feature build.
+    */
+  private val m17 = Q(
+    "m17_target_encoding_loo",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val joined = o.join(broadcast(
+          c.select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("segment"),
+          col("o_totalprice").cast("decimal(18,2)").as("pr_dec"))
+      val stats = joined.groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum("pr_dec").as("seg_sum"))
+      joined.join(broadcast(stats), Seq("segment"))
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("segment"),
+          col("pr_dec").cast("double").as("price"),
+          ((col("seg_sum") - col("pr_dec")).cast("double") /
+            nullif(col("n") - 1, lit(0)).cast("double")).as("loo_enc"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH j AS (
+              SELECT o_orderkey, c_mktsegment AS segment,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS pr_dec
+              FROM orders JOIN customer ON o_custkey = c_custkey),
+            stats AS (
+              SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                     sum(pr_dec) AS seg_sum
+              FROM j GROUP BY segment)
+            SELECT j.o_orderkey, j.segment,
+                   CAST(j.pr_dec AS DOUBLE) AS price,
+                   CAST(s.seg_sum - j.pr_dec AS DOUBLE) /
+                     CAST(NULLIF(s.n - 1, 0) AS DOUBLE) AS loo_enc
+            FROM j JOIN stats s ON j.segment = s.segment
+            WHERE j.o_orderkey % 100 = 0
+            ORDER BY j.o_orderkey"""))
+
+  /** M18 (X148, beyond the reference): CHI-SQUARED CONTINGENCY audit —
+    * feature-selection / drift detection over the documents lang ×
+    * source contingency table. Per-cell contribution (O−E)²/E is
+    * computed as the EXACT integer rational (O·N − row·col)² /
+    * (row·col·N): numerator and denominator are BIGINT-exact (safe to
+    * ~2^63; production would lift to DECIMAL(38,0)), and the only FP
+    * op is the ONE final division — cross-engine bit-identical, no
+    * unordered double summation anywhere. Rows are per-cell so the
+    * global statistic is a trivial ordered fold for any consumer.
+    * Scale: one groupBy for cells + two marginal rollups of the 100-row
+    * cell table — the fact table is scanned ONCE.
+    */
+  private val m18 = Q(
+    "m18_chi2_contingency",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rowT = cells.groupBy("lang").agg(sum("o").as("row_n"))
+      val colT = cells.groupBy("source").agg(sum("o").as("col_n"))
+      val n = cells.agg(sum("o").as("n"))
+      cells.join(broadcast(rowT), Seq("lang"))
+        .join(broadcast(colT), Seq("source"))
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("o"),
+          ((col("o") * col("n") - col("row_n") * col("col_n")) *
+            (col("o") * col("n") - col("row_n") * col("col_n")))
+            .as("chi_num"),
+          (col("row_n") * col("col_n") * col("n")).as("chi_den"))
+        .withColumn("chi2_cell",
+          col("chi_num").cast("double") / col("chi_den").cast("double"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH cells AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+              FROM documents GROUP BY lang, source),
+            rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS row_n
+                   FROM cells GROUP BY lang),
+            ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS col_n
+                   FROM cells GROUP BY source),
+            nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+            SELECT c.lang, c.source, c.o,
+                   (c.o * nt.n - rt.row_n * ct.col_n) *
+                     (c.o * nt.n - rt.row_n * ct.col_n) AS chi_num,
+                   rt.row_n * ct.col_n * nt.n AS chi_den,
+                   CAST((c.o * nt.n - rt.row_n * ct.col_n) *
+                          (c.o * nt.n - rt.row_n * ct.col_n) AS DOUBLE) /
+                     CAST(rt.row_n * ct.col_n * nt.n AS DOUBLE)
+                     AS chi2_cell
+            FROM cells c
+            JOIN rt ON c.lang = rt.lang
+            JOIN ct ON c.source = ct.source
+            CROSS JOIN nt
+            ORDER BY c.lang, c.source"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14, m15, m16)
+      m13, m14, m15, m16, m17, m18)
 }

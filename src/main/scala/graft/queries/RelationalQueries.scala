@@ -696,7 +696,95 @@ object RelationalQueries {
             UNION ALL SELECT * FROM g
             ORDER BY fk_edge"""))
 
+  /** DQ4 (X146, beyond the reference): SNAPSHOT-DIFF RECONCILIATION —
+    * the table-to-table audit every lake migration / replication
+    * pipeline runs ("did v2 faithfully apply the changes?"). A v2
+    * snapshot is derived deterministically from orders (keys %17
+    * deleted, %13 status rewritten, %11 price shifted +100.0, %19
+    * re-inserted under key+10^8), then ONE full-outer join on the
+    * primary key classifies every key as insert / delete / update /
+    * unchanged and counts per-column mismatches inline — no second
+    * pass. Null-safe <=> comparison so NULL columns never misclassify.
+    * Determinism: classification is pure column logic; the only FP op
+    * is one double +100.0, bit-identical cross-engine. Scale: the diff
+    * is a single PK-keyed sort-merge join (two scans + one shuffle
+    * each); per-column masks ride the same pass, so auditing a 100 TB
+    * table costs one join, not one job per column.
+    */
+  private val dq4 = Q(
+    "dq4_snapshot_diff",
+    (s, dir) => {
+      val v1 = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v2base = v1.filter(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+      val inserts = v1.filter(col("o_orderkey") % 19 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      val v2 = v2base.unionByName(inserts)
+      val l = v1.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st1"), col("o_totalprice").as("pr1"))
+      val r = v2.select(col("o_orderkey").as("k2"),
+        col("o_orderstatus").as("st2"), col("o_totalprice").as("pr2"))
+      l.join(r, col("k") === col("k2"), "full_outer")
+        .withColumn("diff_class",
+          when(col("k").isNull, lit("insert"))
+            .when(col("k2").isNull, lit("delete"))
+            .when(!(col("st1") <=> col("st2")) ||
+              !(col("pr1") <=> col("pr2")), lit("update"))
+            .otherwise(lit("unchanged")))
+        .groupBy("diff_class")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("k").isNotNull && col("k2").isNotNull &&
+            !(col("st1") <=> col("st2")), 1L).otherwise(0L))
+            .as("n_status_diff"),
+          sum(when(col("k").isNotNull && col("k2").isNotNull &&
+            !(col("pr1") <=> col("pr2")), 1L).otherwise(0L))
+            .as("n_price_diff"))
+        .orderBy("diff_class")
+    },
+    Some("""WITH v1 AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+            v2 AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     CASE WHEN o_orderkey % 11 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM v1 WHERE o_orderkey % 17 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+              FROM v1 WHERE o_orderkey % 19 = 0),
+            joined AS (
+              SELECT v1.o_orderkey AS k, v2.o_orderkey AS k2,
+                     v1.o_orderstatus AS st1, v2.o_orderstatus AS st2,
+                     v1.o_totalprice AS pr1, v2.o_totalprice AS pr2
+              FROM v1 FULL OUTER JOIN v2
+                ON v1.o_orderkey = v2.o_orderkey),
+            classed AS (
+              SELECT *,
+                     CASE WHEN k IS NULL THEN 'insert'
+                          WHEN k2 IS NULL THEN 'delete'
+                          WHEN st1 IS DISTINCT FROM st2
+                            OR pr1 IS DISTINCT FROM pr2 THEN 'update'
+                          ELSE 'unchanged' END AS diff_class
+              FROM joined)
+            SELECT diff_class,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL
+                     AND st1 IS DISTINCT FROM st2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_status_diff,
+                   CAST(sum(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL
+                     AND pr1 IS DISTINCT FROM pr2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_price_diff
+            FROM classed GROUP BY diff_class ORDER BY diff_class"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15, dq3)
+      p12, p13, p14, dq2, p15, dq3, dq4)
 }
