@@ -137,5 +137,92 @@ object GraphQueries {
                    CAST(count(*) AS BIGINT) AS n_nodes
             FROM d3 GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(g1, g2)
+  /** G3 (X149, beyond the reference): TRIANGLE COUNTING with
+    * degree-ordered orientation — the standard scalable algorithm
+    * (each undirected edge directed from the (degree, id)-smaller to
+    * the (degree, id)-larger endpoint, so every triangle is counted
+    * exactly once and the wedge fan-out per node is bounded by the
+    * oriented out-degree, O(√m) on skewed graphs instead of the max
+    * raw degree). Graph: part co-purchase (edge = two parts share an
+    * order). Pipeline: distinct (order, part) pairs → per-order
+    * self-join (p1 < p2) → distinct edges → degree roll-up → orient →
+    * wedge self-join on the shared center → hash-join wedges against
+    * oriented edges. All counts BIGINT, zero FP. Scale: the wedge join
+    * is the cost center and the orientation is precisely what keeps it
+    * polynomial on power-law graphs; every join is equi-keyed (center
+    * node, then (v,w) pair), so the whole count is three shuffles
+    * regardless of graph size.
+    */
+  private val g3 = Q(
+    "g3_triangle_count",
+    (s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint()
+      val deg = e0.select(col("p1").as("node"))
+        .unionByName(e0.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = e0
+        .join(deg.select(col("node").as("p1"), col("deg").as("d1")), Seq("p1"))
+        .join(deg.select(col("node").as("p2"), col("deg").as("d2")), Seq("p2"))
+      def before(dA: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
+          dB: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        dA < dB || (dA === dB && a < b)
+      val oriented = withDeg.select(
+        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+          col("p1")).otherwise(col("p2")).as("src"),
+        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+          col("p2")).otherwise(col("p1")).as("dst"),
+        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+          col("d2")).otherwise(col("d1")).as("ddst"))
+        .localCheckpoint()
+      val wedges = oriented.as("x").join(oriented.as("y"), Seq("src"))
+        .filter(before(col("x.ddst"), col("x.dst"), col("y.ddst"), col("y.dst")))
+        .select(col("x.dst").as("v"), col("y.dst").as("w"))
+      val tri = wedges.join(oriented,
+        col("v") === col("src") && col("w") === col("dst"))
+      val nNodes = deg.count()
+      val nEdges = e0.count()
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+          col("n_triangles"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                      SELECT p1 AS node FROM e0
+                      UNION ALL SELECT p2 FROM e0)
+                    GROUP BY node),
+            oriented AS (
+              SELECT CASE WHEN d1.deg < d2.deg
+                            OR (d1.deg = d2.deg AND p1 < p2)
+                          THEN p1 ELSE p2 END AS src,
+                     CASE WHEN d1.deg < d2.deg
+                            OR (d1.deg = d2.deg AND p1 < p2)
+                          THEN p2 ELSE p1 END AS dst,
+                     CASE WHEN d1.deg < d2.deg
+                            OR (d1.deg = d2.deg AND p1 < p2)
+                          THEN d2.deg ELSE d1.deg END AS ddst
+              FROM e0
+              JOIN deg d1 ON e0.p1 = d1.node
+              JOIN deg d2 ON e0.p2 = d2.node),
+            wedges AS (
+              SELECT x.dst AS v, y.dst AS w
+              FROM oriented x JOIN oriented y ON x.src = y.src
+              WHERE x.ddst < y.ddst
+                 OR (x.ddst = y.ddst AND x.dst < y.dst))
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM wedges JOIN oriented
+                      ON v = src AND w = dst) AS n_triangles"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3)
 }

@@ -388,5 +388,114 @@ object SourceQueries {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
+  /** SRC11 (X150, beyond the reference): Z-ORDER LAYOUT probe — the
+    * multi-dimensional clustering behind Delta/Iceberg `OPTIMIZE
+    * ZORDER`, demonstrated end-to-end with pure integer arithmetic so
+    * both engines agree bit-for-bit. Orders get a 2-D key (x =
+    * o_custkey%16, y = day(o_orderdate)%16); the 8-bit Morton code
+    * interleaves the bits via FLOOR/%-arithmetic (no engine-specific
+    * bit ops), 16 "files" are consecutive Morton ranges (= aligned 4×4
+    * spatial tiles), and per-file min/max column stats — exactly what
+    * a parquet footer stores — drive the pruning decision for a 2-D
+    * box query (x,y ∈ [4,7]²). The row reports, for the Z-order layout
+    * vs the 1-D linear (x-sorted) layout: files scanned and rows
+    * scanned against rows actually matched. Z-order touches ONE file
+    * (the box is one tile); the linear layout touches 4 files and 4×
+    * the rows — the measured, deterministic version of the claim "sort
+    * order can't prune the second dimension". Scale: layout assignment
+    * is a pure map (one pass, no shuffle beyond the stats rollup); at
+    * 100 TB the same Morton map feeds repartitionByRange(morton) and
+    * the footer stats come free from the parquet writer.
+    */
+  private val s11 = Q(
+    "src11_zorder_layout",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select((col("o_custkey") % 16).as("x"),
+          (expr("EXTRACT(DAY FROM o_orderdate)").cast("long") % 16).as("y"))
+      val keyed = o.withColumn("mz",
+        expr("""CAST(x % 2 AS BIGINT) * 1 + CAST(y % 2 AS BIGINT) * 2 +
+                CAST(FLOOR(x / 2.0) AS BIGINT) % 2 * 4 +
+                CAST(FLOOR(y / 2.0) AS BIGINT) % 2 * 8 +
+                CAST(FLOOR(x / 4.0) AS BIGINT) % 2 * 16 +
+                CAST(FLOOR(y / 4.0) AS BIGINT) % 2 * 32 +
+                CAST(FLOOR(x / 8.0) AS BIGINT) % 2 * 64 +
+                CAST(FLOOR(y / 8.0) AS BIGINT) % 2 * 128"""))
+        .withColumn("f_z", expr("CAST(FLOOR(mz / 16.0) AS BIGINT)"))
+        .withColumn("f_lin", col("x"))
+      def layout(fileCol: String, name: String) = {
+        val stats = keyed.groupBy(col(fileCol).as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+        stats.agg(
+          lit(name).as("layout"),
+          count(lit(1)).as("n_files"),
+          sum(when(col("min_x") <= 7 && col("max_x") >= 4 &&
+            col("min_y") <= 7 && col("max_y") >= 4, 1L).otherwise(0L))
+            .as("files_scanned"),
+          sum(when(col("min_x") <= 7 && col("max_x") >= 4 &&
+            col("min_y") <= 7 && col("max_y") >= 4, col("n_rows"))
+            .otherwise(0L)).as("rows_scanned"))
+      }
+      val matched = keyed.filter(col("x").between(4, 7) &&
+        col("y").between(4, 7)).count()
+      layout("f_z", "zorder").unionByName(layout("f_lin", "linear"))
+        .withColumn("rows_matched", lit(matched))
+        .orderBy("layout")
+    },
+    Some("""WITH keyed AS (
+              SELECT x, y,
+                     CAST(x % 2 AS BIGINT) * 1 + CAST(y % 2 AS BIGINT) * 2 +
+                     CAST(FLOOR(x / 2.0) AS BIGINT) % 2 * 4 +
+                     CAST(FLOOR(y / 2.0) AS BIGINT) % 2 * 8 +
+                     CAST(FLOOR(x / 4.0) AS BIGINT) % 2 * 16 +
+                     CAST(FLOOR(y / 4.0) AS BIGINT) % 2 * 32 +
+                     CAST(FLOOR(x / 8.0) AS BIGINT) % 2 * 64 +
+                     CAST(FLOOR(y / 8.0) AS BIGINT) % 2 * 128 AS mz
+              FROM (SELECT o_custkey % 16 AS x,
+                           CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) % 16 AS y
+                    FROM orders)),
+            tagged AS (
+              SELECT x, y, CAST(FLOOR(mz / 16.0) AS BIGINT) AS f_z,
+                     x AS f_lin
+              FROM keyed),
+            zstats AS (
+              SELECT f_z AS f, CAST(count(*) AS BIGINT) AS n_rows,
+                     min(x) AS min_x, max(x) AS max_x,
+                     min(y) AS min_y, max(y) AS max_y
+              FROM tagged GROUP BY f_z),
+            lstats AS (
+              SELECT f_lin AS f, CAST(count(*) AS BIGINT) AS n_rows,
+                     min(x) AS min_x, max(x) AS max_x,
+                     min(y) AS min_y, max(y) AS max_y
+              FROM tagged GROUP BY f_lin),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched
+                  FROM tagged
+                  WHERE x BETWEEN 4 AND 7 AND y BETWEEN 4 AND 7),
+            z AS (SELECT 'zorder' AS layout,
+                         CAST(count(*) AS BIGINT) AS n_files,
+                         CAST(sum(CASE WHEN min_x <= 7 AND max_x >= 4
+                           AND min_y <= 7 AND max_y >= 4 THEN 1 ELSE 0
+                           END) AS BIGINT) AS files_scanned,
+                         CAST(sum(CASE WHEN min_x <= 7 AND max_x >= 4
+                           AND min_y <= 7 AND max_y >= 4 THEN n_rows
+                           ELSE 0 END) AS BIGINT) AS rows_scanned
+                  FROM zstats),
+            l AS (SELECT 'linear' AS layout,
+                         CAST(count(*) AS BIGINT) AS n_files,
+                         CAST(sum(CASE WHEN min_x <= 7 AND max_x >= 4
+                           AND min_y <= 7 AND max_y >= 4 THEN 1 ELSE 0
+                           END) AS BIGINT) AS files_scanned,
+                         CAST(sum(CASE WHEN min_x <= 7 AND max_x >= 4
+                           AND min_y <= 7 AND max_y >= 4 THEN n_rows
+                           ELSE 0 END) AS BIGINT) AS rows_scanned
+                  FROM lstats)
+            SELECT layout, n_files, files_scanned, rows_scanned,
+                   m.rows_matched
+            FROM (SELECT * FROM z UNION ALL SELECT * FROM l)
+            CROSS JOIN m
+            ORDER BY layout"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
 }
