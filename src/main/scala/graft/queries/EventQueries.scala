@@ -984,7 +984,106 @@ object EventQueries {
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** E24 (X151): STREAM-STREAM LEFT OUTER join — the attribution join
+    * including the clicks that never converted. Outer results are the
+    * hard part of streaming joins: an unmatched click can only emit
+    * its null-extended row once the watermark proves no in-range
+    * purchase can still arrive (click_ts + 30 min < watermark), i.e.
+    * null emission IS state eviction. The proof stages the real events
+    * as batch 0, then two far-future sentinel click/purchase pairs
+    * (user −1, +10 h and +20 h) in separate runs so the committed
+    * watermark advances past every real click's eviction deadline
+    * (watermark-for-batch-N is computed from batch N−1's max, so one
+    * sentinel round is NOT enough — the second round forces the
+    * eviction batch to actually run). The concatenated idempotent
+    * foreachBatch output, sentinels filtered, must hash-equal the
+    * plain batch LEFT JOIN in DuckDB: inner pairs AND null-extended
+    * rows, no dupes, no losses. Scale: watermark-bounded state is what
+    * makes a 100 TB/day attribution join runnable at all — state holds
+    * only the trailing 1 h + 30 min per side.
+    */
+  private val e24 = Q(
+    "e24_stream_stream_left_outer",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_sslo_${streamRun.incrementAndGet()}"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val inDir = s"$base/in"; val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      fs.mkdirs(new Path(inDir))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
+      def sentinels(hoursAhead: Long) = {
+        import s.implicits._
+        val t = new java.sql.Timestamp(maxTs.getTime + hoursAhead * 3600000L)
+        Seq((-1L, t, -1L, "click"), (-2L, t, -1L, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+      }
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = s"$base/stage_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$inDir/$name.parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(ev.schema).parquet(inDir)
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("interval 30 minutes"),
+          "left_outer")
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              graft.streaming.EventStreams
+                .writeBatchIdempotent(batch, batchId, outDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(ev, "a_events")
+      runOnce() // inner matches emit as found; outer rows still held
+      stage(sentinels(10), "b_sentinel1")
+      runOnce() // advances max event time; watermark commits behind it
+      stage(sentinels(20), "c_sentinel2")
+      runOnce() // eviction batch: every real unmatched click emits null
+      s.read.parquet(outDir)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .orderBy(col("user_id"), col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events c LEFT JOIN events p
+              ON c.user_id = p.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            WHERE c.event_type = 'click'
+            ORDER BY c.user_id, c.event_id,
+                     coalesce(p.event_id, -1)"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20, e21, e22, e23)
+      e16, e17, e18, e19, e20, e21, e22, e23, e24)
 }
