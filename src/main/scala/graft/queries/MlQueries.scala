@@ -1257,7 +1257,63 @@ object MlQueries {
             CROSS JOIN nt
             ORDER BY c.lang, c.source"""))
 
+  /** M19 (X152, beyond the reference): COHEN'S KAPPA inter-rater
+    * agreement — the label-quality gate for any annotation pipeline
+    * (two raters here are two deterministic document-quality
+    * heuristics: chars ≥ 300 vs word-count ≥ 60, binarized). The 2×2
+    * confusion cells are CASE-sum aggregates (absent cells stay 0, no
+    * GROUP BY row dropout), and κ = (N·Σdiag − Σrowᵢ·colᵢ)/(N² −
+    * Σrowᵢ·colᵢ) is computed as an EXACT BIGINT rational with ONE
+    * final IEEE division — bit-identical cross-engine. Scale: one
+    * map-side-combined pass over the corpus; the kappa arithmetic is
+    * on five scalars.
+    */
+  private val m19 = Q(
+    "m19_cohens_kappa",
+    (s, dir) => {
+      val rated = Tables.load(s, dir, "documents")
+        .select(
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("a"),
+          when(size(filter(split(lower(col("text")), " "),
+            x => x =!= "")) >= 60, 1L).otherwise(0L).as("b"))
+      rated.agg(
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("n00"))
+        .withColumn("n", col("n11") + col("n10") + col("n01") + col("n00"))
+        .withColumn("pe_num",
+          (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          ((col("n") * (col("n11") + col("n00")) - col("pe_num"))
+            .cast("double") /
+            (col("n") * col("n") - col("pe_num")).cast("double"))
+            .as("kappa"))
+    },
+    Some("""WITH rated AS (
+              SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+                     CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                       x -> x <> '')) >= 60 THEN 1 ELSE 0 END AS b
+              FROM documents),
+            cells AS (
+              SELECT
+                CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+              FROM rated),
+            k AS (
+              SELECT *, n11 + n10 + n01 + n00 AS n,
+                     (n11 + n10) * (n11 + n01) +
+                       (n01 + n00) * (n10 + n00) AS pe_num
+              FROM cells)
+            SELECT n11, n10, n01, n00,
+                   CAST(n * (n11 + n00) - pe_num AS DOUBLE) /
+                     CAST(n * n - pe_num AS DOUBLE) AS kappa
+            FROM k"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14, m15, m16, m17, m18)
+      m13, m14, m15, m16, m17, m18, m19)
 }

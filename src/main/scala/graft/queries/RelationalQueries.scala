@@ -784,7 +784,61 @@ object RelationalQueries {
                      AS BIGINT) AS n_price_diff
             FROM classed GROUP BY diff_class ORDER BY diff_class"""))
 
+  /** P16 (X154, beyond the reference): DISTRIBUTION-MATCHING rejection
+    * resampling — re-balance a skewed corpus to a target mix (uniform
+    * across languages here) by per-group acceptance sampling, the op
+    * behind "cap English at X%" in every pretraining data recipe.
+    * Acceptance is deterministic: u = md5(doc_id)-uniform, accept iff
+    * u·n_lang < min_lang_count (ONE double multiply per row against
+    * exact BIGINT counts — no RNG, reproducible at any parallelism and
+    * bit-identical cross-engine). The audit row per language reports
+    * before/after counts and the achieved rate. Scale: group counts
+    * are a tiny broadcast; the accept test is a pure map over the
+    * corpus — one aggregate pass plus one scan, no shuffle of the data
+    * itself.
+    */
+  private val p16 = Q(
+    "p16_distribution_matching",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val minN = counts.agg(min("n_lang")).first().getLong(0)
+      docs.join(broadcast(counts), Seq("lang"))
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("double") / lit(4294967296.0))
+        .withColumn("accept",
+          col("u") * col("n_lang").cast("double") < lit(minN.toDouble))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("accept"), 1L).otherwise(0L)).as("n_after"))
+        .withColumn("achieved_rate",
+          col("n_after").cast("double") / col("n_before").cast("double"))
+        .orderBy("lang")
+    },
+    Some("""WITH counts AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+              FROM documents GROUP BY lang),
+            m AS (SELECT min(n_lang) AS min_n FROM counts),
+            acc AS (
+              SELECT d.lang,
+                     CASE WHEN CAST(CAST(('0x' || substr(md5(
+                         CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         AS DOUBLE) / 4294967296.0
+                       * CAST(c.n_lang AS DOUBLE)
+                       < CAST(m.min_n AS DOUBLE)
+                     THEN 1 ELSE 0 END AS accept
+              FROM documents d
+              JOIN counts c ON d.lang = c.lang
+              CROSS JOIN m)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_before,
+                   CAST(sum(accept) AS BIGINT) AS n_after,
+                   CAST(sum(accept) AS DOUBLE) /
+                     CAST(count(*) AS DOUBLE) AS achieved_rate
+            FROM acc GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15, dq3, dq4)
+      p12, p13, p14, dq2, p15, dq3, dq4, p16)
 }

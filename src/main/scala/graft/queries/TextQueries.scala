@@ -776,7 +776,84 @@ object TextQueries {
             FROM flagged
             GROUP BY lang ORDER BY lang"""))
 
+  /** T17 (X153, beyond the reference): PMI COLLOCATION mining — the
+    * corpus-linguistics op that surfaces multiword expressions
+    * ("fixed phrases") for tokenizer/vocab decisions. PMI is
+    * log(p(xy)/(p(x)p(y))), but log is NOT cross-engine
+    * bit-deterministic — so the row ranks by the RATIO itself
+    * (monotone in PMI): cxy·Nu²/(cx·cy·Nb), computed as doubles in
+    * ONE parenthesized op order (each IEEE mul/div correctly rounded →
+    * bit-identical on both engines). min-support cxy ≥ 5, global
+    * top-20 via TakeOrdered (no single-partition window). Scale:
+    * unigram and bigram counts are map-side-combined vocabulary-sized
+    * aggregates; the join back is vocabulary-keyed, never
+    * corpus-keyed.
+    */
+  private val t17 = Q(
+    "t17_pmi_collocations",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("toks"))
+        .localCheckpoint()
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val nu = uni.agg(sum("c")).first().getLong(0)
+      val bi = toks.as[(Long, Seq[String])]
+        .mapPartitions(_.flatMap { case (_, ts) =>
+          if (ts.length < 2) Iterator.empty
+          else ts.sliding(2).map(a => (a(0), a(1)))
+        })
+        .toDF("w1", "w2")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .localCheckpoint()
+      val nb = bi.agg(sum("cxy")).first().getLong(0)
+      bi.filter(col("cxy") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("cy")), Seq("w2"))
+        .withColumn("pmi_ratio",
+          col("cxy").cast("double") * lit(nu.toDouble) * lit(nu.toDouble) /
+            (col("cx").cast("double") * col("cy").cast("double") *
+              lit(nb.toDouble)))
+        .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+          col("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, t.pos, t.w FROM documents,
+                LATERAL (SELECT unnest(list_filter(
+                  string_split(lower(text), ' '), x -> x <> '')) AS w,
+                  generate_subscripts(list_filter(
+                    string_split(lower(text), ' '), x -> x <> ''), 1) AS pos)
+                  t),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                    FROM toks GROUP BY w),
+            nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+            bigrams AS (
+              SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id
+                ORDER BY pos) AS w2
+              FROM toks),
+            bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+                   FROM bigrams WHERE w2 IS NOT NULL GROUP BY 1, 2),
+            nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM bi)
+            SELECT b.w1, b.w2, b.cxy, u1.c AS cx, u2.c AS cy,
+                   CAST(b.cxy AS DOUBLE) * CAST(nu.nu AS DOUBLE) *
+                     CAST(nu.nu AS DOUBLE) /
+                     (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) *
+                       CAST(nb.nb AS DOUBLE)) AS pmi_ratio
+            FROM bi b
+            JOIN uni u1 ON b.w1 = u1.w
+            JOIN uni u2 ON b.w2 = u2.w
+            CROSS JOIN nu CROSS JOIN nb
+            WHERE b.cxy >= 5
+            ORDER BY pmi_ratio DESC, b.w1, b.w2
+            LIMIT 20"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16)
+      t16, t17)
 }
