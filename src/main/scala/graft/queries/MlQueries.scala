@@ -1313,7 +1313,190 @@ object MlQueries {
                      CAST(n * n - pe_num AS DOUBLE) AS kappa
             FROM k"""))
 
+  /** M20 (X155, beyond the reference): K-FOLD CROSS-VALIDATION of a
+    * closed-form ridge fit — the model-selection loop, run as ONE pass
+    * over the data. Fold assignment is hash-free integer arithmetic
+    * ((31·l_orderkey + l_linenumber) % 3); per-fold sufficient stats
+    * (n, Σx, Σy, Σxx, Σxy, Σyy) are EXACT DECIMALs, and each fold's
+    * TRAIN stats are total − fold (the p13 merge law — no per-fold
+    * rescans, the whole CV costs one aggregate regardless of k).
+    * β_ridge = (n·Σxy − ΣxΣy)/(n·Σxx − Σx² + λn) and the validation
+    * SSE via the expansion Σ(y−βx−α)² = Σyy − 2βΣxy − 2αΣy + β²Σxx +
+    * 2αβΣx + nα² — every operand exact, the double steps in ONE
+    * matched op order, sqrt correctly rounded → bit-identical RMSE
+    * with NO tolerance. (Oracle detail: DuckDB's decimal→double cast
+    * double-rounds when the unscaled int exceeds 2^53, so the oracle
+    * routes the wide operands through VARCHAR — string→double is
+    * correctly rounded, matching Spark's Decimal.toDouble.) Pinned DECIMAL casts keep both engines'
+    * multiplication widths ≤38 and exact.
+    */
+  private val m20 = Q(
+    "m20_kfold_cv_ridge",
+    (s, dir) => {
+      val perFold = Tables.load(s, dir, "lineitem")
+        .select(((col("l_orderkey") * 31 + col("l_linenumber")) % 3)
+          .as("fold"),
+          col("l_quantity").cast("decimal(18,2)").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"),
+          sum("x").cast("decimal(18,2)").as("sx"),
+          sum("y").cast("decimal(18,2)").as("sy"),
+          sum(col("x") * col("x")).cast("decimal(22,4)").as("sxx"),
+          sum(col("x") * col("y")).cast("decimal(22,4)").as("sxy"),
+          sum(col("y") * col("y")).cast("decimal(22,4)").as("syy"))
+        .localCheckpoint()
+      val tot = perFold.agg(
+        sum("n").as("tn_all"),
+        sum("sx").cast("decimal(18,2)").as("tsx"),
+        sum("sy").cast("decimal(18,2)").as("tsy"),
+        sum("sxx").cast("decimal(22,4)").as("tsxx"),
+        sum("sxy").cast("decimal(22,4)").as("tsxy"),
+        sum("syy").cast("decimal(22,4)").as("tsyy"))
+      val j = perFold.crossJoin(broadcast(tot))
+        .withColumn("tn", (col("tn_all") - col("n")).cast("decimal(10,0)"))
+        .withColumn("rsx", (col("tsx") - col("sx")).cast("decimal(19,2)"))
+        .withColumn("rsy", (col("tsy") - col("sy")).cast("decimal(19,2)"))
+        .withColumn("rsxx", (col("tsxx") - col("sxx")).cast("decimal(22,4)"))
+        .withColumn("rsxy", (col("tsxy") - col("sxy")).cast("decimal(22,4)"))
+      val lam = lit(BigDecimal("100.00")).cast("decimal(5,2)")
+      j.withColumn("beta",
+          (col("tn") * col("rsxy") - col("rsx") * col("rsy")).cast("double") /
+            (col("tn") * col("rsxx") - col("rsx") * col("rsx") +
+              lam * col("tn")).cast("double"))
+        .withColumn("alpha",
+          (col("rsy").cast("double") - col("beta") * col("rsx").cast("double")) /
+            col("tn").cast("double"))
+        .withColumn("sse",
+          col("syy").cast("double") -
+            lit(2.0) * col("beta") * col("sxy").cast("double") -
+            lit(2.0) * col("alpha") * col("sy").cast("double") +
+            col("beta") * col("beta") * col("sxx").cast("double") +
+            lit(2.0) * col("alpha") * col("beta") * col("sx").cast("double") +
+            col("n").cast("double") * col("alpha") * col("alpha"))
+        .select(col("fold"), (col("tn_all") - col("n")).as("n_train"),
+          col("n").as("n_val"), col("beta"), col("alpha"),
+          sqrt(col("sse") / col("n").cast("double")).as("rmse_val"))
+        .orderBy("fold")
+    },
+    Some("""WITH pf AS (
+              SELECT (31 * l_orderkey + l_linenumber) % 3 AS fold,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS sx,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS sy,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                       CAST(l_quantity AS DECIMAL(18,2)))
+                       AS DECIMAL(22,4)) AS sxx,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                       CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(22,4)) AS sxy,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(22,4)) AS syy
+              FROM lineitem GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS tn_all,
+                     CAST(sum(sx) AS DECIMAL(18,2)) AS tsx,
+                     CAST(sum(sy) AS DECIMAL(18,2)) AS tsy,
+                     CAST(sum(sxx) AS DECIMAL(22,4)) AS tsxx,
+                     CAST(sum(sxy) AS DECIMAL(22,4)) AS tsxy,
+                     CAST(sum(syy) AS DECIMAL(22,4)) AS tsyy
+              FROM pf),
+            tr AS (
+              SELECT pf.*, tot.tn_all,
+                     CAST(tot.tn_all - pf.n AS DECIMAL(10,0)) AS tn,
+                     CAST(tot.tsx - pf.sx AS DECIMAL(19,2)) AS rsx,
+                     CAST(tot.tsy - pf.sy AS DECIMAL(19,2)) AS rsy,
+                     CAST(tot.tsxx - pf.sxx AS DECIMAL(22,4)) AS rsxx,
+                     CAST(tot.tsxy - pf.sxy AS DECIMAL(22,4)) AS rsxy
+              FROM pf CROSS JOIN tot),
+            fit AS (
+              SELECT *,
+                     CAST(CAST(tn * rsxy - rsx * rsy AS VARCHAR) AS DOUBLE) /
+                       CAST(CAST(tn * rsxx - rsx * rsx +
+                         CAST(100.00 AS DECIMAL(5,2)) * tn AS VARCHAR) AS DOUBLE)
+                       AS beta
+              FROM tr),
+            fit2 AS (
+              SELECT *,
+                     (CAST(rsy AS DOUBLE) - beta * CAST(rsx AS DOUBLE)) /
+                       CAST(tn AS DOUBLE) AS alpha
+              FROM fit)
+            SELECT fold, tn_all - n AS n_train, n AS n_val, beta, alpha,
+                   sqrt((CAST(CAST(syy AS VARCHAR) AS DOUBLE) -
+                         2.0 * beta * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) -
+                         2.0 * alpha * CAST(sy AS DOUBLE) +
+                         beta * beta * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) +
+                         2.0 * alpha * beta * CAST(sx AS DOUBLE) +
+                         CAST(n AS DOUBLE) * alpha * alpha) /
+                        CAST(n AS DOUBLE)) AS rmse_val
+            FROM fit2 ORDER BY fold"""))
+
+  /** M21 (X156, beyond the reference): POISSON BOOTSTRAP confidence
+    * estimation — the scale-native bootstrap (each row joins each
+    * replicate with a Poisson(1) multiplicity, so no with-replacement
+    * shuffle of the data is ever materialized; this is how bootstrap
+    * runs on data too big to resample). Multiplicities are
+    * deterministic: u = md5(orderkey, replicate)-uniform cut against
+    * the fixed Poisson(1) CDF literals (.36788/.73576/.91970/.98101,
+    * capped at 4) — no RNG, reproducible at any parallelism. Replicate
+    * means are CAST(Σ w·y_decimal)/Σw — exact operands, ONE division.
+    * Output: 10 replicate rows; the spread IS the sampling
+    * distribution of the mean. Scale: one 10× flatMap-style explode +
+    * one map-side-combined aggregate; nothing shuffles but 10 groups.
+    */
+  private val m21 = Q(
+    "m21_poisson_bootstrap",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("y"))
+        .withColumn("r", explode(sequence(lit(0), lit(9))))
+        .withColumn("u",
+          conv(substring(md5(concat_ws("_", col("o_orderkey"), col("r"))),
+            1, 8), 16, 10).cast("double") / lit(4294967296.0))
+        .withColumn("w",
+          when(col("u") < 0.36788, 0L)
+            .when(col("u") < 0.73576, 1L)
+            .when(col("u") < 0.91970, 2L)
+            .when(col("u") < 0.98101, 3L)
+            .otherwise(4L))
+        .groupBy("r")
+        .agg(sum("w").as("n_eff"),
+          sum(col("y") * col("w")).cast("decimal(24,2)").as("wsum"))
+        .select(col("r").cast("long").as("replicate"), col("n_eff"),
+          (col("wsum").cast("double") / col("n_eff").cast("double"))
+            .as("mean_est"))
+        .orderBy("replicate")
+    },
+    Some("""WITH expanded AS (
+              SELECT o_orderkey,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                     r.r
+              FROM orders CROSS JOIN (
+                SELECT unnest(range(0, 10)) AS r) r),
+            weighted AS (
+              SELECT r, y,
+                     CASE WHEN u < 0.36788 THEN 0
+                          WHEN u < 0.73576 THEN 1
+                          WHEN u < 0.91970 THEN 2
+                          WHEN u < 0.98101 THEN 3
+                          ELSE 4 END AS w
+              FROM (SELECT r, y,
+                      CAST(CAST(('0x' || substr(md5(
+                          CAST(o_orderkey AS VARCHAR) || '_' ||
+                          CAST(r AS VARCHAR)), 1, 8)) AS BIGINT)
+                        AS DOUBLE) / 4294967296.0 AS u
+                    FROM expanded))
+            SELECT CAST(r AS BIGINT) AS replicate,
+                   CAST(sum(w) AS BIGINT) AS n_eff,
+                   CAST(CAST(sum(y * w) AS DECIMAL(24,2)) AS DOUBLE) /
+                     CAST(sum(w) AS DOUBLE) AS mean_est
+            FROM weighted GROUP BY r ORDER BY replicate"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14, m15, m16, m17, m18, m19)
+      m13, m14, m15, m16, m17, m18, m19, m20, m21)
 }
