@@ -1496,7 +1496,231 @@ object MlQueries {
                      CAST(sum(w) AS DOUBLE) AS mean_est
             FROM weighted GROUP BY r ORDER BY replicate"""))
 
+  /** M22 (X157, beyond the reference): GRADIENT-BOOSTING ROUND 2 — the
+    * additive-model outer loop proven distributed. Round 1 is m13's
+    * exact decision stump on x₁ = l_quantity (best split + leaf means
+    * collected as three driver scalars — exactly what a distributed
+    * GBDT driver does per round); round 2 fits a stump on a SECOND
+    * feature (x₂ = l_discount) against the RESIDUALS — without ever
+    * materializing a per-row residual double sum: per-(x₂, side₁) cells
+    * carry EXACT DECIMAL (n, Σy, Σy²), and the residual stats per x₂
+    * come from the expansion Σr = Σy − m·n, Σr² = Σy² − 2mΣy + m²n per
+    * side — fixed-order doubles from exact operands, then the m13
+    * prefix-sum candidate scan over the 11 discount values. Bit-exact
+    * cross-engine (oracle re-derives round 1 in CTEs and VARCHAR-casts
+    * the wide Σy² decimals). Scale: each boosting round is ONE
+    * map-side-combined aggregate (value-cardinality shuffle) — the
+    * fact table is scanned once per round, never re-sorted.
+    */
+  private val m22 = Q(
+    "m22_gbm_round2",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val yd = col("l_extendedprice").cast("decimal(18,2)")
+      // round 1 (m13's stump): best split on x1 = l_quantity
+      val perX = li.groupBy(col("l_quantity").as("x"))
+        .agg(count(lit(1)).as("n"), sum(yd).as("s"))
+      val wo = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val pre = perX
+        .withColumn("nl", sum("n").over(wo))
+        .withColumn("sl", sum("s").over(wo))
+        .withColumn("nt", sum("n").over(wAll))
+        .withColumn("st", sum("s").over(wAll))
+      val r1 = pre.filter(col("nl") < col("nt"))
+        .select(col("x"),
+          (col("sl").cast("double") * col("sl").cast("double") / col("nl") +
+            (col("st") - col("sl")).cast("double") *
+              (col("st") - col("sl")).cast("double") /
+              (col("nt") - col("nl"))).as("gain"),
+          (col("sl").cast("double") / col("nl")).as("ml"),
+          ((col("st") - col("sl")).cast("double") /
+            (col("nt") - col("nl"))).as("mr"))
+        .orderBy(col("gain").desc, col("x"))
+        .limit(1).collect()(0)
+      val (split1, mL, mR) =
+        (r1.getDouble(0), r1.getDouble(2), r1.getDouble(3))
+      // round 2: exact per-(x2, side) cells -> residual stats per x2
+      val cells = li.groupBy(col("l_discount").as("x2"))
+        .agg(
+          sum(when(col("l_quantity") <= split1, 1L).otherwise(0L)).as("cnl"),
+          sum(when(col("l_quantity") > split1, 1L).otherwise(0L)).as("cnr"),
+          sum(when(col("l_quantity") <= split1, yd)
+            .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)")))
+            .cast("decimal(19,2)").as("syl"),
+          sum(when(col("l_quantity") > split1, yd)
+            .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)")))
+            .cast("decimal(19,2)").as("syr"),
+          sum(when(col("l_quantity") <= split1, yd * yd)
+            .otherwise(lit(BigDecimal(0)).cast("decimal(36,4)")))
+            .cast("decimal(22,4)").as("qyl"),
+          sum(when(col("l_quantity") > split1, yd * yd)
+            .otherwise(lit(BigDecimal(0)).cast("decimal(36,4)")))
+            .cast("decimal(22,4)").as("qyr"))
+        .withColumn("rn", col("cnl") + col("cnr"))
+      // prefix-sum the EXACT columns only (decimal/long window sums are
+      // order-free, so DuckDB's segment-tree windows and Spark's
+      // sequential frames cannot diverge); ALL double math happens on
+      // the exact prefix aggregates below.
+      val wo2 = Window.orderBy("x2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll2 = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      def resid(pc: org.apache.spark.sql.Column, pcr: org.apache.spark.sql.Column,
+          ps: org.apache.spark.sql.Column, psr: org.apache.spark.sql.Column) =
+        (ps.cast("double") - lit(mL) * pc.cast("double")) +
+          (psr.cast("double") - lit(mR) * pcr.cast("double"))
+      def residQ(pc: org.apache.spark.sql.Column, pcr: org.apache.spark.sql.Column,
+          ps: org.apache.spark.sql.Column, psr: org.apache.spark.sql.Column,
+          pq: org.apache.spark.sql.Column, pqr: org.apache.spark.sql.Column) =
+        (pq.cast("double") - lit(2.0) * lit(mL) * ps.cast("double") +
+          lit(mL) * lit(mL) * pc.cast("double")) +
+          (pqr.cast("double") - lit(2.0) * lit(mR) * psr.cast("double") +
+            lit(mR) * lit(mR) * pcr.cast("double"))
+      val pre2 = cells
+        .withColumn("nlr", sum("rn").over(wo2))
+        .withColumn("pcl", sum("cnl").over(wo2))
+        .withColumn("pcr", sum("cnr").over(wo2))
+        .withColumn("psl", sum("syl").over(wo2).cast("decimal(21,2)"))
+        .withColumn("psr", sum("syr").over(wo2).cast("decimal(21,2)"))
+        .withColumn("pql", sum("qyl").over(wo2).cast("decimal(24,4)"))
+        .withColumn("pqr", sum("qyr").over(wo2).cast("decimal(24,4)"))
+        .withColumn("ntr", sum("rn").over(wAll2))
+        .withColumn("tcl", sum("cnl").over(wAll2))
+        .withColumn("tcr", sum("cnr").over(wAll2))
+        .withColumn("tsl", sum("syl").over(wAll2).cast("decimal(21,2)"))
+        .withColumn("tsr", sum("syr").over(wAll2).cast("decimal(21,2)"))
+        .withColumn("tql", sum("qyl").over(wAll2).cast("decimal(24,4)"))
+        .withColumn("tqr", sum("qyr").over(wAll2).cast("decimal(24,4)"))
+      val rk2 = Window.orderBy(col("sse"), col("x2"))
+      pre2.filter(col("nlr") < col("ntr"))
+        .withColumn("slr", resid(col("pcl"), col("pcr"), col("psl"), col("psr")))
+        .withColumn("qlr", residQ(col("pcl"), col("pcr"), col("psl"),
+          col("psr"), col("pql"), col("pqr")))
+        .withColumn("str", resid(col("tcl"), col("tcr"), col("tsl"), col("tsr")))
+        .withColumn("qtr", residQ(col("tcl"), col("tcr"), col("tsl"),
+          col("tsr"), col("tql"), col("tqr")))
+        .withColumn("sse",
+          (col("qlr") - col("slr") * col("slr") / col("nlr").cast("double")) +
+            (col("qtr") - col("qlr") -
+              (col("str") - col("slr")) * (col("str") - col("slr")) /
+                (col("ntr") - col("nlr")).cast("double")))
+        .withColumn("rk", row_number().over(rk2))
+        .filter(col("rk") <= 3)
+        .select(col("rk"), lit(split1).as("split1"),
+          col("x2").as("split2"), col("nlr").as("n_left"),
+          (col("ntr") - col("nlr")).as("n_right"),
+          (col("slr") / col("nlr").cast("double")).as("resid_mean_left"),
+          ((col("str") - col("slr")) /
+            (col("ntr") - col("nlr")).cast("double")).as("resid_mean_right"),
+          col("sse"))
+        .orderBy("rk")
+    },
+    Some("""WITH perx AS (
+              SELECT l_quantity AS x, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+              FROM lineitem GROUP BY 1),
+            pre AS (
+              SELECT x,
+                     sum(n) OVER wo AS nl, sum(s) OVER wo AS sl,
+                     sum(n) OVER () AS nt, sum(s) OVER () AS st
+              FROM perx
+              WINDOW wo AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+            r1 AS (
+              SELECT x AS split1,
+                     CAST(sl AS DOUBLE) / nl AS ml,
+                     CAST(st - sl AS DOUBLE) / (nt - nl) AS mr
+              FROM pre WHERE nl < nt
+              ORDER BY (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl +
+                        CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                          / (nt - nl)) DESC, x
+              LIMIT 1),
+            cells AS (
+              SELECT l_discount AS x2,
+                     CAST(sum(CASE WHEN l_quantity <= r1.split1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cnl,
+                     CAST(sum(CASE WHEN l_quantity > r1.split1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cnr,
+                     CAST(sum(CASE WHEN l_quantity <= r1.split1
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+                       AS DECIMAL(19,2)) AS syl,
+                     CAST(sum(CASE WHEN l_quantity > r1.split1
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END)
+                       AS DECIMAL(19,2)) AS syr,
+                     CAST(sum(CASE WHEN l_quantity <= r1.split1
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(36,4)) END)
+                       AS DECIMAL(22,4)) AS qyl,
+                     CAST(sum(CASE WHEN l_quantity > r1.split1
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(36,4)) END)
+                       AS DECIMAL(22,4)) AS qyr
+              FROM lineitem CROSS JOIN r1
+              GROUP BY l_discount),
+            pre2 AS (
+              SELECT x2,
+                     sum(cnl + cnr) OVER wo AS nlr,
+                     sum(cnl) OVER wo AS pcl, sum(cnr) OVER wo AS pcr,
+                     CAST(sum(syl) OVER wo AS DECIMAL(21,2)) AS psl,
+                     CAST(sum(syr) OVER wo AS DECIMAL(21,2)) AS psr,
+                     CAST(sum(qyl) OVER wo AS DECIMAL(24,4)) AS pql,
+                     CAST(sum(qyr) OVER wo AS DECIMAL(24,4)) AS pqr,
+                     sum(cnl + cnr) OVER () AS ntr,
+                     sum(cnl) OVER () AS tcl, sum(cnr) OVER () AS tcr,
+                     CAST(sum(syl) OVER () AS DECIMAL(21,2)) AS tsl,
+                     CAST(sum(syr) OVER () AS DECIMAL(21,2)) AS tsr,
+                     CAST(sum(qyl) OVER () AS DECIMAL(24,4)) AS tql,
+                     CAST(sum(qyr) OVER () AS DECIMAL(24,4)) AS tqr
+              FROM cells
+              WINDOW wo AS (ORDER BY x2 ROWS UNBOUNDED PRECEDING)),
+            ex AS (
+              SELECT x2, nlr, ntr,
+                     (CAST(psl AS DOUBLE) - r1.ml * CAST(pcl AS DOUBLE)) +
+                       (CAST(psr AS DOUBLE) - r1.mr * CAST(pcr AS DOUBLE))
+                       AS slr,
+                     (CAST(CAST(pql AS VARCHAR) AS DOUBLE) -
+                        2.0 * r1.ml * CAST(psl AS DOUBLE) +
+                        r1.ml * r1.ml * CAST(pcl AS DOUBLE)) +
+                       (CAST(CAST(pqr AS VARCHAR) AS DOUBLE) -
+                          2.0 * r1.mr * CAST(psr AS DOUBLE) +
+                          r1.mr * r1.mr * CAST(pcr AS DOUBLE)) AS qlr,
+                     (CAST(tsl AS DOUBLE) - r1.ml * CAST(tcl AS DOUBLE)) +
+                       (CAST(tsr AS DOUBLE) - r1.mr * CAST(tcr AS DOUBLE))
+                       AS str,
+                     (CAST(CAST(tql AS VARCHAR) AS DOUBLE) -
+                        2.0 * r1.ml * CAST(tsl AS DOUBLE) +
+                        r1.ml * r1.ml * CAST(tcl AS DOUBLE)) +
+                       (CAST(CAST(tqr AS VARCHAR) AS DOUBLE) -
+                          2.0 * r1.mr * CAST(tsr AS DOUBLE) +
+                          r1.mr * r1.mr * CAST(tcr AS DOUBLE)) AS qtr
+              FROM pre2 CROSS JOIN r1
+              WHERE nlr < ntr),
+            cand AS (
+              SELECT x2, nlr, ntr, slr, str,
+                     (qlr - slr * slr / CAST(nlr AS DOUBLE)) +
+                       (qtr - qlr - (str - slr) * (str - slr) /
+                         CAST(ntr - nlr AS DOUBLE)) AS sse
+              FROM ex),
+            ranked AS (
+              SELECT *, row_number() OVER (ORDER BY sse, x2) AS rk
+              FROM cand)
+            SELECT CAST(rk AS INTEGER) AS rk, r1.split1, x2 AS split2,
+                   CAST(nlr AS BIGINT) AS n_left,
+                   CAST(ntr - nlr AS BIGINT) AS n_right,
+                   slr / CAST(nlr AS DOUBLE) AS resid_mean_left,
+                   (str - slr) / CAST(ntr - nlr AS DOUBLE)
+                     AS resid_mean_right,
+                   sse
+            FROM ranked CROSS JOIN r1
+            WHERE rk <= 3 ORDER BY rk"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14, m15, m16, m17, m18, m19, m20, m21)
+      m13, m14, m15, m16, m17, m18, m19, m20, m21, m22)
 }
