@@ -838,7 +838,95 @@ object RelationalQueries {
                      CAST(count(*) AS DOUBLE) AS achieved_rate
             FROM acc GROUP BY lang ORDER BY lang"""))
 
+  /** DQ5 (X159, beyond the reference): BENFORD'S-LAW first-digit audit
+    * — the forensic data-quality screen for fabricated or truncated
+    * numeric columns (real multiplicative data follows P(d) =
+    * log10(1+1/d); synthetic/uniform data does not — and the testdata
+    * prices indeed fail it, which is the point of the audit column).
+    * First digits are extracted WITHOUT log10 or string formatting
+    * (neither is cross-engine safe): exact integer cents, then a
+    * FLOOR-division CASE ladder. The Benford reference probabilities
+    * are compile-time double literals embedded in BOTH plans. The
+    * oracle embeds new BigDecimal(v).toPlainString — the EXACT decimal
+    * expansion of the double — because JDK 17's Double.toString (and
+    * %.Ng, which zero-pads it) can emit a string whose correctly-
+    * rounded parse lands 1 ulp away from the Java value; the exact
+    * expansion parses back to the identical bits in any engine. A 1..9 digit
+    * spine left-join keeps absent digits as explicit zero rows.
+    * Scale: one map-side-combined 9-group aggregate — audit cost is a
+    * scan, independent of table size.
+    */
+  private val dq5 = Q(
+    "dq5_benford_audit",
+    (s, dir) => {
+      val benford = (1 to 9)
+        .map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+      val digits = s.range(1, 10).select(col("id").as("digit"))
+      val obs = Tables.load(s, dir, "orders")
+        .withColumn("c",
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("digit", expr(
+          """CASE WHEN c >= 1000000000 THEN CAST(FLOOR(c / 1000000000.0) AS BIGINT)
+                  WHEN c >= 100000000 THEN CAST(FLOOR(c / 100000000.0) AS BIGINT)
+                  WHEN c >= 10000000 THEN CAST(FLOOR(c / 10000000.0) AS BIGINT)
+                  WHEN c >= 1000000 THEN CAST(FLOOR(c / 1000000.0) AS BIGINT)
+                  WHEN c >= 100000 THEN CAST(FLOOR(c / 100000.0) AS BIGINT)
+                  WHEN c >= 10000 THEN CAST(FLOOR(c / 10000.0) AS BIGINT)
+                  WHEN c >= 1000 THEN CAST(FLOOR(c / 1000.0) AS BIGINT)
+                  WHEN c >= 100 THEN CAST(FLOOR(c / 100.0) AS BIGINT)
+                  WHEN c >= 10 THEN CAST(FLOOR(c / 10.0) AS BIGINT)
+                  ELSE c END"""))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = Tables.load(s, dir, "orders").count()
+      digits.join(obs, Seq("digit"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("freq",
+          col("n").cast("double") / lit(total.toDouble))
+        .withColumn("benford_p",
+          (2 to 9).foldLeft(when(col("digit") === 1, lit(benford(1)))) {
+            (acc, d) => acc.when(col("digit") === d, lit(benford(d)))
+          })
+        .withColumn("abs_dev", abs(col("freq") - col("benford_p")))
+        .orderBy("digit")
+    },
+    Some {
+      val benford = (1 to 9)
+        .map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+      val cases = (1 to 9)
+        .map(d => s"WHEN s.digit = $d THEN CAST(" +
+          new java.math.BigDecimal(benford(d)).toPlainString +
+          " AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH obs AS (
+            SELECT CASE WHEN c >= 1000000000 THEN CAST(FLOOR(c / 1000000000.0) AS BIGINT)
+                        WHEN c >= 100000000 THEN CAST(FLOOR(c / 100000000.0) AS BIGINT)
+                        WHEN c >= 10000000 THEN CAST(FLOOR(c / 10000000.0) AS BIGINT)
+                        WHEN c >= 1000000 THEN CAST(FLOOR(c / 1000000.0) AS BIGINT)
+                        WHEN c >= 100000 THEN CAST(FLOOR(c / 100000.0) AS BIGINT)
+                        WHEN c >= 10000 THEN CAST(FLOOR(c / 10000.0) AS BIGINT)
+                        WHEN c >= 1000 THEN CAST(FLOOR(c / 1000.0) AS BIGINT)
+                        WHEN c >= 100 THEN CAST(FLOOR(c / 100.0) AS BIGINT)
+                        WHEN c >= 10 THEN CAST(FLOOR(c / 10.0) AS BIGINT)
+                        ELSE c END AS digit
+            FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                  FROM orders)),
+          counts AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM obs GROUP BY digit),
+          spine AS (SELECT unnest(range(1, 10)) AS digit),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders)
+          SELECT s.digit, coalesce(c.n, 0) AS n,
+                 CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                   AS freq,
+                 CASE $cases END AS benford_p,
+                 abs(CAST(coalesce(c.n, 0) AS DOUBLE) /
+                   CAST(tot.t AS DOUBLE) - CASE $cases END) AS abs_dev
+          FROM spine s LEFT JOIN counts c ON s.digit = c.digit
+          CROSS JOIN tot
+          ORDER BY s.digit"""
+    })
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15, dq3, dq4, p16)
+      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5)
 }

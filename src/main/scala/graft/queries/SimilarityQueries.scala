@@ -622,5 +622,104 @@ object SimilarityQueries {
                     CAST(dist > p95 AS INT) AS is_outlier
              FROM scored CROSS JOIN thr ORDER BY vec_id"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
+  /** S10 (X158, beyond the reference): MMR DIVERSE RE-RANKING — maximal
+    * marginal relevance, the dedup-aware top-k selection used to avoid
+    * returning (or training on) near-duplicate neighbors: greedily pick
+    * argmax 0.7·rel − 0.3·max_sim_to_selected. The honest scale split:
+    * candidate generation (top-12 by cosine) and the 12×12 pairwise
+    * sim matrix run DISTRIBUTED; the greedy loop runs driver-side over
+    * those ≤144 scalars — exactly how a production reranker treats a
+    * retrieved candidate set. Determinism: rel/sim rounded to 4dp with
+    * vec_id tie-breaks; score arithmetic uses explicit 0.7/0.3
+    * literals (never 1−λ, which is 0.30000000000000004 in binary) in
+    * the same op order as the oracle's five chained selection CTEs.
+    */
+  private val s10 = Q(
+    "s10_mmr_rerank",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val cands = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("rel",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(12)
+        .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+        .localCheckpoint()
+      val a = cands.select(col("vec_id").as("ia"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = cands.select(col("vec_id").as("ib"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val sims = a.crossJoin(b).filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+            .as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val rels = cands.select("vec_id", "rel").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      var selected = Vector.empty[(Int, Long, Double, Double, Double)]
+      var remaining = rels.keySet
+      for (k <- 1 to 5) {
+        val scored = remaining.toSeq.map { c =>
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(sel => sims((c, sel._2))).max
+          (c, rels(c), maxSim, 0.7 * rels(c) - 0.3 * maxSim)
+        }
+        val best = scored.minBy { case (c, _, _, sc) => (-sc, c) }
+        selected :+= ((k, best._1, best._2, best._3, best._4))
+        remaining -= best._1
+      }
+      import s.implicits._
+      selected.toDF("rank", "vec_id", "rel", "max_sim", "mmr_score")
+        .orderBy("rank")
+    },
+    Some {
+      val base = s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v FROM embeddings),
+             n AS (
+               SELECT vec_id, v, $duckNorm AS nrm FROM e),
+             q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+             cand AS (
+               SELECT n.vec_id, v, nrm,
+                      round(${duckDot.format("qv", "v")} / (qn * nrm), 4)
+                        AS rel
+               FROM n CROSS JOIN q WHERE vec_id <> 0
+               ORDER BY rel DESC, vec_id LIMIT 12),
+             sims AS (
+               SELECT a.vec_id AS ia, b.vec_id AS ib,
+                      round(${duckDot.format("a.v", "b.v")} /
+                        (a.nrm * b.nrm), 4) AS sim
+               FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+             p1 AS (
+               SELECT vec_id, rel, CAST(0.0 AS DOUBLE) AS max_sim,
+                      CAST(0.7 AS DOUBLE) * rel -
+                        CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS score
+               FROM cand ORDER BY score DESC, vec_id LIMIT 1)"""
+      val steps = (2 to 5).map { k =>
+        val prev = (1 until k).map(i => s"SELECT vec_id FROM p$i")
+          .mkString(" UNION ALL ")
+        s""",
+             p$k AS (
+               SELECT c.vec_id, c.rel, m.max_sim,
+                      CAST(0.7 AS DOUBLE) * c.rel -
+                        CAST(0.3 AS DOUBLE) * m.max_sim AS score
+               FROM cand c
+               JOIN (SELECT ia AS vec_id, max(sim) AS max_sim FROM sims
+                     WHERE ib IN ($prev) GROUP BY ia) m
+                 ON c.vec_id = m.vec_id
+               WHERE c.vec_id NOT IN ($prev)
+               ORDER BY score DESC, c.vec_id LIMIT 1)"""
+      }.mkString
+      val out = (1 to 5).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS rank, vec_id, rel, max_sim,
+                   score AS mmr_score FROM p$k""")
+        .mkString(" UNION ALL ")
+      s"$base$steps $out ORDER BY rank"
+    })
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
 }
