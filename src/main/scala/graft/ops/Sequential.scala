@@ -118,4 +118,33 @@ object Sequential {
     }
     out.toIndexedSeq
   }
+
+  /** W20 — Holt double-exponential smoothing (level + linear trend),
+    * `alpha`/`beta` MUST be exact binary doubles (0.25, 0.5) so the
+    * DuckDB recursive-CTE oracle matches bit-for-bit. Init: level =
+    * first value, trend = 0. Per step (this exact op order, mirrored
+    * literally in the oracle):
+    *   level' = alpha*x + (1-alpha)*(level + trend)
+    *   trend' = beta*(level' - level) + (1-beta)*trend
+    * Returns (level, trend, forecast = level + trend) per input.
+    */
+  def holt(xs: IndexedSeq[Double], alpha: Double, oneMinusAlpha: Double,
+      beta: Double, oneMinusBeta: Double)
+      : IndexedSeq[(Double, Double, Double)] = {
+    if (xs.isEmpty) return IndexedSeq.empty
+    val out = Array.ofDim[(Double, Double, Double)](xs.length)
+    var level = xs(0)
+    var trend = 0.0
+    out(0) = (level, trend, level + trend)
+    var i = 1
+    while (i < xs.length) {
+      val nl = alpha * xs(i) + oneMinusAlpha * (level + trend)
+      val nt = beta * (nl - level) + oneMinusBeta * trend
+      level = nl
+      trend = nt
+      out(i) = (level, trend, level + trend)
+      i += 1
+    }
+    out.toIndexedSeq
+  }
 }

@@ -16,6 +16,8 @@ case class ArRow(key: Long, rd: Int, price: Double)
 case class ArOut(o_custkey: Long, step: Int, pred: Double)
 case class EwmaRow(key: Long, rn: Int, id: Long, v: Double)
 case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+case class HoltOut(user_id: Long, event_id: Long, level: Double, trend: Double,
+    forecast: Double)
 
 /** The three order-sensitive recurrences (SURVEY.md §2.7 W5/W6/W7) as
   * `groupByKey.flatMapGroups` folds over [[graft.ops.Sequential]]'s
@@ -262,5 +264,58 @@ object SequentialQueries {
             SELECT user_id, event_id, e AS ewma
             FROM rec ORDER BY user_id, event_id"""))
 
-  def all: Seq[Q] = Seq(w5, w6, w7, w19)
+  /** W20 (X160, beyond the reference): HOLT double-exponential
+    * smoothing — level + linear trend, the next smoother up from w19's
+    * EWMA and the core of Holt-Winters forecasting. True coupled
+    * recurrence (level and trend each feed both next-step equations),
+    * run as a task-local typed fold per user — distributed across the
+    * high-cardinality key like w5-w7/w19. α=0.25, β=0.5 are exact
+    * binary doubles and [[graft.ops.Sequential.holt]]'s op order is
+    * mirrored literally in the recursive-CTE oracle (the trend step
+    * REPEATS the level expression — recomputing a double from
+    * identical operands is bit-stable), so the hash match needs no
+    * rounding.
+    */
+  private val w20 = Q(
+    "w20_holt_trend",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rows = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .select(col("user_id").as("key"), col("rn"),
+          col("event_id").as("id"), col("value").as("v"))
+        .as[EwmaRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rn)
+          val sm = Sequential.holt(sorted.map(_.v), 0.25, 0.75, 0.5, 0.5)
+          sorted.iterator.zip(sm.iterator).map { case (r, (l, b, f)) =>
+            HoltOut(key, r.id, l, b, f)
+          }
+        }
+        .toDF()
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn, value AS l,
+                     CAST(0 AS DOUBLE) AS b
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT bb.user_id, bb.event_id, bb.rn,
+                     0.25 * bb.value + 0.75 * (r.l + r.b),
+                     0.5 * ((0.25 * bb.value + 0.75 * (r.l + r.b)) - r.l)
+                       + 0.5 * r.b
+              FROM rec r JOIN base bb
+                ON bb.user_id = r.user_id AND bb.rn = r.rn + 1)
+            SELECT user_id, event_id, l AS level, b AS trend,
+                   l + b AS forecast
+            FROM rec ORDER BY user_id, event_id"""))
+
+  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20)
 }
