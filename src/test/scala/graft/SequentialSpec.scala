@@ -58,6 +58,26 @@ class SequentialSpec extends AnyFunSuite {
     }
   }
 
+  test("holt tracks a pure linear trend exactly after warm-up") {
+    // y_t = 10 + 2t: once level/trend lock on, forecast = next value.
+    // Convergence is geometric in (alpha, beta); 200 steps puts the
+    // residual far below 1e-6 at these smoothing constants.
+    val xs = IndexedSeq.tabulate(200)(t => 10.0 + 2.0 * t)
+    val out = Sequential.holt(xs, 0.25, 0.75, 0.5, 0.5)
+    assert(out.head == ((10.0, 0.0, 10.0)))
+    val (l, b, f) = out.last
+    assert(math.abs(l - xs.last) < 1e-6)
+    assert(math.abs(b - 2.0) < 1e-6)
+    assert(math.abs(f - (xs.last + 2.0)) < 1e-6)
+  }
+
+  test("holt on a constant series keeps level = value, trend = 0") {
+    val out = Sequential.holt(IndexedSeq.fill(10)(7.5), 0.25, 0.75, 0.5, 0.5)
+    out.foreach { case (l, b, f) =>
+      assert(l == 7.5 && b == 0.0 && f == 7.5)
+    }
+  }
+
   test("arRollout feeds predictions back through the window") {
     val w = IndexedSeq(0.0, 0.0, 0.0, 0.0, 1.0) // pred = last value + bias
     val out = Sequential.arRollout(IndexedSeq(1, 2, 3, 4, 5.0), w, 0.0, 3)
