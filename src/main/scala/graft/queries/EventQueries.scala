@@ -1083,7 +1083,72 @@ object EventQueries {
             ORDER BY c.user_id, c.event_id,
                      coalesce(p.event_id, -1)"""))
 
+  /** Variable-length interval coalescing (beyond the reference): each
+    * event opens an interval [ts, ts + value-scaled duration]; merge
+    * overlapping/adjacent intervals per user. Unlike e2's fixed-gap
+    * sessionize, durations vary per row, so the merge needs the classic
+    * running-max-of-end scan: a new island starts where this start
+    * exceeds the max end of every earlier interval. One shuffle on
+    * user_id; the window is per-user, so it scales with the largest
+    * single user, not the corpus. All arithmetic in integral
+    * microseconds (unix_micros ↔ epoch_us), so island boundaries are
+    * bit-identical cross-engine.
+    */
+  private val e25 = Q(
+    "e25_interval_coalesce",
+    (s, dir) => {
+      val iv = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) +
+            floor(col("value") * 60000000L).cast("long")).as("end_us"))
+      val w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+      val prevMax = max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = iv
+        .withColumn("new_island",
+          when(prevMax.isNull || col("start_us") > prevMax, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("new_island").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      islands.groupBy("user_id", "island")
+        .agg(min("start_us").as("merged_start_us"),
+          max("end_us").as("merged_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "island")
+    },
+    Some("""WITH iv AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) AS start_us,
+                     epoch_us(ts) + CAST(FLOOR(value * 60000000) AS BIGINT)
+                       AS end_us
+              FROM events),
+            flagged AS (
+              SELECT user_id, start_us, end_us,
+                CASE WHEN max(end_us) OVER (PARTITION BY user_id
+                       ORDER BY start_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                  OR start_us > max(end_us) OVER (PARTITION BY user_id
+                       ORDER BY start_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island,
+                event_id
+              FROM iv),
+            islands AS (
+              SELECT user_id, start_us, end_us,
+                CAST(sum(new_island) OVER (PARTITION BY user_id
+                  ORDER BY start_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+              FROM flagged)
+            SELECT user_id, island,
+                   min(start_us) AS merged_start_us,
+                   max(end_us) AS merged_end_us,
+                   count(*) AS n_events
+            FROM islands GROUP BY 1, 2
+            ORDER BY user_id, island"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20, e21, e22, e23, e24)
+      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
 }

@@ -926,7 +926,49 @@ object RelationalQueries {
           ORDER BY s.digit"""
     })
 
+  /** P17 (beyond the reference): 2-D Pareto frontier (skyline) — parts
+    * not dominated on (minimize p_retailprice, maximize p_size). The
+    * naive spelling is an O(n²) NOT EXISTS self-join; the scalable one
+    * is a price-level reduction: per distinct price keep max(size) (one
+    * shuffle on a bounded-cardinality price domain), then a single
+    * window over the PRICE levels (not the rows) computes the running
+    * strict-prefix max. A part survives iff no strictly-cheaper level
+    * reaches its size and no same-price part strictly exceeds it. The
+    * global window sorts only distinct prices — bounded by the price
+    * domain, not the row count, at any scale.
+    */
+  private val p17 = Q(
+    "p17_pareto_frontier",
+    (s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val lvl = part.groupBy(col("p_retailprice").as("price"))
+        .agg(max("p_size").as("mx"))
+      val w = Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = lvl.withColumn("run_strict", max("mx").over(w))
+      part.join(ranked, part("p_retailprice") === ranked("price"))
+        .filter((col("run_strict").isNull ||
+          col("run_strict") < col("p_size")) &&
+          col("mx") === col("p_size"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    },
+    Some("""WITH lvl AS (
+              SELECT p_retailprice AS price, max(p_size) AS mx
+              FROM part GROUP BY 1),
+            ranked AS (
+              SELECT price, mx,
+                max(mx) OVER (ORDER BY price
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS run_strict
+              FROM lvl)
+            SELECT p.p_partkey, p.p_retailprice, p.p_size
+            FROM part p JOIN ranked r ON p.p_retailprice = r.price
+            WHERE (r.run_strict IS NULL OR r.run_strict < p.p_size)
+              AND r.mx = p.p_size
+            ORDER BY p.p_partkey"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5)
+      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17)
 }
