@@ -1720,7 +1720,118 @@ object MlQueries {
             FROM ranked CROSS JOIN r1
             WHERE rk <= 3 ORDER BY rk"""))
 
+  /** M24 (beyond the reference): exact rank-based ROC AUC of l_discount
+    * as a score for the "returned" label, with the Mann-Whitney tie
+    * correction carried in INTEGERS: doubling the U statistic
+    * (U2 = Σ_s np(s)·(2·negBelow(s) + nn(s))) keeps every half-credit
+    * tie term integral, and the single IEEE division of two <2^53
+    * integers at the end is correctly rounded in both engines. The plan
+    * aggregates per score level first (one shuffle on a bounded score
+    * domain), then windows over the LEVELS — never ranks raw rows, so
+    * no global sort of the fact table at any scale.
+    */
+  private val m24 = Q(
+    "m24_auc",
+    (s, dir) => {
+      val lvl = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_discount").as("score"))
+        .agg(
+          count(when(col("l_returnflag") === "R", 1)).as("np"),
+          count(when(col("l_returnflag") =!= "R", 1)).as("nn"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = lvl.withColumn("below",
+        coalesce(sum("nn").over(w), lit(0L)))
+      cum.agg(
+        sum("np").as("n_pos"),
+        sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("below") + col("nn"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+    },
+    Some("""WITH lvl AS (
+              SELECT l_discount AS score,
+                CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                  AS BIGINT) AS np,
+                CAST(count(*) FILTER (WHERE l_returnflag <> 'R')
+                  AS BIGINT) AS nn
+              FROM lineitem GROUP BY 1),
+            cum AS (
+              SELECT np, nn,
+                CAST(coalesce(sum(nn) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+              FROM lvl),
+            agg AS (
+              SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                     CAST(sum(nn) AS BIGINT) AS n_neg,
+                     CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+              FROM cum)
+            SELECT n_pos, n_neg, u2,
+                   CAST(u2 AS DOUBLE) /
+                     CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+            FROM agg"""))
+
+  /** M25 (beyond the reference): exact two-sample Kolmogorov–Smirnov
+    * statistic comparing the l_quantity distribution of returned vs
+    * non-returned lines. The sup-norm search runs entirely in integer
+    * cross-multiplication — D_num = max |cumA·m − cumB·n| over the
+    * merged value levels — so the argmax is exact; only the final
+    * normalization divides (once). Value-level aggregation + a window
+    * over the ~50 quantity levels: no row-level sort. n·m stays <2^53
+    * up to ~90M rows per side; beyond that, rescale per-side counts
+    * first (documented, not needed at any test SF).
+    */
+  private val m25 = Q(
+    "m25_ks_test",
+    (s, dir) => {
+      val lvl = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_quantity").as("at_value"))
+        .agg(
+          count(when(col("l_returnflag") === "R", 1)).as("a"),
+          count(when(col("l_returnflag") =!= "R", 1)).as("b"))
+      val w = Window.orderBy("at_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = lvl
+        .withColumn("ca", sum("a").over(w))
+        .withColumn("cb", sum("b").over(w))
+      val tot = cum.agg(sum("a").as("n_a"), sum("b").as("n_b"))
+      cum.crossJoin(tot)
+        .select(col("n_a"), col("n_b"), col("at_value"),
+          abs(col("ca") * col("n_b") - col("cb") * col("n_a"))
+            .as("d_num"))
+        .withColumn("ks_d", col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+        .orderBy(col("d_num").desc, col("at_value").asc)
+        .limit(1)
+    },
+    Some("""WITH lvl AS (
+              SELECT l_quantity AS at_value,
+                CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                  AS BIGINT) AS a,
+                CAST(count(*) FILTER (WHERE l_returnflag <> 'R')
+                  AS BIGINT) AS b
+              FROM lineitem GROUP BY 1),
+            cum AS (
+              SELECT at_value,
+                CAST(sum(a) OVER (ORDER BY at_value
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+                CAST(sum(b) OVER (ORDER BY at_value
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+              FROM lvl),
+            tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                           CAST(sum(b) AS BIGINT) AS n_b FROM lvl)
+            SELECT t.n_a, t.n_b, c.at_value,
+                   abs(c.ca * t.n_b - c.cb * t.n_a) AS d_num,
+                   CAST(abs(c.ca * t.n_b - c.cb * t.n_a) AS DOUBLE) /
+                     CAST(t.n_a * t.n_b AS DOUBLE) AS ks_d
+            FROM cum c CROSS JOIN tot t
+            ORDER BY d_num DESC, c.at_value ASC
+            LIMIT 1"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14, m15, m16, m17, m18, m19, m20, m21, m22)
+      m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25)
 }
