@@ -570,7 +570,45 @@ object AggQueries {
             GROUP BY l_suppkey
             ORDER BY l_suppkey"""))
 
+  /** A20 (beyond the reference): per-group mode with a deterministic
+    * tie-break — the modal order priority per nation of the ordering
+    * customer, smallest priority string winning ties. Two bounded
+    * shuffles: count per (nation, priority), then a per-nation window
+    * over the ~5 priority levels. No row-level window anywhere.
+    */
+  private val a20 = Q(
+    "a20_mode_per_group",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"),
+          col("o_orderpriority").as("modal_priority"),
+          col("n").as("mode_count"))
+        .orderBy("c_nationkey")
+    },
+    Some("""WITH counts AS (
+              SELECT c_nationkey, o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT c_nationkey, o_orderpriority, n,
+                row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY n DESC, o_orderpriority ASC) AS rn
+              FROM counts)
+            SELECT c_nationkey, o_orderpriority AS modal_priority,
+                   n AS mode_count
+            FROM ranked WHERE rn = 1
+            ORDER BY c_nationkey"""))
+
   def all: Seq[Q] =
     Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, u3, a12, a13, a14,
-      a15, a16, a17, a18, a19)
+      a15, a16, a17, a18, a19, a20)
 }

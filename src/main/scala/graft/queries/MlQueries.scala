@@ -1831,7 +1831,84 @@ object MlQueries {
             ORDER BY d_num DESC, c.at_value ASC
             LIMIT 1"""))
 
+  /** M26 (beyond the reference): decile lift/gains table — o_totalprice
+    * as a propensity score for the finished-order label. Deciles are
+    * assigned from score-LEVEL cumulative counts with integer floor
+    * division (1 + cumBefore·10 div N), not a row-level ntile, so (a)
+    * score-tied rows land in one bucket deterministically and (b) the
+    * only sort is over distinct score levels. Rates and cumulative lift
+    * are each one IEEE division of <2^53 integer products.
+    */
+  private val m26 = Q(
+    "m26_lift_gains",
+    (s, dir) => {
+      val lvl = Tables.load(s, dir, "orders")
+        .groupBy(col("o_totalprice").as("score"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("o_orderstatus") === "F", 1)).as("resp"))
+      val wDesc = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = lvl.withColumn("cum_before",
+        coalesce(sum("cnt").over(wDesc), lit(0L)))
+      val tot = lvl.agg(sum("cnt").as("n_total"), sum("resp").as("r_total"))
+      val byd = cum.crossJoin(tot)
+        .withColumn("decile",
+          lit(1L) + expr("(cum_before * 10) DIV n_total"))
+        .groupBy("decile")
+        .agg(sum("cnt").as("n"), sum("resp").as("responders"),
+          max("n_total").as("n_total"), max("r_total").as("r_total"))
+      val w2 = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byd
+        .withColumn("cum_resp", sum("responders").over(w2))
+        .withColumn("cum_n", sum("n").over(w2))
+        .select(col("decile"), col("n"), col("responders"),
+          (col("responders").cast("double") / col("n").cast("double"))
+            .as("response_rate"),
+          ((col("cum_resp") * col("n_total")).cast("double") /
+            (col("cum_n") * col("r_total")).cast("double"))
+            .as("cum_lift"))
+        .orderBy("decile")
+    },
+    Some("""WITH lvl AS (
+              SELECT o_totalprice AS score,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                       AS BIGINT) AS resp
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT cnt, resp,
+                CAST(coalesce(sum(cnt) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+              FROM lvl),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+                           CAST(sum(resp) AS BIGINT) AS r_total
+                    FROM lvl),
+            dec AS (
+              SELECT 1 + (c.cum_before * 10) // t.n_total AS decile,
+                     c.cnt, c.resp, t.n_total, t.r_total
+              FROM cum c CROSS JOIN tot t),
+            byd AS (
+              SELECT decile, CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(sum(resp) AS BIGINT) AS responders,
+                     max(n_total) AS n_total, max(r_total) AS r_total
+              FROM dec GROUP BY 1),
+            cum2 AS (
+              SELECT decile, n, responders, n_total, r_total,
+                CAST(sum(responders) OVER (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_resp,
+                CAST(sum(n) OVER (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+              FROM byd)
+            SELECT decile, n, responders,
+                   CAST(responders AS DOUBLE) / CAST(n AS DOUBLE)
+                     AS response_rate,
+                   CAST(cum_resp * n_total AS DOUBLE) /
+                     CAST(cum_n * r_total AS DOUBLE) AS cum_lift
+            FROM cum2 ORDER BY decile"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25)
+      m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26)
 }
