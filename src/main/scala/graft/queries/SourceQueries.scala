@@ -497,5 +497,41 @@ object SourceQueries {
             CROSS JOIN m
             ORDER BY layout"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
+  /** S12 (beyond the reference): dynamic partition overwrite — the
+    * idempotent-backfill primitive of a partitioned lake. Full load
+    * partitioned by priority, then a second write that rewrites ONLY
+    * the 1-URGENT partition (filtered to finished orders) under
+    * partitionOverwriteMode=dynamic; the other partitions' files are
+    * untouched. The read-back rollup is hash-checked against the
+    * equivalent one-shot SQL, and money is summed in exact integer
+    * cents. At scale this is the nightly-restatement path: rewrite one
+    * day's partition without touching the other 3 years.
+    */
+  private val s12 = Q(
+    "src12_dynamic_partition_overwrite",
+    (s, dir) => {
+      val base = tmpDir("orders_dpo")
+      val o = Tables.load(s, dir, "orders")
+      o.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(base)
+      o.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority").parquet(base)
+      s.read.parquet(base)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents
+            FROM orders
+            WHERE o_orderpriority <> '1-URGENT' OR o_orderstatus = 'F'
+            GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12)
 }
