@@ -147,4 +147,24 @@ object Sequential {
     }
     out.toIndexedSeq
   }
+
+  /** One-sided positive CUSUM drift detector: S_t = max(0, S_{t-1} +
+    * (x_t - k)), alarm when S_t > h. Page's classic sequential
+    * change-point statistic. Op order (add the deviation, THEN clamp)
+    * is mirrored literally by the recursive-CTE oracle; max and + are
+    * IEEE-exact, so outputs are bit-stable cross-engine.
+    */
+  def cusum(xs: IndexedSeq[Double], k: Double, h: Double)
+      : IndexedSeq[(Double, Boolean)] = {
+    val out = Array.ofDim[(Double, Boolean)](xs.length)
+    var s = 0.0
+    var i = 0
+    while (i < xs.length) {
+      val raw = s + (xs(i) - k)
+      s = if (raw > 0.0) raw else 0.0
+      out(i) = (s, s > h)
+      i += 1
+    }
+    out.toIndexedSeq
+  }
 }

@@ -224,5 +224,69 @@ object GraphQueries {
                     FROM wedges JOIN oriented
                       ON v = src AND w = dst) AS n_triangles"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3)
+  /** G4 (beyond the reference): degree assortativity of the part
+    * co-purchase graph — Pearson correlation of endpoint degrees over
+    * the symmetrized edge list. Because the symmetrized x and y
+    * marginals are identical, the usual sqrt cancels and
+    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) over INTEGER sufficient
+    * statistics: one IEEE division at the very end, everything before
+    * it exact. Same bounded pipeline as g3 (distinct edges → degree
+    * roll-up → one join back); sums fit int64 through ~100× this SF,
+    * and Spark's ANSI mode fails loudly (not silently) past that.
+    */
+  private val g4 = Q(
+    "g4_degree_assortativity",
+    (s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint()
+      val deg = e0.select(col("p1").as("node"))
+        .unionByName(e0.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = e0
+        .join(deg.select(col("node").as("p1"), col("deg").as("d1")), Seq("p1"))
+        .join(deg.select(col("node").as("p2"), col("deg").as("d2")), Seq("p2"))
+      withDeg.agg(
+        (count(lit(1)) * 2L).as("n"),
+        sum(col("d1") + col("d2")).as("sx"),
+        sum(col("d1") * col("d1") + col("d2") * col("d2")).as("sxx"),
+        sum(lit(2L) * col("d1") * col("d2")).as("sxy"))
+        .select(
+          (col("n") / lit(2L)).cast("long").as("n_edges"),
+          (col("n") * col("sxy") - col("sx") * col("sx")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("assortativity",
+          col("num").cast("double") / col("den").cast("double"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                      SELECT p1 AS node FROM e0
+                      UNION ALL
+                      SELECT p2 AS node FROM e0)
+                    GROUP BY node),
+            wd AS (SELECT d1.deg AS d1, d2.deg AS d2
+                   FROM e0 JOIN deg d1 ON e0.p1 = d1.node
+                           JOIN deg d2 ON e0.p2 = d2.node),
+            stats AS (
+              SELECT CAST(count(*) * 2 AS BIGINT) AS n,
+                     CAST(sum(d1 + d2) AS BIGINT) AS sx,
+                     CAST(sum(d1 * d1 + d2 * d2) AS BIGINT) AS sxx,
+                     CAST(sum(2 * d1 * d2) AS BIGINT) AS sxy
+              FROM wd)
+            SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+                   n * sxy - sx * sx AS num,
+                   n * sxx - sx * sx AS den,
+                   CAST(n * sxy - sx * sx AS DOUBLE) /
+                     CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+            FROM stats"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4)
 }

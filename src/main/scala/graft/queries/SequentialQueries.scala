@@ -19,6 +19,9 @@ case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 case class HoltOut(user_id: Long, event_id: Long, level: Double, trend: Double,
     forecast: Double)
 
+case class CusumOut(user_id: Long, event_id: Long, cusum: Double,
+    alarm: Boolean)
+
 /** The three order-sensitive recurrences (SURVEY.md §2.7 W5/W6/W7) as
   * `groupByKey.flatMapGroups` folds over [[graft.ops.Sequential]]'s
   * pure kernels. Although these are NOT window-expressible, each still
@@ -317,5 +320,56 @@ object SequentialQueries {
                    l + b AS forecast
             FROM rec ORDER BY user_id, event_id"""))
 
-  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20)
+  /** W21 (beyond the reference): Page's one-sided CUSUM drift detector
+    * per user — S_t = max(0, S_{t-1} + (value_t − k)), alarm when
+    * S_t > h. The sequential change-point primitive behind data-drift
+    * monitors. k=64, h=256 are exact binary doubles chosen against the
+    * events value distribution (mean ≈ 49.6) so the statistic decays
+    * to zero in-control and fires on bursts. Same task-local typed
+    * fold as w19/w20, distributed across users; max/+ are IEEE-exact,
+    * so the recursive-CTE oracle matches bit-for-bit unrounded.
+    */
+  private val w21 = Q(
+    "w21_cusum_drift",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rows = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .select(col("user_id").as("key"), col("rn"),
+          col("event_id").as("id"), col("value").as("v"))
+        .as[EwmaRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rn)
+          val cs = Sequential.cusum(sorted.map(_.v), 64.0, 256.0)
+          sorted.iterator.zip(cs.iterator).map { case (r, (sv, al)) =>
+            CusumOut(key, r.id, sv, al)
+          }
+        }
+        .toDF()
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn,
+                     greatest(CAST(0 AS DOUBLE),
+                       CAST(0 AS DOUBLE) + (value - CAST(64 AS DOUBLE)))
+                       AS s
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.event_id, b.rn,
+                     greatest(CAST(0 AS DOUBLE),
+                       r.s + (b.value - CAST(64 AS DOUBLE)))
+              FROM rec r JOIN base b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+            SELECT user_id, event_id, s AS cusum,
+                   s > CAST(256 AS DOUBLE) AS alarm
+            FROM rec ORDER BY user_id, event_id"""))
+
+  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20, w21)
 }

@@ -78,6 +78,18 @@ class SequentialSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum accumulates drift above k, clamps at zero, and alarms") {
+    // k=2, h=3: x=(5,1,1,6) -> S = (3, 2, 1, 5); alarms at 3>3? no, 5>3 yes
+    val out = Sequential.cusum(IndexedSeq(5.0, 1.0, 1.0, 6.0), 2.0, 3.0)
+    assert(out == IndexedSeq((3.0, false), (2.0, false), (1.0, false),
+      (5.0, true)))
+  }
+
+  test("cusum stays at zero for an in-control series") {
+    val out = Sequential.cusum(IndexedSeq.fill(5)(1.0), 2.0, 3.0)
+    assert(out.forall(_ == ((0.0, false))))
+  }
+
   test("arRollout feeds predictions back through the window") {
     val w = IndexedSeq(0.0, 0.0, 0.0, 0.0, 1.0) // pred = last value + bias
     val out = Sequential.arRollout(IndexedSeq(1, 2, 3, 4, 5.0), w, 0.0, 3)
