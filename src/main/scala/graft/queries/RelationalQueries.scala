@@ -968,7 +968,75 @@ object RelationalQueries {
               AND r.mx = p.p_size
             ORDER BY p.p_partkey"""))
 
+  /** DQ6 (beyond the reference): Tukey IQR outlier fencing per group,
+    * entirely in integers — prices in cents, DISCRETE quantiles
+    * (q1 at rank ceil(n/4), q3 at ceil(3n/4); tied values make any
+    * rank choice among ties value-identical), and fences carried at
+    * 2× scale so 1.5·IQR stays integral: low fence 2q1−3(q3−q1), high
+    * 2q3+3(q3−q1) against 2·cents. Zero floating point anywhere. Per
+    * group one sort of that group's rows — the same shuffle any
+    * quantile needs — then a broadcast-sized fence join back.
+    */
+  private val dq6 = Q(
+    "dq6_iqr_outliers",
+    (s, dir) => {
+      val cents = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val w = Window.partitionBy("flag").orderBy("c")
+      val ranked = cents
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      val fences = ranked
+        .filter(col("rn") === expr("(n + 3) DIV 4") ||
+          col("rn") === expr("(n * 3 + 3) DIV 4"))
+        .groupBy("flag")
+        .agg(min("c").as("q1_cents"), max("c").as("q3_cents"),
+          max("n").as("n"))
+      cents.join(broadcast(fences), Seq("flag"))
+        .groupBy("flag")
+        .agg(max("n").as("n"),
+          max("q1_cents").as("q1_cents"),
+          max("q3_cents").as("q3_cents"),
+          count(when(lit(2L) * col("c") <
+            lit(2L) * col("q1_cents") -
+              lit(3L) * (col("q3_cents") - col("q1_cents")), 1))
+            .as("n_low"),
+          count(when(lit(2L) * col("c") >
+            lit(2L) * col("q3_cents") +
+              lit(3L) * (col("q3_cents") - col("q1_cents")), 1))
+            .as("n_high"))
+        .orderBy("flag")
+    },
+    Some("""WITH cents AS (
+              SELECT l_returnflag AS flag,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem),
+            ranked AS (
+              SELECT flag, c,
+                row_number() OVER (PARTITION BY flag ORDER BY c) AS rn,
+                CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+              FROM cents),
+            fences AS (
+              SELECT flag, min(c) AS q1_cents, max(c) AS q3_cents,
+                     max(n) AS n
+              FROM ranked
+              WHERE rn = (n + 3) // 4 OR rn = (n * 3 + 3) // 4
+              GROUP BY flag)
+            SELECT c.flag, max(f.n) AS n,
+                   max(f.q1_cents) AS q1_cents,
+                   max(f.q3_cents) AS q3_cents,
+                   CAST(count(*) FILTER (WHERE 2 * c.c <
+                     2 * f.q1_cents - 3 * (f.q3_cents - f.q1_cents))
+                     AS BIGINT) AS n_low,
+                   CAST(count(*) FILTER (WHERE 2 * c.c >
+                     2 * f.q3_cents + 3 * (f.q3_cents - f.q1_cents))
+                     AS BIGINT) AS n_high
+            FROM cents c JOIN fences f ON c.flag = f.flag
+            GROUP BY c.flag
+            ORDER BY c.flag"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17)
+      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6)
 }

@@ -469,6 +469,40 @@ object WindowQueries {
             FROM spine s LEFT JOIN daily d USING (o_custkey, day)
             ORDER BY s.o_custkey, s.day"""))
 
+  /** W22 (beyond the reference): exact rolling median over full 5-row
+    * windows per user — the robust smoother for spiky telemetry.
+    * Restricting to FULL windows keeps the count odd, so the median is
+    * pure element selection (sort 5 values, take the 3rd): zero
+    * floating-point arithmetic, bit-identical cross-engine by
+    * construction. The per-row sort touches 5 elements — O(1) — and
+    * the window partitions on the high-cardinality user key.
+    */
+  private val w22 = Q(
+    "w22_rolling_median",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("win",
+          collect_list("value").over(w.rowsBetween(-4, 0)))
+        .filter(col("rn") >= 5)
+        .select(col("user_id"), col("event_id"),
+          element_at(sort_array(col("win")), 3).as("med5"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH base AS (
+              SELECT user_id, event_id,
+                row_number() OVER w AS rn,
+                list_sort(list(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))[3] AS med5
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id, med5
+            FROM base WHERE rn >= 5
+            ORDER BY user_id, event_id"""))
+
   def all: Seq[Q] =
-    Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18)
+    Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
+      w22)
 }
