@@ -1055,6 +1055,47 @@ object DedupQueries {
                      AS n_dropped
             FROM rk GROUP BY source ORDER BY source"""))
 
+  /** D16 (beyond the reference): asymmetric shingle CONTAINMENT —
+    * C(a→b) = |A∩B|/|A| ≥ 0.8, the subset/boilerplate detector that
+    * Jaccard misses (a short doc embedded in a long one has high
+    * containment but low Jaccard). Same shared-shingle equi-join as
+    * d3, but direction-preserving (a≠b, both orders), and the
+    * threshold is compared in INTEGERS (5·shared ≥ 4·|A|) so the 0.8
+    * boundary can't wobble in floating point; the reported ratio is
+    * one final IEEE division. Small-set floor |A| ≥ 5 keeps trivial
+    * snippets out.
+    */
+  private val d16 = Q(
+    "d16_containment_neardup",
+    (s, dir) => {
+      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val a = ex.select(col("doc_id").as("doc_a"),
+        col("nsh").cast("long").as("na"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("na") >= 5 &&
+          col("shared") * 5 >= col("na") * 4)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("shared"),
+          (col("shared").cast("double") / col("na").cast("double"))
+            .as("containment"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH sets AS (
+               SELECT doc_id, $duckShingles AS shs FROM documents),
+             ex AS (
+               SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets)
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(a.nsh AS BIGINT) AS na,
+                    CAST(count(*) AS BIGINT) AS shared,
+                    CAST(count(*) AS DOUBLE) / CAST(a.nsh AS DOUBLE)
+                      AS containment
+             FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+             GROUP BY a.doc_id, b.doc_id, a.nsh
+             HAVING a.nsh >= 5 AND count(*) * 5 >= a.nsh * 4
+             ORDER BY 1, 2"""))
+
   def all: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15)
+    Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16)
 }
