@@ -1148,7 +1148,48 @@ object EventQueries {
             FROM islands GROUP BY 1, 2
             ORDER BY user_id, island"""))
 
+  /** E26 (beyond the reference): first-order Markov transition matrix
+    * of event types — P(next | current) estimated per user-adjacent
+    * pair. One lead() per user partition, then a count roll-up on the
+    * 5×5 type pairs; probabilities are single IEEE divisions of
+    * integer counts. The transition matrix is THE sequence summary a
+    * behavioral pipeline feeds downstream (session simulators, anomaly
+    * scores); at scale the only row-level work is the per-user lead.
+    */
+  private val e26 = Q(
+    "e26_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum("n").over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("n"), col("row_total"),
+          (col("n").cast("double") / col("row_total").cast("double"))
+            .as("p"))
+        .orderBy("src", "dst")
+    },
+    Some("""WITH nxt AS (
+              SELECT event_type AS src,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS dst
+              FROM events),
+            cnt AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+              FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+            tot AS (
+              SELECT src, dst, n,
+                CAST(sum(n) OVER (PARTITION BY src) AS BIGINT)
+                  AS row_total
+              FROM cnt)
+            SELECT src, dst, n, row_total,
+                   CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
+            FROM tot ORDER BY src, dst"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
+      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
 }

@@ -288,5 +288,55 @@ object GraphQueries {
                      CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
             FROM stats"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4)
+  /** G5 (beyond the reference): common-neighbors link prediction —
+    * score every non-adjacent part pair by how many co-purchase
+    * neighbors they share, report the top 20. The wedge join on the
+    * shared center is g3's cost shape (Σ deg(c)², equi-keyed on the
+    * center); the anti-join removes existing edges; the final order
+    * (score desc, pair asc) is total so LIMIT is deterministic. At
+    * power-law scale the center join takes the same degree-orientation
+    * treatment as g3; the straightforward symmetric join is the honest
+    * baseline and is what the oracle replays.
+    */
+  private val g5 = Q(
+    "g5_link_prediction",
+    (s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint()
+      val nbr = e0.select(col("p1").as("c"), col("p2").as("x"))
+        .unionByName(e0.select(col("p2").as("c"), col("p1").as("x")))
+      val pairs = nbr.as("l").join(nbr.as("r"), Seq("c"))
+        .filter(col("l.x") < col("r.x"))
+        .groupBy(col("l.x").as("p1"), col("r.x").as("p2"))
+        .agg(count(lit(1)).as("common_neighbors"))
+      pairs.join(e0, Seq("p1", "p2"), "left_anti")
+        .orderBy(col("common_neighbors").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            nbr AS (SELECT p1 AS c, p2 AS x FROM e0
+                    UNION ALL
+                    SELECT p2 AS c, p1 AS x FROM e0),
+            pairs AS (
+              SELECT l.x AS p1, r.x AS p2,
+                     CAST(count(*) AS BIGINT) AS common_neighbors
+              FROM nbr l JOIN nbr r ON l.c = r.c AND l.x < r.x
+              GROUP BY 1, 2)
+            SELECT pr.p1, pr.p2, pr.common_neighbors
+            FROM pairs pr
+            WHERE NOT EXISTS (SELECT 1 FROM e0 e
+                              WHERE e.p1 = pr.p1 AND e.p2 = pr.p2)
+            ORDER BY pr.common_neighbors DESC, pr.p1, pr.p2
+            LIMIT 20"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5)
 }

@@ -9,6 +9,10 @@ import org.apache.spark.sql.expressions.Window
 case class Rk4Out(l_suppkey: Long, rn: Int, sir_confirmed: Double,
     sir_removed: Double, sir_susceptible: Double)
 
+/** Kaplan-Meier level rows (top-level for Encoder derivation). */
+case class KmLvl(t_hours: Long, n_risk: Long, d: Long)
+case class KmOut(t_hours: Long, n_risk: Long, d: Long, survival: Double)
+
 /** ML / numerical kernels (SURVEY.md §2.10). The closed-form kernels
   * (mixed-effects shrinkage, AR(1) fit, RMSE, z-score, bias
   * correction) are expressed as pure DataFrame aggregates — fully
@@ -1908,7 +1912,103 @@ object MlQueries {
                      CAST(cum_n * r_total AS DOUBLE) AS cum_lift
             FROM cum2 ORDER BY decile"""))
 
+  /** M27 (beyond the reference): Kaplan-Meier survival estimator —
+    * time-to-first-error per user in whole hours, right-censored at
+    * the user's last event when no error occurs. All level statistics
+    * (n_risk by suffix count, event counts d) are exact integers; the
+    * survival curve S(t) = Π (n_risk − d)/n_risk multiplies one
+    * IEEE-exact division per EVENT level in ascending-time order, and
+    * the recursive-CTE oracle replays that op order literally, so the
+    * curve hash-matches unrounded. The fold runs over the event-time
+    * LEVELS (calendar-bounded — here ≤720 hour buckets at any row
+    * count), so the single-group stage holds a bounded handful of
+    * rows while everything row-scaled stays distributed.
+    */
+  private val m27 = Q(
+    "m27_kaplan_meier",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+      val perUser = ev.groupBy("user_id").agg(
+        min("us").as("first_us"),
+        max("us").as("last_us"),
+        min(when(col("event_type") === "error", col("us"))).as("err_us"))
+      val surv = perUser.select(
+        when(col("err_us").isNotNull,
+          expr("(err_us - first_us) DIV 3600000000"))
+          .otherwise(expr("(last_us - first_us) DIV 3600000000"))
+          .as("t_hours"),
+        when(col("err_us").isNotNull, 1L).otherwise(0L).as("ev"))
+      val lvl = surv.groupBy("t_hours")
+        .agg(count(lit(1)).as("m"), sum("ev").as("d"))
+      val w = Window.orderBy("t_hours")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withRisk = lvl.crossJoin(lvl.agg(sum("m").as("n_total")))
+        .withColumn("before", coalesce(sum("m").over(w), lit(0L)))
+        .withColumn("n_risk", col("n_total") - col("before"))
+        .filter(col("d") > 0)
+        .select(col("t_hours"), col("n_risk"), col("d"))
+        .as[KmLvl]
+      withRisk.groupByKey(_ => 0)
+        .flatMapGroups { (_, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.t_hours)
+          var sProd = 1.0
+          sorted.iterator.map { l =>
+            val f = (l.n_risk - l.d).toDouble / l.n_risk.toDouble
+            sProd = sProd * f
+            KmOut(l.t_hours, l.n_risk, l.d, sProd)
+          }
+        }
+        .toDF()
+        .orderBy("t_hours")
+    },
+    Some("""WITH RECURSIVE per_user AS (
+              SELECT user_id,
+                     min(epoch_us(ts)) AS first_us,
+                     max(epoch_us(ts)) AS last_us,
+                     min(epoch_us(ts)) FILTER (WHERE event_type = 'error')
+                       AS err_us
+              FROM events GROUP BY 1),
+            surv AS (
+              SELECT CASE WHEN err_us IS NOT NULL
+                          THEN (err_us - first_us) // 3600000000
+                          ELSE (last_us - first_us) // 3600000000
+                     END AS t_hours,
+                     CASE WHEN err_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+              FROM per_user),
+            lvl AS (
+              SELECT t_hours, CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(ev) AS BIGINT) AS d
+              FROM surv GROUP BY 1),
+            risk AS (
+              SELECT t_hours, d,
+                (SELECT CAST(sum(m) AS BIGINT) FROM lvl)
+                  - CAST(coalesce(sum(m) OVER (ORDER BY t_hours
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS n_risk
+              FROM lvl),
+            evlvl AS (
+              SELECT t_hours, n_risk, d,
+                     row_number() OVER (ORDER BY t_hours) AS rn
+              FROM risk WHERE d > 0),
+            rec AS (
+              SELECT t_hours, n_risk, d, rn,
+                     CAST(1 AS DOUBLE) *
+                       (CAST(n_risk - d AS DOUBLE) /
+                        CAST(n_risk AS DOUBLE)) AS survival
+              FROM evlvl WHERE rn = 1
+              UNION ALL
+              SELECT e.t_hours, e.n_risk, e.d, e.rn,
+                     r.survival * (CAST(e.n_risk - e.d AS DOUBLE) /
+                       CAST(e.n_risk AS DOUBLE))
+              FROM rec r JOIN evlvl e ON e.rn = r.rn + 1)
+            SELECT t_hours, n_risk, d, survival
+            FROM rec ORDER BY t_hours"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
-      m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26)
+      m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
+      m27)
 }
