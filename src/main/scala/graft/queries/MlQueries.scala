@@ -2007,8 +2007,99 @@ object MlQueries {
             SELECT t_hours, n_risk, d, survival
             FROM rec ORDER BY t_hours"""))
 
+  /** M28 (beyond the reference): randomization test for the
+    * linestatus price-mean difference — 19 deterministic pseudo-random
+    * relabelings (side = md5-hash parity of (orderkey, linenumber,
+    * replicate), the p14 md5-uniform device), each replicate's mean
+    * difference computed from exact integer-cent sums with two IEEE
+    * divisions in fixed order, p = (1 + #{|diff_b| ≥ |diff_obs|})/20.
+    * The scale-native significance test: no data movement beyond one
+    * explode(19) + one map-side-combined aggregate; identical
+    * duplicate rows hash to identical labels (documented, harmless —
+    * the labeling only needs to be deterministic and balanced).
+    */
+  private val m28 = Q(
+    "m28_randomization_test",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_linestatus"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val obs = li.agg(
+        sum(when(col("l_linestatus") === "O", col("c"))).as("so"),
+        count(when(col("l_linestatus") === "O", 1)).as("no"),
+        sum(when(col("l_linestatus") =!= "O", col("c"))).as("sf"),
+        count(when(col("l_linestatus") =!= "O", 1)).as("nf"))
+        .select(((col("so").cast("double") / col("no").cast("double")) -
+          (col("sf").cast("double") / col("nf").cast("double")))
+          .as("diff_obs"))
+      val reps = li
+        .withColumn("b", explode(sequence(lit(1), lit(19))))
+        .withColumn("side",
+          conv(substring(md5(concat_ws("_",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"),
+            col("b").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2)
+        .groupBy("b")
+        .agg(
+          sum(when(col("side") === 1, col("c"))).as("s1"),
+          count(when(col("side") === 1, 1)).as("n1"),
+          sum(when(col("side") === 0, col("c"))).as("s0"),
+          count(when(col("side") === 0, 1)).as("n0"))
+        .select(col("b"),
+          ((col("s1").cast("double") / col("n1").cast("double")) -
+            (col("s0").cast("double") / col("n0").cast("double")))
+            .as("diff_b"))
+      reps.crossJoin(obs)
+        .agg(count(when(abs(col("diff_b")) >= abs(col("diff_obs")), 1))
+          .as("n_extreme"),
+          max("diff_obs").as("diff_obs_cents"))
+        .select(col("diff_obs_cents"), col("n_extreme"),
+          ((col("n_extreme") + lit(1L)).cast("double") / lit(20.0))
+            .as("p_value"))
+    },
+    Some("""WITH li AS (
+              SELECT l_orderkey, l_linenumber, l_linestatus,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem),
+            obs AS (
+              SELECT (CAST(sum(c) FILTER (WHERE l_linestatus = 'O')
+                        AS DOUBLE) /
+                      CAST(count(*) FILTER (WHERE l_linestatus = 'O')
+                        AS DOUBLE)) -
+                     (CAST(sum(c) FILTER (WHERE l_linestatus <> 'O')
+                        AS DOUBLE) /
+                      CAST(count(*) FILTER (WHERE l_linestatus <> 'O')
+                        AS DOUBLE)) AS diff_obs
+              FROM li),
+            reps AS (
+              SELECT b,
+                (CAST(sum(c) FILTER (WHERE side = 1) AS DOUBLE) /
+                 CAST(count(*) FILTER (WHERE side = 1) AS DOUBLE)) -
+                (CAST(sum(c) FILTER (WHERE side = 0) AS DOUBLE) /
+                 CAST(count(*) FILTER (WHERE side = 0) AS DOUBLE))
+                  AS diff_b
+              FROM (SELECT li.c, bb.b,
+                      CAST(('0x' || substr(md5(
+                        CAST(l_orderkey AS VARCHAR) || '_' ||
+                        CAST(l_linenumber AS VARCHAR) || '_' ||
+                        CAST(bb.b AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+                        AS side
+                    FROM li CROSS JOIN
+                      (SELECT unnest(range(1, 20)) AS b) bb)
+              GROUP BY b)
+            SELECT max(o.diff_obs) AS diff_obs_cents,
+                   CAST(count(*) FILTER
+                     (WHERE abs(r.diff_b) >= abs(o.diff_obs))
+                     AS BIGINT) AS n_extreme,
+                   CAST(CAST(count(*) FILTER
+                     (WHERE abs(r.diff_b) >= abs(o.diff_obs))
+                     AS BIGINT) + 1 AS DOUBLE) / 20.0 AS p_value
+            FROM reps r CROSS JOIN obs o"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27)
+      m27, m28)
 }

@@ -502,7 +502,61 @@ object WindowQueries {
             FROM base WHERE rn >= 5
             ORDER BY user_id, event_id"""))
 
+  /** W23 (beyond the reference): Theil–Sen robust trend per user —
+    * the median of all pairwise slopes (v_j − v_i)/(j − i) over the
+    * user's event sequence, immune to outliers that wreck OLS. Each
+    * slope is ONE IEEE division (exact-integer index gap); the median
+    * is DISCRETE selection at rank (n_pairs+1) div 2 under a TOTAL
+    * order (slope, i, j) — no FP averaging anywhere. The O(n²) pair
+    * join is per-user (bounded by the longest single history, the
+    * standard cost of exact Theil-Sen); users distribute freely.
+    */
+  private val w23 = Q(
+    "w23_theil_sen",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .select(col("user_id"), col("rn"), col("value"))
+      val pairs = seq0.as("a").join(seq0.as("b"), Seq("user_id"))
+        .filter(col("a.rn") < col("b.rn"))
+        .select(col("user_id"), col("a.rn").as("i"), col("b.rn").as("j"),
+          ((col("b.value") - col("a.value")) /
+            (col("b.rn") - col("a.rn")).cast("double")).as("slope"))
+      val wRank = Window.partitionBy("user_id")
+        .orderBy(col("slope"), col("i"), col("j"))
+      pairs
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("np",
+          count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rk") === expr("(np + 1) DIV 2"))
+        .select(col("user_id"), col("np").as("n_pairs"),
+          col("slope").as("ts_slope"))
+        .orderBy("user_id")
+    },
+    Some("""WITH seq0 AS (
+              SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+              FROM events),
+            pairs AS (
+              SELECT a.user_id, a.rn AS i, b.rn AS j,
+                     (b.value - a.value) /
+                       CAST(b.rn - a.rn AS DOUBLE) AS slope
+              FROM seq0 a JOIN seq0 b
+                ON a.user_id = b.user_id AND a.rn < b.rn),
+            ranked AS (
+              SELECT user_id, slope,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY slope, i, j) AS rk,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS np
+              FROM pairs)
+            SELECT user_id, np AS n_pairs, slope AS ts_slope
+            FROM ranked WHERE rk = (np + 1) // 2
+            ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22)
+      w22, w23)
 }
