@@ -1189,7 +1189,54 @@ object EventQueries {
                    CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
             FROM tot ORDER BY src, dst"""))
 
+  /** E27 (beyond the reference): Fano-factor burstiness per event type
+    * — variance-to-mean ratio of per-hour counts, the standard
+    * overdispersion screen (F≈1 Poisson, F>1 bursty). Zero-count
+    * hours matter, so n is the GLOBAL distinct-hour count (zeros add
+    * nothing to Σx or Σx²): F = (n·Σx² − (Σx)²)/(n·Σx) over integer
+    * sufficient statistics with ONE final division. Two bounded
+    * aggregations, nothing row-level after the hour bucketing.
+    */
+  private val e27 = Q(
+    "e27_fano_burstiness",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      val buckets = ev.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("x"))
+      val nHours = ev.agg(countDistinct("hr").as("n_hours"))
+      buckets.groupBy("event_type")
+        .agg(sum("x").as("n_events"),
+          sum(col("x") * col("x")).as("sxx"))
+        .crossJoin(nHours)
+        .select(col("event_type"), col("n_hours"), col("n_events"),
+          col("sxx"),
+          ((col("n_hours") * col("sxx") -
+            col("n_events") * col("n_events")).cast("double") /
+            (col("n_hours") * col("n_events")).cast("double"))
+            .as("fano"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+              FROM events),
+            buckets AS (
+              SELECT event_type, hr, CAST(count(*) AS BIGINT) AS x
+              FROM ev GROUP BY 1, 2),
+            nh AS (SELECT CAST(count(DISTINCT hr) AS BIGINT) AS n_hours
+                   FROM ev),
+            st AS (
+              SELECT event_type, CAST(sum(x) AS BIGINT) AS n_events,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM buckets GROUP BY 1)
+            SELECT event_type, n_hours, n_events, sxx,
+                   CAST(n_hours * sxx - n_events * n_events AS DOUBLE) /
+                     CAST(n_hours * n_events AS DOUBLE) AS fano
+            FROM st CROSS JOIN nh
+            ORDER BY event_type"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
+      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27)
 }

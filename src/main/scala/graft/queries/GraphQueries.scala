@@ -338,5 +338,89 @@ object GraphQueries {
             ORDER BY pr.common_neighbors DESC, pr.p1, pr.p2
             LIMIT 20"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5)
+  /** G6 (beyond the reference): global clustering coefficient —
+    * 3·triangles / wedges. Triangles come from g3's degree-oriented
+    * count (the polynomial-on-power-law path); the wedge denominator
+    * needs NO pair enumeration at all: W = Σ_v d(v)(d(v)−1)/2 straight
+    * off the degree table (d(d−1) is even, so the integer halving is
+    * exact). One final IEEE division of two integers.
+    */
+  private val g6 = Q(
+    "g6_clustering_coefficient",
+    (s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint()
+      val deg = e0.select(col("p1").as("node"))
+        .unionByName(e0.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val wedgeCount = deg.agg(
+        sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
+      val withDeg = e0
+        .join(deg.select(col("node").as("p1"), col("deg").as("d1")), Seq("p1"))
+        .join(deg.select(col("node").as("p2"), col("deg").as("d2")), Seq("p2"))
+      def before(dA: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
+          dB: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        dA < dB || (dA === dB && a < b)
+      val oriented = withDeg.select(
+        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+          col("p1")).otherwise(col("p2")).as("src"),
+        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+          col("p2")).otherwise(col("p1")).as("dst"),
+        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+          col("d2")).otherwise(col("d1")).as("ddst"))
+        .localCheckpoint()
+      val wedges = oriented.as("x").join(oriented.as("y"), Seq("src"))
+        .filter(before(col("x.ddst"), col("x.dst"), col("y.ddst"), col("y.dst")))
+        .select(col("x.dst").as("v"), col("y.dst").as("w"))
+      val tri = wedges.join(oriented,
+        col("v") === col("src") && col("w") === col("dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      tri.crossJoin(wedgeCount)
+        .select(col("n_wedges"), col("n_triangles"),
+          ((lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double")).as("global_cc"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                      SELECT p1 AS node FROM e0
+                      UNION ALL
+                      SELECT p2 AS node FROM e0)
+                    GROUP BY node),
+            wc AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT)
+                     AS n_wedges FROM deg),
+            wd AS (SELECT e0.p1, e0.p2, d1.deg AS d1, d2.deg AS d2
+                   FROM e0 JOIN deg d1 ON e0.p1 = d1.node
+                           JOIN deg d2 ON e0.p2 = d2.node),
+            oriented AS (
+              SELECT CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2)
+                          THEN p1 ELSE p2 END AS src,
+                     CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2)
+                          THEN p2 ELSE p1 END AS dst,
+                     CASE WHEN d1 < d2 OR (d1 = d2 AND p1 < p2)
+                          THEN d2 ELSE d1 END AS ddst
+              FROM wd),
+            wedges AS (
+              SELECT x.dst AS v, y.dst AS w
+              FROM oriented x JOIN oriented y ON x.src = y.src
+              WHERE x.ddst < y.ddst
+                 OR (x.ddst = y.ddst AND x.dst < y.dst)),
+            tri AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              FROM wedges ww JOIN oriented o
+                ON ww.v = o.src AND ww.w = o.dst)
+            SELECT wc.n_wedges, tri.n_triangles,
+                   CAST(3 * tri.n_triangles AS DOUBLE) /
+                     CAST(wc.n_wedges AS DOUBLE) AS global_cc
+            FROM tri CROSS JOIN wc"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6)
 }

@@ -2098,8 +2098,51 @@ object MlQueries {
                      AS BIGINT) + 1 AS DOUBLE) / 20.0 AS p_value
             FROM reps r CROSS JOIN obs o"""))
 
+  /** M29 (beyond the reference): McNemar's paired test comparing two
+    * rule classifiers (discount ≥ 0.05 vs quantity ≥ 25 predicting
+    * the returned flag) on the SAME rows — the right test when
+    * comparing models on one eval set. Only the discordant cells
+    * matter: b = A-right/B-wrong, c = A-wrong/B-right, χ² = (b−c)²/
+    * (b+c). Integer counts from one map-side-combined pass, ONE final
+    * division. (0.05 and 25 are exact binary thresholds; comparisons,
+    * not arithmetic.)
+    */
+  private val m29 = Q(
+    "m29_mcnemar_test",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(
+          (col("l_discount") >= 0.05).as("pa"),
+          (col("l_quantity") >= 25.0).as("pb"),
+          (col("l_returnflag") === "R").as("y"))
+      li.agg(
+        count(when(col("pa") === col("y") && col("pb") =!= col("y"), 1))
+          .as("b"),
+        count(when(col("pa") =!= col("y") && col("pb") === col("y"), 1))
+          .as("c"))
+        .select(col("b"), col("c"),
+          (((col("b") - col("c")) * (col("b") - col("c")))
+            .cast("double") / (col("b") + col("c")).cast("double"))
+            .as("chi2"))
+    },
+    Some("""WITH pred AS (
+              SELECT l_discount >= 0.05 AS pa,
+                     l_quantity >= 25.0 AS pb,
+                     l_returnflag = 'R' AS y
+              FROM lineitem),
+            cells AS (
+              SELECT CAST(count(*) FILTER (WHERE pa = y AND pb <> y)
+                       AS BIGINT) AS b,
+                     CAST(count(*) FILTER (WHERE pa <> y AND pb = y)
+                       AS BIGINT) AS c
+              FROM pred)
+            SELECT b, c,
+                   CAST((b - c) * (b - c) AS DOUBLE) /
+                     CAST(b + c AS DOUBLE) AS chi2
+            FROM cells"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28)
+      m27, m28, m29)
 }
