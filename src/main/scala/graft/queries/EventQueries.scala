@@ -1236,7 +1236,41 @@ object EventQueries {
             FROM st CROSS JOIN nh
             ORDER BY event_type"""))
 
+  /** E28 (beyond the reference): strict local-peak detection per user
+    * — an interior event whose value exceeds BOTH neighbors (lag and
+    * lead over the per-user order). Pure comparisons, no arithmetic at
+    * all; the per-user summary reports peak count and the highest
+    * peak. The signal-processing primitive under alerting/changepoint
+    * UIs; one per-user window pass at any scale.
+    */
+  private val e28 = Q(
+    "e28_local_peaks",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("prev", lag("value", 1).over(w))
+        .withColumn("nxt", lead("value", 1).over(w))
+        .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+          col("value") > col("prev") && col("value") > col("nxt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_peaks"), max("value").as("max_peak"))
+        .orderBy("user_id")
+    },
+    Some("""WITH seq0 AS (
+              SELECT user_id, value,
+                lag(value) OVER w AS prev,
+                lead(value) OVER w AS nxt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_peaks,
+                   max(value) AS max_peak
+            FROM seq0
+            WHERE prev IS NOT NULL AND nxt IS NOT NULL
+              AND value > prev AND value > nxt
+            GROUP BY user_id
+            ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27)
+      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28)
 }

@@ -2141,8 +2141,85 @@ object MlQueries {
                      CAST(b + c AS DOUBLE) AS chi2
             FROM cells"""))
 
+  /** M30 (beyond the reference): Spearman rank correlation of quantity
+    * vs extended price with proper tie handling — average ranks
+    * carried as INTEGERS at 2× scale (r2 = 2·minrank + cnt − 1, always
+    * integral), and ranks computed from VALUE LEVELS (cumulative
+    * count + level size), never by ranking raw rows. The Pearson
+    * formula then runs over exact-integer sufficient statistics; the
+    * 2× scaling cancels mathematically, and the final n·Σ products
+    * route through correctly-rounded double multiplies in matched op
+    * order (operands < 2^53), then one sqrt (IEEE-exact) and one
+    * division.
+    */
+  private val m30 = Q(
+    "m30_spearman",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def ranks(c: String) = {
+        val lvl = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        lvl.withColumn("before", coalesce(sum("cnt").over(w), lit(0L)))
+          .select(col("v"),
+            (lit(2L) * col("before") + col("cnt") + lit(1L)).as(s"r2_$c"))
+      }
+      val withRanks = li
+        .join(ranks("x").withColumnRenamed("v", "x"), Seq("x"))
+        .join(ranks("y").withColumnRenamed("v", "y"), Seq("y"))
+      withRanks.agg(
+        count(lit(1)).as("n"),
+        sum("r2_x").as("sx"), sum("r2_y").as("sy"),
+        sum(col("r2_x") * col("r2_x")).as("sxx"),
+        sum(col("r2_y") * col("r2_y")).as("syy"),
+        sum(col("r2_x") * col("r2_y")).as("sxy"))
+        .select(col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+            .as("spearman_rho"))
+    },
+    Some("""WITH li AS (
+              SELECT l_quantity AS x, l_extendedprice AS y
+              FROM lineitem),
+            lx AS (
+              SELECT v, 2 * before + cnt + 1 AS r2 FROM (
+                SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(coalesce(sum(count(*)) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS before
+                FROM li GROUP BY x)),
+            ly AS (
+              SELECT v, 2 * before + cnt + 1 AS r2 FROM (
+                SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(coalesce(sum(count(*)) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS before
+                FROM li GROUP BY y)),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(lx.r2) AS BIGINT) AS sx,
+                     CAST(sum(ly.r2) AS BIGINT) AS sy,
+                     CAST(sum(lx.r2 * lx.r2) AS BIGINT) AS sxx,
+                     CAST(sum(ly.r2 * ly.r2) AS BIGINT) AS syy,
+                     CAST(sum(lx.r2 * ly.r2) AS BIGINT) AS sxy
+              FROM li JOIN lx ON li.x = lx.v JOIN ly ON li.y = ly.v)
+            SELECT n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                         CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     AS spearman_rho
+            FROM st"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29)
+      m27, m28, m29, m30)
 }

@@ -533,5 +533,48 @@ object SourceQueries {
             WHERE o_orderpriority <> '1-URGENT' OR o_orderstatus = 'F'
             GROUP BY 1 ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12)
+  /** S13 (beyond the reference): CSV quoting/escaping round trip —
+    * a synthetic column packed with embedded commas, double quotes,
+    * and mixed content forces the writer onto the quote/escape path;
+    * the read-back per-lang length/count aggregate must hash-match
+    * DuckDB computing the same derivation from the raw parquet. If
+    * the writer mis-quotes or the reader mis-parses ONE delimiter,
+    * row counts and lengths shift and the hash fails. (Escape config
+    * pinned explicitly: escape='"' — RFC 4180 doubled-quote style —
+    * so the contract survives Spark default changes.)
+    */
+  private val s13 = Q(
+    "src13_csv_quoting",
+    (s, dir) => {
+      val out = tmpDir("docs_quoted_csv")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(lit("\""), col("lang"), lit("\",x,"), col("source"),
+            lit(","), substring(col("text"), 1, 24)).as("tricky"))
+        .write.mode("overwrite")
+        .option("header", true).option("quote", "\"").option("escape", "\"")
+        // the CSV WRITER trims value whitespace by default — a silent
+        // mutation a lossless interchange path must disable
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .csv(out)
+      s.read.option("header", true).option("inferSchema", true)
+        .option("quote", "\"").option("escape", "\"")
+        .csv(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("tricky"))).as("sum_len"),
+          max(length(col("tricky"))).as("max_len"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n,
+                   CAST(sum(length('"' || lang || '",x,' || source ||
+                     ',' || substr(text, 1, 24))) AS BIGINT) AS sum_len,
+                   CAST(max(length('"' || lang || '",x,' || source ||
+                     ',' || substr(text, 1, 24))) AS BIGINT) AS max_len
+            FROM documents
+            GROUP BY lang ORDER BY lang"""))
+
+  def all: Seq[Q] =
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13)
 }
