@@ -315,4 +315,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(p.contains("graft_dot"), p.take(2000))
   }
+
+  test("p17 skyline avoids the O(n^2) dominance join: no nested-loop " +
+      "or cartesian anywhere, one window over price levels") {
+    val p = plan("p17_pareto_frontier")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("g5 link-prediction wedge join stays equi-keyed on the shared " +
+      "center (hash or sort-merge, never cartesian)") {
+    val p = plan("g5_link_prediction")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("dq6 fence lookup broadcasts the 3-row fence table back against " +
+      "the cents scan") {
+    val p = plan("dq6_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
