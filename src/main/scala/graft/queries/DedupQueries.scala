@@ -1096,6 +1096,43 @@ object DedupQueries {
              HAVING a.nsh >= 5 AND count(*) * 5 >= a.nsh * 4
              ORDER BY 1, 2"""))
 
+  /** D17 (beyond the reference): cross-source duplicate matrix — for
+    * every source pair, how many distinct LEADING fingerprints (md5 of
+    * the first 4 tokens — the shared-boilerplate/head-template signal;
+    * full-text md5 finds zero cross-source overlap in this corpus)
+    * they share. The provenance audit that tells you WHICH feeds
+    * mirror each other (and therefore which precedence rules like
+    * d15's matter). One md5 per doc, distinct (fp, source), a
+    * self-join on fp (bounded by per-fingerprint source fan-out,
+    * ≤ #sources), integer counts only.
+    */
+  private val d17 = Q(
+    "d17_cross_source_dups",
+    (s, dir) => {
+      val fps = Tables.load(s, dir, "documents")
+        .select(expr("md5(array_join(slice(filter(split(text, ' '), " +
+          "x -> x != ''), 1, 4), ' '))").as("fp"), col("source"))
+        .distinct()
+      fps.as("a").join(fps.as("b"), Seq("fp"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_fps"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH fps AS (
+              SELECT DISTINCT md5(array_to_string(
+                       list_filter(string_split(text, ' '),
+                         x -> x <> '')[1:4], ' ')) AS fp, source
+              FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_fps
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY 1, 2"""))
+
   def all: Seq[Q] =
-    Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16)
+    Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
+      d16, d17)
 }

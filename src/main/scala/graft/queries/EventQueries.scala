@@ -1270,7 +1270,44 @@ object EventQueries {
             GROUP BY user_id
             ORDER BY user_id"""))
 
+  /** E29 (beyond the reference): inter-arrival gap profile per event
+    * type — lag-difference in integral microseconds, then min/max/mean
+    * (mean = ONE division of a <2^53 integer sum). The latency-
+    * distribution primitive behind rate alerting; one per-type window
+    * pass, integer arithmetic end-to-end.
+    */
+  private val e29 = Q(
+    "e29_interarrival",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap").as("min_gap_us"),
+          max("gap").as("max_gap_us"),
+          sum("gap").as("sum_gap_us"))
+        .withColumn("mean_gap_us",
+          col("sum_gap_us").cast("double") / col("n_gaps").cast("double"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY event_type ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                   min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+                   CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS mean_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
-      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28)
+      e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
+      e29)
 }

@@ -2218,8 +2218,97 @@ object MlQueries {
                      AS spearman_rho
             FROM st"""))
 
+  /** M31 (beyond the reference): Wald–Wolfowitz runs test per user —
+    * is the above/below-median sign sequence random, or does it trend/
+    * oscillate? Median by DISCRETE rank selection (ties value-
+    * identical), equal-to-median rows dropped per the classical
+    * recipe, runs counted as 1 + sign changes via lag. μ and σ² come
+    * from small exact integers ((2n₁n₂)/n + 1 etc.), z is assembled
+    * in pinned op order with one sqrt (IEEE-exact) — deterministic
+    * cross-engine without rounding.
+    */
+  private val m31 = Q(
+    "m31_runs_test",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      val wRank = Window.partitionBy("user_id").orderBy("value")
+      val med = ev
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("n_all",
+          count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rk") === expr("(n_all + 1) DIV 2"))
+        .select(col("user_id"), col("value").as("med"))
+      val signed = ev.join(med, Seq("user_id"))
+        .filter(col("value") =!= col("med"))
+        .select(col("user_id"),
+          when(col("value") > col("med"), 1).otherwise(-1).as("sgn"),
+          col("ts"), col("event_id"))
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val agg = signed
+        .withColumn("chg",
+          when(lag("sgn", 1).over(wSeq).isNull ||
+            lag("sgn", 1).over(wSeq) =!= col("sgn"), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("chg").as("r_runs"),
+          count(when(col("sgn") === 1, 1)).as("n1"),
+          count(when(col("sgn") === -1, 1)).as("n2"))
+        .filter(col("n1") > 0 && col("n2") > 0 &&
+          col("n1") + col("n2") > 1)
+      val n = col("n1") + col("n2")
+      val two = lit(2L) * col("n1") * col("n2")
+      agg.select(col("user_id"), col("n1"), col("n2"), col("r_runs"),
+        ((col("r_runs").cast("double") -
+          (two.cast("double") / n.cast("double") + lit(1.0))) /
+          sqrt((two * (two - n)).cast("double") /
+            (n * n * (n - lit(1L))).cast("double"))).as("z"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY value) AS rk,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS n_all
+              FROM events),
+            med AS (
+              SELECT user_id, value AS med
+              FROM ranked WHERE rk = (n_all + 1) // 2),
+            signed AS (
+              SELECT e.user_id,
+                     CASE WHEN e.value > m.med THEN 1 ELSE -1 END AS sgn,
+                     e.ts, e.event_id
+              FROM events e JOIN med m ON e.user_id = m.user_id
+              WHERE e.value <> m.med),
+            flagged AS (
+              SELECT user_id, sgn,
+                CASE WHEN lag(sgn) OVER w IS NULL
+                       OR lag(sgn) OVER w <> sgn
+                     THEN 1 ELSE 0 END AS chg
+              FROM signed
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            agg AS (
+              SELECT user_id,
+                     CAST(sum(chg) AS BIGINT) AS r_runs,
+                     CAST(count(*) FILTER (WHERE sgn = 1) AS BIGINT)
+                       AS n1,
+                     CAST(count(*) FILTER (WHERE sgn = -1) AS BIGINT)
+                       AS n2
+              FROM flagged GROUP BY 1)
+            SELECT user_id, n1, n2, r_runs,
+                   (CAST(r_runs AS DOUBLE) -
+                    (CAST(2 * n1 * n2 AS DOUBLE) /
+                     CAST(n1 + n2 AS DOUBLE) + CAST(1 AS DOUBLE))) /
+                   sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                          AS DOUBLE) /
+                        CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+                          AS DOUBLE)) AS z
+            FROM agg
+            WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+            ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30)
+      m27, m28, m29, m30, m31)
 }
