@@ -853,7 +853,64 @@ object TextQueries {
             ORDER BY pmi_ratio DESC, b.w1, b.w2
             LIMIT 20"""))
 
+  /** T18 (beyond the reference): RAKE-style keyword scoring — word
+    * degree (participations in adjacent-bigram slots) over word
+    * frequency, the classic co-occurrence keyword extractor. Degree
+    * and frequency are pure integer counts off one bigram explode and
+    * one token explode; score = ONE division; top-20 under the total
+    * order (score desc, word asc). Per-doc array transforms stay
+    * task-local; only (word, count) pairs shuffle.
+    */
+  private val t18 = Q(
+    "t18_rake_keywords",
+    (s, dir) => {
+      val sets = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("l"))
+      val bg = sets.filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(l) - 2), " +
+            "j -> concat(element_at(l, j + 1), ' ', " +
+            "element_at(l, j + 2)))")).as("big"))
+      val deg = bg.select(substring_index(col("big"), " ", 1).as("w"))
+        .unionByName(
+          bg.select(substring_index(col("big"), " ", -1).as("w")))
+        .groupBy("w").agg(count(lit(1)).as("deg"))
+      val freq = sets.select(explode(col("l")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      deg.join(freq, Seq("w"))
+        .select(col("w").as("word"), col("deg"), col("freq"),
+          (col("deg").cast("double") / col("freq").cast("double"))
+            .as("score"))
+        .orderBy(col("score").desc, col("word").asc)
+        .limit(20)
+    },
+    Some("""WITH sets AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS l
+              FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(0, len(l) - 1),
+                       j -> l[j + 1] || ' ' || l[j + 2])) AS big
+              FROM sets WHERE len(l) >= 2),
+            deg AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT string_split(big, ' ')[1] AS w FROM bg
+                UNION ALL
+                SELECT string_split(big, ' ')[2] AS w FROM bg)
+              GROUP BY w),
+            freq AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(l) AS w FROM sets) GROUP BY w)
+            SELECT deg.w AS word, deg.deg, freq.freq,
+                   CAST(deg.deg AS DOUBLE) / CAST(freq.freq AS DOUBLE)
+                     AS score
+            FROM deg JOIN freq ON deg.w = freq.w
+            ORDER BY score DESC, word ASC
+            LIMIT 20"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17)
+      t16, t17, t18)
 }

@@ -556,7 +556,64 @@ object WindowQueries {
             FROM ranked WHERE rk = (np + 1) // 2
             ORDER BY user_id"""))
 
+  /** W24 (beyond the reference): min/max plot downsampling — per user,
+    * fixed 16-row buckets keep exactly their extreme rows (earliest
+    * row wins value ties), the standard lossless-extremes reduction a
+    * charting layer runs before shipping points to a browser. Pure
+    * rank selection under total orders — zero arithmetic beyond the
+    * integer bucket id — and the per-user window distributes on the
+    * high-cardinality key.
+    */
+  private val w24 = Q(
+    "w24_minmax_downsample",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val bucketed = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("bucket", expr("(rn - 1) DIV 16"))
+      val wMin = Window.partitionBy("user_id", "bucket")
+        .orderBy(col("value").asc, col("rn").asc)
+      val wMax = Window.partitionBy("user_id", "bucket")
+        .orderBy(col("value").desc, col("rn").asc)
+      val mins = bucketed
+        .withColumn("rk", row_number().over(wMin))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("bucket"), col("rn"), col("value"),
+          lit("min").as("kind"))
+      val maxs = bucketed
+        .withColumn("rk", row_number().over(wMax))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("bucket"), col("rn"), col("value"),
+          lit("max").as("kind"))
+      mins.unionByName(maxs)
+        .orderBy("user_id", "bucket", "kind", "rn")
+    },
+    Some("""WITH bucketed AS (
+              SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+              FROM events),
+            bk AS (
+              SELECT user_id, value, rn, (rn - 1) // 16 AS bucket
+              FROM bucketed),
+            mins AS (
+              SELECT user_id, bucket, rn, value, 'min' AS kind
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, bucket
+                      ORDER BY value ASC, rn ASC) AS rk FROM bk)
+              WHERE rk = 1),
+            maxs AS (
+              SELECT user_id, bucket, rn, value, 'max' AS kind
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, bucket
+                      ORDER BY value DESC, rn ASC) AS rk FROM bk)
+              WHERE rk = 1)
+            SELECT * FROM mins
+            UNION ALL
+            SELECT * FROM maxs
+            ORDER BY user_id, bucket, kind, rn"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23)
+      w22, w23, w24)
 }
