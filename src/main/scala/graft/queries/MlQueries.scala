@@ -2307,8 +2307,103 @@ object MlQueries {
             WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
             ORDER BY user_id"""))
 
+  /** M32 (beyond the reference): Wilcoxon signed-rank test — did each
+    * user's value level shift between the first and second half of
+    * their history? Per-user halves from exact integer-cent sums (two
+    * divisions per user in pinned order), |diff| ranked LEVEL-wise
+    * with average ranks carried as 2× integers (the m30 device), so
+    * W2 = 2W is an exact integer. The z normalization is then a ratio
+    * of an integer numerator to the sqrt of an integer —
+    * n(n+1)(2n+1)/6 is always integral — one sqrt, one division.
+    */
+  private val m32 = Q(
+    "m32_wilcoxon_signed_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_ev",
+          count(lit(1)).over(Window.partitionBy("user_id")))
+        .select(col("user_id"), col("rn"), col("n_ev"),
+          round(col("value") * 100).cast("long").as("c"))
+      val halves = ev.groupBy("user_id").agg(
+        sum(when(col("rn") <= expr("n_ev DIV 2"), col("c"))).as("s1"),
+        count(when(col("rn") <= expr("n_ev DIV 2"), 1)).as("c1"),
+        sum(when(col("rn") > expr("n_ev DIV 2"), col("c"))).as("s2"),
+        count(when(col("rn") > expr("n_ev DIV 2"), 1)).as("c2"))
+      val diffs = halves
+        .select(col("user_id"),
+          ((col("s2").cast("double") / col("c2").cast("double")) -
+            (col("s1").cast("double") / col("c1").cast("double")))
+            .as("d"))
+        .filter(col("d") =!= 0.0)
+        .withColumn("ad", abs(col("d")))
+      val lvl = diffs.groupBy("ad").agg(count(lit(1)).as("cnt"))
+      val wl = Window.orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = lvl
+        .withColumn("before", coalesce(sum("cnt").over(wl), lit(0L)))
+        .select(col("ad"),
+          (lit(2L) * col("before") + col("cnt") + lit(1L)).as("r2"))
+      diffs.join(ranks, Seq("ad"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2"))
+        .select(col("n_pairs"), col("w2"),
+          ((col("w2") - expr("n_pairs * (n_pairs + 1) DIV 2"))
+            .cast("double") /
+            sqrt(expr("n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) DIV 6")
+              .cast("double"))).as("z"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn,
+                     CAST(count(*) OVER (PARTITION BY user_id)
+                       AS BIGINT) AS n_ev
+              FROM events),
+            halves AS (
+              SELECT user_id,
+                CAST(sum(c) FILTER (WHERE rn <= n_ev // 2) AS BIGINT)
+                  AS s1,
+                CAST(count(*) FILTER (WHERE rn <= n_ev // 2) AS BIGINT)
+                  AS c1,
+                CAST(sum(c) FILTER (WHERE rn > n_ev // 2) AS BIGINT)
+                  AS s2,
+                CAST(count(*) FILTER (WHERE rn > n_ev // 2) AS BIGINT)
+                  AS c2
+              FROM ev GROUP BY 1),
+            diffs AS (
+              SELECT user_id,
+                     (CAST(s2 AS DOUBLE) / CAST(c2 AS DOUBLE)) -
+                     (CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS d
+              FROM halves),
+            kept AS (
+              SELECT user_id, d, abs(d) AS ad
+              FROM diffs WHERE d <> 0),
+            lvl AS (
+              SELECT ad, CAST(count(*) AS BIGINT) AS cnt
+              FROM kept GROUP BY 1),
+            ranks AS (
+              SELECT ad, 2 * before + cnt + 1 AS r2 FROM (
+                SELECT ad, cnt,
+                  CAST(coalesce(sum(cnt) OVER (ORDER BY ad
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS before
+                FROM lvl)),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(CASE WHEN k.d > 0 THEN r.r2 ELSE 0 END)
+                       AS BIGINT) AS w2
+              FROM kept k JOIN ranks r ON k.ad = r.ad)
+            SELECT n_pairs, w2,
+                   CAST(w2 - (n_pairs * (n_pairs + 1)) // 2 AS DOUBLE) /
+                     sqrt(CAST((n_pairs * (n_pairs + 1) *
+                       (2 * n_pairs + 1)) // 6 AS DOUBLE)) AS z
+            FROM agg"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30, m31)
+      m27, m28, m29, m30, m31, m32)
 }

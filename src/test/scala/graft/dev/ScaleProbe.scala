@@ -19,6 +19,7 @@ object ScaleProbe {
     if (args.headOption.contains("skew")) { skewProbe(); return }
     if (args.headOption.contains("tpch")) { tpchProbe(); return }
     if (args.headOption.contains("graph")) { graphProbe(); return }
+    if (args.headOption.contains("wedge")) { wedgeProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -114,6 +115,51 @@ object ScaleProbe {
         val rows = fn(spark, dir).count()
         spark.catalog.clearCache()
         println(f"GRAPH x$m%-2d $q%-26s rows=$rows%-8d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Wedge-join family scaling (g3 triangles / g5 link prediction):
+    * replicate lineitem m× with offset ORDER and PART keys so each
+    * replica is a disjoint copy of the co-purchase graph — per-center
+    * degrees stay constant, so the Σdeg(c)² wedge cost should grow
+    * LINEARLY in m (the degree-orientation design claim); shared
+    * orderkeys would instead densify the graph and blow the wedge
+    * count up quadratically, which is exactly what this probe would
+    * expose if the orientation were lost.
+    * usage: Test/runMain graft.dev.ScaleProbe wedge
+    */
+  private def wedgeProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    for (m <- Seq(1, 2, 4, 8)) {
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_scale_wedge_x$m"
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val oStride = li.agg(max("l_orderkey")).first().getLong(0) + 1
+      val pStride = li.agg(max("l_partkey")).first().getLong(0) + 1
+      (0 until m).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * pStride)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      for (q <- Seq("g3_triangle_count", "g5_link_prediction")) {
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        spark.catalog.clearCache()
+        println(f"WEDGE x$m%-2d $q%-26s rows=$rows%-8d " +
           f"${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
     }
