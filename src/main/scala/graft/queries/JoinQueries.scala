@@ -476,6 +476,89 @@ object JoinQueries {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** J15 (X190, beyond the reference): AS-OF JOIN — for every `click`
+    * event, the most recent prior-or-equal `purchase` by the same user
+    * (backward-inclusive match, left semantics: clicks before any
+    * purchase stay unmatched). Spark has no native as-of operator, so
+    * this is the scalable union-ffill composition: tag both sides, ONE
+    * shuffle on user_id, sort by (ts, side) with the purchase side
+    * ordered first at equal timestamps, and forward-fill the purchase
+    * attributes with `last(ignoreNulls)` — O(n log n) per partition vs
+    * the O(n·m) range-join a naive `ts <= ts` join would plan. The
+    * purchase side is pre-deduped to one row per (user, ts) (max
+    * event_id) so the match is well-defined under timestamp ties at any
+    * scale. The DuckDB oracle is the engine-native `ASOF LEFT JOIN` —
+    * an independent implementation of the same semantics. Gaps are
+    * exact integral microseconds; purchase values exact cents; per-user
+    * rollup keeps the output compact while any single mis-match flips
+    * a sum.
+    */
+  private val j15 = Q(
+    "j15_asof_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val wB = Window.partitionBy("user_id", "us")
+        .orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1)
+      val tagged = purchases
+        .select(col("user_id"), col("us"), lit(0).as("side"),
+          col("event_id").as("p_eid"), col("us").as("p_us"),
+          col("cents").as("p_cents"))
+        .unionByName(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            lit(1).as("side"), lit(null).cast("long").as("p_eid"),
+            lit(null).cast("long").as("p_us"),
+            lit(null).cast("long").as("p_cents")))
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("side"), col("p_eid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val matched = tagged
+        .withColumn("ref_eid", last(col("p_eid"), ignoreNulls = true).over(wf))
+        .withColumn("ref_us", last(col("p_us"), ignoreNulls = true).over(wf))
+        .withColumn("ref_cents",
+          last(col("p_cents"), ignoreNulls = true).over(wf))
+        .filter(col("side") === 1)
+      matched.groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("ref_eid")).as("n_matched"),
+          coalesce(sum(col("us") - col("ref_us")), lit(0L))
+            .as("sum_gap_us"),
+          coalesce(max(col("us") - col("ref_us")), lit(0L))
+            .as("max_gap_us"),
+          coalesce(sum(col("ref_cents")), lit(0L)).as("sum_ref_cents"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p0 AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id, ts
+                       ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase'),
+            p AS (SELECT user_id, event_id, us, cents
+                  FROM p0 WHERE rn = 1),
+            c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                  FROM events WHERE event_type = 'click'),
+            m AS (
+              SELECT c.user_id, c.us, p.us AS ref_us,
+                     p.cents AS ref_cents, p.event_id AS ref_eid
+              FROM c ASOF LEFT JOIN p
+                ON c.user_id = p.user_id AND c.us >= p.us)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+                   CAST(count(ref_eid) AS BIGINT) AS n_matched,
+                   CAST(coalesce(sum(us - ref_us), 0) AS BIGINT)
+                     AS sum_gap_us,
+                   CAST(coalesce(max(us - ref_us), 0) AS BIGINT)
+                     AS max_gap_us,
+                   CAST(coalesce(sum(ref_cents), 0) AS BIGINT)
+                     AS sum_ref_cents
+            FROM m GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
-    Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13, j14)
+    Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13, j14,
+      j15)
 }
