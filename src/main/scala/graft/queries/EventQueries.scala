@@ -1306,8 +1306,51 @@ object EventQueries {
             FROM g WHERE gap IS NOT NULL
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** E30 (X191, beyond the reference): TIME-WEIGHTED AVERAGE (TWAP) per
+    * user — the sensor/price rollup where each reading holds until the
+    * next one, so its weight is the interval it was live, not 1. Pure
+    * step-function integration: value in exact cents, holding interval
+    * in exact integral microseconds (lead − current under the total
+    * order (ts, event_id)), Σ(cents·dt) and Σ(dt) as exact BIGINTs
+    * (max |cents|·span ≈ 1e16 ≪ 2^63 at any plausible SF), and the
+    * TWAP itself ONE IEEE division of the two — deterministic
+    * cross-engine. The last reading per user has no successor and
+    * drops, per the classical left-closed convention. One shuffle on
+    * user_id; the window and the aggregation share it.
+    */
+  private val e30 = Q(
+    "e30_twap",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("dt", lead("us", 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum("dt").as("span_us"),
+          sum(col("cents") * col("dt")).as("wsum"))
+        .select(col("user_id"), col("n_intervals"), col("span_us"),
+          (col("wsum").cast("double") / col("span_us").cast("double") /
+            lit(100.0)).as("twap"))
+        .orderBy("user_id")
+    },
+    Some("""WITH t AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) - epoch_us(ts) AS dt
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(dt) AS BIGINT) AS span_us,
+                   CAST(sum(cents * dt) AS DOUBLE) /
+                     CAST(sum(dt) AS DOUBLE) / 100.0 AS twap
+            FROM t WHERE dt IS NOT NULL
+            GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29)
+      e29, e30)
 }

@@ -422,5 +422,90 @@ object GraphQueries {
                      CAST(wc.n_wedges AS DOUBLE) AS global_cc
             FROM tri CROSS JOIN wc"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6)
+  /** G7 (X192, beyond the reference): K-CORE PEELING trace — 4 rounds
+    * of the classical degeneracy peel (drop every node with degree < k,
+    * recompute, repeat) over the co-purchase graph, k = 80 (chosen so
+    * the cascade is live: secondary deletions continue for 5+ rounds on
+    * this graph). Emits one (round, n_nodes, n_edges) row per round —
+    * the bounded-round trace device of m1b/g1, so the iterative
+    * operator is hash-verified against a DuckDB oracle that unrolls the
+    * same four rounds as chained CTEs. All-integer: degrees, node and
+    * edge counts — no tolerance anywhere. Scale: each round is one
+    * shuffle on node id (degree agg) + two semi-joins of the edge list
+    * against the shrinking alive set; per-round `localCheckpoint`
+    * truncates the growing lineage exactly as ConnectedComponents does;
+    * driver state is two Longs per round.
+    */
+  private val g7 = Q(
+    "g7_kcore_peel",
+    (s, dir) => {
+      import s.implicits._
+      val k = 80
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val eu = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+      var e = eu.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(eu.select(col("p2").as("src"), col("p1").as("dst")))
+        .localCheckpoint()
+      val trace = (1 to 4).map { r =>
+        val alive = e.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("src")
+        e = e
+          .join(alive.withColumnRenamed("src", "ka"),
+            col("src") === col("ka")).drop("ka")
+          .join(alive.withColumnRenamed("src", "kb"),
+            col("dst") === col("kb")).drop("kb")
+          .localCheckpoint()
+        (r.toLong, e.select("src").distinct().count(), e.count() / 2)
+      }
+      trace.toDF("round", "n_nodes", "n_edges").orderBy("round")
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            eu AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            e0 AS (SELECT p1 AS src, p2 AS dst FROM eu
+                   UNION ALL SELECT p2, p1 FROM eu),
+            deg1 AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+            alive1 AS (SELECT src FROM deg1 WHERE d >= 80),
+            e1 AS (SELECT t.src, t.dst FROM e0 t
+                   JOIN alive1 a ON t.src = a.src
+                   JOIN alive1 b ON t.dst = b.src),
+            deg2 AS (SELECT src, count(*) AS d FROM e1 GROUP BY 1),
+            alive2 AS (SELECT src FROM deg2 WHERE d >= 80),
+            e2 AS (SELECT t.src, t.dst FROM e1 t
+                   JOIN alive2 a ON t.src = a.src
+                   JOIN alive2 b ON t.dst = b.src),
+            deg3 AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+            alive3 AS (SELECT src FROM deg3 WHERE d >= 80),
+            e3 AS (SELECT t.src, t.dst FROM e2 t
+                   JOIN alive3 a ON t.src = a.src
+                   JOIN alive3 b ON t.dst = b.src),
+            deg4 AS (SELECT src, count(*) AS d FROM e3 GROUP BY 1),
+            alive4 AS (SELECT src FROM deg4 WHERE d >= 80),
+            e4 AS (SELECT t.src, t.dst FROM e3 t
+                   JOIN alive4 a ON t.src = a.src
+                   JOIN alive4 b ON t.dst = b.src)
+            SELECT CAST(1 AS BIGINT) AS round,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+                   CAST(count(*) // 2 AS BIGINT) AS n_edges FROM e1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT),
+                   CAST(count(DISTINCT src) AS BIGINT),
+                   CAST(count(*) // 2 AS BIGINT) FROM e2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT),
+                   CAST(count(DISTINCT src) AS BIGINT),
+                   CAST(count(*) // 2 AS BIGINT) FROM e3
+            UNION ALL
+            SELECT CAST(4 AS BIGINT),
+                   CAST(count(DISTINCT src) AS BIGINT),
+                   CAST(count(*) // 2 AS BIGINT) FROM e4
+            ORDER BY round"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7)
 }
