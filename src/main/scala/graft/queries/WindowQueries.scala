@@ -613,7 +613,66 @@ object WindowQueries {
             SELECT * FROM maxs
             ORDER BY user_id, bucket, kind, rn"""))
 
+  /** W25 (X193, beyond the reference): ROLLING Z-SCORE anomaly flag —
+    * is a reading >3σ from the mean of its user's 8 previous readings?
+    * The monitoring primitive behind drift alerts, expressed with ZERO
+    * floating point: values in exact cents, trailing sums S=Σx and
+    * Q=Σx² as BIGINTs over a ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING
+    * frame (full windows only, the w22 convention), and the 3σ gate
+    * cross-multiplied to integers — z² > 9 ⟺ (n·x − S)² > 9·(n·Q − S²)
+    * — so a value landing exactly ON the gate cannot flip between
+    * engines (playbook: compare ratio thresholds in integers). Trailing
+    * frame excludes the current row, so an anomaly cannot mask itself.
+    * One shuffle on user_id shared by the window and the rollup.
+    */
+  private val w25 = Q(
+    "w25_rolling_zscore_anomaly",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-8, -1)
+      Tables.load(s, dir, "events")
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("sw", sum("c").over(w))
+        .withColumn("qw", sum(col("c") * col("c")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("cnt") === 8)
+        .withColumn("num", lit(8L) * col("c") - col("sw"))
+        .withColumn("anom", col("num") * col("num") >
+          lit(9L) * (lit(8L) * col("qw") - col("sw") * col("sw")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"),
+          coalesce(min(when(col("anom"), col("event_id"))), lit(-1L))
+            .as("first_anom_event"))
+        .orderBy("user_id")
+    },
+    Some("""WITH base AS (
+              SELECT user_id, event_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+            win AS (
+              SELECT user_id, event_id, c,
+                     CAST(sum(c) OVER w AS BIGINT) AS sw,
+                     CAST(sum(c * c) OVER w AS BIGINT) AS qw,
+                     count(*) OVER w AS cnt
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+            f AS (
+              SELECT user_id, event_id,
+                     8 * c - sw AS num, sw, qw
+              FROM win WHERE cnt = 8)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+                   CAST(sum(CASE WHEN num * num > 9 * (8 * qw - sw * sw)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_anomalies,
+                   CAST(coalesce(min(CASE
+                       WHEN num * num > 9 * (8 * qw - sw * sw)
+                       THEN event_id END), -1) AS BIGINT)
+                     AS first_anom_event
+            FROM f GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24)
+      w22, w23, w24, w25)
 }
