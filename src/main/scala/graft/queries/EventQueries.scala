@@ -1349,8 +1349,54 @@ object EventQueries {
             FROM t WHERE dt IS NOT NULL
             GROUP BY 1 ORDER BY 1"""))
 
+  /** E31 (X194, beyond the reference): DAU / WAU / STICKINESS — the
+    * product-analytics rollup needing a SLIDING distinct count, which
+    * neither Spark nor most engines support as a window function.
+    * Scalable rewrite: dedupe to (user, active_day) first (the big
+    * shrink), then explode each activity day to the 7 trailing-window
+    * ends it serves, dedupe (user, window_end), count. Work is 7× the
+    * DEDUPED activity table — linear, partitioned on user/day, no
+    * window-function state. Stickiness = DAU/WAU, ONE division of two
+    * exact BIGINTs. Output restricted to days with direct activity.
+    */
+  private val e31 = Q(
+    "e31_active_user_ratio",
+    (s, dir) => {
+      val acts = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = acts.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = acts
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("wend"))
+        .distinct()
+        .groupBy("wend").agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("day") === col("wend"))
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH acts AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events),
+            dau AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS dau
+              FROM acts GROUP BY 1),
+            we AS (
+              SELECT DISTINCT user_id, day + CAST(t.i AS INTEGER) AS wend
+              FROM acts, range(7) t(i)),
+            wau AS (
+              SELECT wend, CAST(count(*) AS BIGINT) AS wau
+              FROM we GROUP BY 1)
+            SELECT d.day, d.dau, w.wau,
+                   CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)
+                     AS stickiness
+            FROM dau d JOIN wau w ON d.day = w.wend
+            ORDER BY d.day"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30)
+      e29, e30, e31)
 }

@@ -2402,8 +2402,57 @@ object MlQueries {
                        (2 * n_pairs + 1)) // 6 AS DOUBLE)) AS z
             FROM agg"""))
 
+  /** M33 (X195, beyond the reference): GINI COEFFICIENT of per-user
+    * spend concentration (the Lorenz-curve inequality measure behind
+    * "what share of revenue do the top users carry"). Computed on the
+    * PRE-AGGREGATED per-user table (150 rows at sf0.01 — the global
+    * rank is over users, never events), with the classical sorted
+    * formula G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx): ranks deterministic
+    * under the (x, user_id) total order (ties in x don't move Σi·x),
+    * numerator and denominator exact BIGINTs of cent sums, ONE final
+    * IEEE division.
+    */
+  private val m33 = Q(
+    "m33_gini_concentration",
+    (s, dir) => {
+      val spend = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val ranked = spend.withColumn("i",
+        row_number().over(Window.orderBy("x", "user_id")).cast("long"))
+      ranked
+        .agg(count(lit(1)).as("n_users"),
+          sum("x").as("total_cents"),
+          sum(col("i") * col("x")).as("ixsum"))
+        .select(col("n_users"), col("total_cents"),
+          ((lit(2L) * col("ixsum") -
+            (col("n_users") + lit(1L)) * col("total_cents"))
+            .cast("double") /
+            (col("n_users") * col("total_cents")).cast("double"))
+            .as("gini"))
+    },
+    Some("""WITH spend AS (
+              SELECT user_id,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            ranked AS (
+              SELECT x, CAST(row_number() OVER (ORDER BY x, user_id)
+                AS BIGINT) AS i
+              FROM spend),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(x) AS BIGINT) AS total_cents,
+                     CAST(sum(i * x) AS BIGINT) AS ixsum
+              FROM ranked)
+            SELECT n_users, total_cents,
+                   CAST(2 * ixsum - (n_users + 1) * total_cents
+                     AS DOUBLE) /
+                   CAST(n_users * total_cents AS DOUBLE) AS gini
+            FROM agg"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30, m31, m32)
+      m27, m28, m29, m30, m31, m32, m33)
 }
