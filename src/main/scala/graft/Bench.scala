@@ -23,63 +23,113 @@ object Bench {
     val only = args.toSet
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-    // Warmup pass: first execution of each plan shape pays one-time JVM
-    // costs (whole-stage-codegen Janino compiles, broadcast thread pool,
-    // JIT) that would otherwise be attributed to whichever query happens
-    // to hit that shape first. Then two timed passes, keeping the min
-    // per query — GC pauses and page-cache noise inflate single samples
-    // by 2x at this scale. Steady-state min is what a long-lived
-    // cluster app sees.
-    //
-    // clearCache after every query: Dataset.persist registers the plan
-    // with the session CacheManager, which holds a strong reference until
-    // unpersist()/clearCache() — the ContextCleaner never reclaims
-    // CacheManager entries. Without this, the per-query persists in the
-    // dedup family accumulate for the JVM lifetime of the 93-query run,
-    // evicting hot data and spilling (measured round 4: d8 2.5→10 s,
-    // m1 3→10 s from cache-pressure alone). The clear runs OUTSIDE the
-    // timed region: a real pipeline would unpersist when its job ends.
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+    // Semantics-proof rows (real streaming micro-batch runs) are timed
+    // ONCE: their wall-time is trigger/checkpoint latency, not engine
+    // throughput, and re-running them cost ~80 s of the round-7 bench.
+    val onceNames = Registry.timeOnceNames
+    // Accumulated state the emitter reads — kept up to date as passes
+    // complete so a late crash still reports everything measured so far.
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // The round-7 driver bench died rc=1 with NO output line: an async
+    // RejectedExecutionException reached Spark's uncaught-exception
+    // handler, which System.exit(56)'d the JVM before the result printed.
+    // Defense in depth: (a) the JSON line + file are emitted from a
+    // `finally`; (b) a JVM shutdown hook emits the best-known partial
+    // result too — shutdown hooks DO run on System.exit, so even the
+    // uncaught-handler path now yields a parseable artifact.
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(): Unit = if (emitted.compareAndSet(false, true)) {
+      import scala.jdk.CollectionConverters._
+      val ordered = queries.keys.toSeq
+        .flatMap(k => Option(results.get(k)).map(k -> _))
+      val qs = ordered.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = ordered.map(_._2).sum
+      val failedJson = failed.asScala.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      // The driver's BENCH artifact preserves only a ~2.2 KB stdout tail,
+      // which truncates the per-query map once the registry outgrows it
+      // (round 6 lost 85/144 timings). Persist the COMPLETE result to a
+      // file (committed per round as BENCH_LOCAL_r{N}.json); the same
+      // JSON is still the very last stdout line so the tail captures it.
+      val outFile =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+      println(line)
+      System.out.flush()
     }
-    // Failures must be VISIBLE, not silently timed: a broken query's
-    // time-to-exception must neither appear as its per-query number nor
-    // contribute to the headline total — only successful passes count.
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def timedPass(): Map[String, Double] =
-      queries.flatMap { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => failed += name; false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        if (ok) Some(name -> dt) else None
+    val hook = new Thread(() => emit(), "bench-emit-hook")
+    Runtime.getRuntime.addShutdownHook(hook)
+    // Leftover streaming state between passes is the prime suspect for
+    // the round-7 thread-pool shutdown cascade: stop anything a proof
+    // row left running and drop its memory-sink temp views.
+    def drainStreaming(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      try spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
+    }
+    try {
+      // Warmup pass (throughput rows only): first execution of each plan
+      // shape pays one-time JVM costs (whole-stage-codegen Janino
+      // compiles, broadcast thread pool, JIT) that would otherwise be
+      // attributed to whichever query hits that shape first. Then two
+      // timed passes keeping the min per query — GC pauses and page-cache
+      // noise inflate single samples by 2x at this scale. Steady-state
+      // min is what a long-lived cluster app sees.
+      //
+      // clearCache after every query: Dataset.persist registers the plan
+      // with the session CacheManager, which holds a strong reference
+      // until unpersist()/clearCache() — the ContextCleaner never
+      // reclaims CacheManager entries. Without this the per-query
+      // persists accumulate for the JVM lifetime of the run, evicting hot
+      // data and spilling (measured round 4: d8 2.5→10 s, m1 3→10 s from
+      // cache pressure alone). The clear runs OUTSIDE the timed region.
+      queries.foreach { case (name, fn) =>
+        if (!onceNames(name)) {
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
       }
-    val p1 = timedPass()
-    val p2 = timedPass()
-    val results = scala.collection.immutable.ListMap(
-      queries.keys.flatMap(k => (p1.get(k), p2.get(k)) match {
-        case (Some(a), Some(b)) => Some(k -> math.min(a, b))
-        case (a, b)             => a.orElse(b).map(k -> _)
-      }).toSeq: _*)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // The driver's BENCH artifact preserves only a ~2.2 KB stdout tail,
-    // which truncates the per-query map once the registry outgrows it
-    // (round 6 lost 85/144 timings). Persist the COMPLETE machine-readable
-    // result to a file (committed per round as BENCH_LOCAL_r{N}.json) so
-    // round-over-round comparisons never degrade; the same JSON is still
-    // printed as the very last stdout line so the tail captures its end.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    println(line)
-    spark.stop()
+      drainStreaming()
+      // Failures must be VISIBLE, not silently timed: a broken query's
+      // time-to-exception must neither appear as its per-query number nor
+      // contribute to the headline total — only successful passes count.
+      def timedPass(skipOnce: Boolean): Map[String, Double] =
+        queries.flatMap { case (name, fn) =>
+          if (skipOnce && onceNames(name)) None
+          else {
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).count(); true }
+              catch { case _: Throwable => failed.add(name); false }
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            if (ok) Some(name -> dt) else None
+          }
+        }
+      val p1 = timedPass(skipOnce = false)
+      p1.foreach { case (k, v) => results.put(k, v) }
+      drainStreaming()
+      val p2 = timedPass(skipOnce = true)
+      p2.foreach { case (k, v) =>
+        results.put(k, math.min(v, Option(results.get(k)).getOrElse(v)))
+      }
+      drainStreaming()
+    } finally {
+      emit()
+    }
+    try { Runtime.getRuntime.removeShutdownHook(hook) }
+    catch { case _: Throwable => () }
+    // A shutdown-time async failure after the line is out must not flip
+    // the exit code: the artifact is already durable.
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] ignored stop-time failure: ${e.getMessage}") }
   }
 }

@@ -204,11 +204,10 @@ object EventStreams {
     val batch = graft.ops.Tables.load(spark, sfDir, "events")
     // file-source streams take a directory; select just the events
     // table out of the sf dir with a glob filter
-    val stream = spark.readStream
+    val stream = graft.ops.Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val q = tumblingCounts(stream).writeStream
       .format("memory").queryName("tumbling")
       .outputMode("complete")

@@ -161,13 +161,18 @@ object ScaleProbe {
     for (m <- Seq(4, 16, 64)) {
       val dir =
         s"${System.getProperty("java.io.tmpdir")}/graft_scale_asof_x$m"
-      val ev = spark.read.parquet(s"$src/events.parquet")
-      val span = ev.agg(max("ts") - min("ts")).first().getLong(0) + 1
+      // normalize first (encoding-agnostic), shift in micro-space, and
+      // write real timestamps so Tables.load round-trips the copies
+      val ev = graft.ops.Tables
+        .normalizeTs(spark.read.parquet(s"$src/events.parquet"))
+        .withColumn("us", unix_micros(col("ts")))
+      val span = ev.agg(max("us") - min("us")).first().getLong(0) + 1
       val n = ev.count()
       (0 until m).map(i => ev
           .withColumn("event_id", col("event_id") + lit(i * n))
-          .withColumn("ts", col("ts") + lit(i * span)))
+          .withColumn("ts", timestamp_micros(col("us") + lit(i * span))))
         .reduce(_ unionByName _)
+        .drop("us")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       // union-ffill (the registry query)
       val fn = graft.SparkEntry.queries("j15_asof_join")
