@@ -1132,7 +1132,91 @@ object DedupQueries {
             GROUP BY 1, 2
             ORDER BY 1, 2"""))
 
+  /** D18 (X199, beyond the reference): SORTED-NEIGHBORHOOD blocking —
+    * the third near-dup candidate-generation family next to the
+    * inverted index (d3) and LSH banding (d4): sort every document by a
+    * deterministic key (its lexicographically-minimum shingle — the
+    * k=1 MinHash, so near-identical docs almost surely share it), and
+    * verify exact Jaccard ONLY for pairs within a ±4 window of the
+    * sort order. Candidate count is exactly n·w — data-independent,
+    * unlike d3's shared-shingle fan-out or d4's bucket collisions —
+    * which is why SNM is the standard choice when a corpus has a few
+    * monster near-dup cliques that blow up the other two.
+    *
+    * Scale shape: the sort is one range-exchange (Spark's global sort);
+    * the ±4 adjacency is NOT a nested-loop inequality join but an
+    * exploded offset equi-join (each doc emits its 4 successor ranks →
+    * shuffle on rank), so the plan stays equi-keyed end-to-end; the
+    * Jaccard verify joins the exploded shingle index only against the
+    * n·4 candidate pairs.
+    */
+  private val d18 = Q(
+    "d18_sorted_neighborhood",
+    (s, dir) => {
+      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val keys = ex.groupBy("doc_id")
+        .agg(min("sh").as("skey"), max("nsh").as("nsh"))
+      val wr = Window.orderBy("skey", "doc_id")
+      val ranked = keys.withColumn("rn", row_number().over(wr))
+      val targets = ranked.select(col("doc_id").as("doc_a"),
+          col("nsh").as("na"), col("rn"),
+          explode(array((1 to 4).map(o => col("rn") + o): _*)).as("rn_b"))
+      val cand = targets.join(
+          ranked.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+            col("rn").as("rn_b")),
+          Seq("rn_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("rn_b") - col("rn")).cast("long").as("rank_gap"),
+          col("na"), col("nb"))
+      cand
+        .join(ex.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(ex.select(col("doc_id").as("doc_b"), col("sh")),
+          Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b", "rank_gap", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard", round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+          col("rank_gap"), col("shared"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH sets AS (
+               SELECT doc_id, $duckShingles AS shs FROM documents),
+             ex AS (
+               SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh
+               FROM sets),
+             dockeys AS (
+               SELECT doc_id, max(nsh) AS nsh, min(sh) AS skey
+               FROM ex GROUP BY 1),
+             ranked AS (
+               SELECT doc_id, nsh,
+                      row_number() OVER (ORDER BY skey, doc_id) AS rn
+               FROM dockeys),
+             cand AS (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+                      a.nsh AS na, b.nsh AS nb
+               FROM ranked a
+               JOIN (SELECT unnest([1, 2, 3, 4]) AS o) offs ON true
+               JOIN ranked b ON b.rn = a.rn + o),
+             verified AS (
+               SELECT c.doc_a, c.doc_b, c.rank_gap, c.na, c.nb,
+                      count(*) AS shared
+               FROM cand c
+               JOIN ex ea ON ea.doc_id = c.doc_a
+               JOIN ex eb ON eb.doc_id = c.doc_b AND eb.sh = ea.sh
+               GROUP BY 1, 2, 3, 4, 5)
+             SELECT least(doc_a, doc_b) AS doc_a,
+                    greatest(doc_a, doc_b) AS doc_b,
+                    rank_gap, shared,
+                    round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+             FROM verified
+             WHERE round(shared * 1.0 / (na + nb - shared), 4) >= 0.5
+             ORDER BY 1, 2"""))
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17)
+      d16, d17, d18)
 }

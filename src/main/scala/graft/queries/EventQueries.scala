@@ -1395,6 +1395,90 @@ object EventQueries {
             FROM dau d JOIN wau w ON d.day = w.wend
             ORDER BY d.day"""))
 
+  /** E32 (X197, beyond the reference): AUTOCORRELATION FUNCTION of the
+    * hourly event-count series at lags 1-5 — the standard seasonality/
+    * persistence diagnostic a forecasting pipeline runs before model
+    * choice (is the load series bursty? daily-periodic? white?).
+    *
+    * Determinism playbook (the t15/m33 integer-sums trick, here for a
+    * two-pass statistic): hourly counts are BIGINTs, so every moment the
+    * ACF needs — Σc, Σc², Σ c_t·c_{t−l}, the edge sums A_l/B_l — is an
+    * EXACT integer; the textbook r_l is rewritten over n²-scaled integer
+    * numerator/denominator and evaluated with ONE final double division,
+    * so both engines produce bit-identical doubles with no rounding
+    * tolerance. Scale shape: one groupBy(hour) shuffle (map-side
+    * combined), one O(series)-sized window pass for the 5 lag columns
+    * (the series is |hours|, not |events|), one 6-group aggregate, and a
+    * broadcast of the 1-row global moments.
+    */
+  private val e32 = Q(
+    "e32_acf",
+    (s, dir) => {
+      val ser = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      // global window: the series is |distinct hours| rows (thousands),
+      // not |events| — a single sort task is the right plan here
+      val w = Window.orderBy("hr")
+      val lagged = ser.select(
+        (col("c") +: (1 to 5).map(l => lag("c", l).over(w).as(s"c_$l"))): _*)
+      val pairs = lagged
+        .select(col("c"), expr(
+          "stack(5, 1, c_1, 2, c_2, 3, c_3, 4, c_4, 5, c_5) AS (l, c_lag)"))
+        .filter(col("c_lag").isNotNull)
+      val glob = ser.agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      pairs
+        .groupBy("l")
+        .agg(sum(col("c") * col("c_lag")).as("scc"),
+          sum("c").as("sa"), sum("c_lag").as("sb"),
+          count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(glob))
+        .select(col("l").cast("int").as("lag"), col("n_pairs"),
+          ((col("n") * col("n") * col("scc")
+            - col("n") * col("s") * (col("sa") + col("sb"))
+            + (col("n") - col("l")) * col("s") * col("s")).cast("double")
+            / (col("n") * col("n") * col("ss")
+              - col("n") * col("s") * col("s")).cast("double")).as("acf"))
+        .orderBy("lag")
+    },
+    Some("""WITH ser AS (
+              SELECT date_trunc('hour', ts) AS hr,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+            gmom AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS s,
+                     CAST(sum(c * c) AS BIGINT) AS ss
+              FROM ser),
+            lagged AS (
+              SELECT c,
+                lag(c, 1) OVER w AS c_1, lag(c, 2) OVER w AS c_2,
+                lag(c, 3) OVER w AS c_3, lag(c, 4) OVER w AS c_4,
+                lag(c, 5) OVER w AS c_5
+              FROM ser WINDOW w AS (ORDER BY hr)),
+            pairs AS (
+              SELECT c, 1 AS l, c_1 AS c_lag FROM lagged WHERE c_1 IS NOT NULL
+              UNION ALL
+              SELECT c, 2, c_2 FROM lagged WHERE c_2 IS NOT NULL
+              UNION ALL
+              SELECT c, 3, c_3 FROM lagged WHERE c_3 IS NOT NULL
+              UNION ALL
+              SELECT c, 4, c_4 FROM lagged WHERE c_4 IS NOT NULL
+              UNION ALL
+              SELECT c, 5, c_5 FROM lagged WHERE c_5 IS NOT NULL),
+            agg AS (
+              SELECT l, CAST(sum(c * c_lag) AS BIGINT) AS scc,
+                     CAST(sum(c) AS BIGINT) AS sa,
+                     CAST(sum(c_lag) AS BIGINT) AS sb,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM pairs GROUP BY 1)
+            SELECT l AS lag, n_pairs,
+                   CAST(n * n * scc - n * s * (sa + sb) + (n - l) * s * s
+                     AS DOUBLE)
+                   / CAST(n * n * ss - n * s * s AS DOUBLE) AS acf
+            FROM agg, gmom ORDER BY 1"""))
+
   /** The 12 rows that execute REAL Structured Streaming micro-batches
     * (memory/foreachBatch sinks, checkpoints, watermark eviction). Their
     * wall-time is streaming-machinery latency, not engine throughput, so
@@ -1411,6 +1495,6 @@ object EventQueries {
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31)
+      e29, e30, e31, e32)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }

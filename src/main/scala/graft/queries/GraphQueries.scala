@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the testdata (SURVEY.md §2.8b): PageRank on the
@@ -10,6 +11,91 @@ import org.apache.spark.sql.functions._
   * under d9/d10.
   */
 object GraphQueries {
+
+  /** Distinct part co-purchase edges (p1 < p2) — the graph g3-g6 share.
+    * The regenerated sf0.1 fixture yields 20k nodes / 1.196M edges,
+    * near-REGULAR (avg deg 120, max 222): no power-law skew to prune
+    * against, so wedge work is dense everywhere and kernel efficiency
+    * (below) matters more than orientation skew bounds.
+    */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    op.as("a").join(op.as("b"), Seq("o"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  private def degrees(e0: DataFrame): DataFrame =
+    e0.select(col("p1").as("node"))
+      .unionByName(e0.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Degree-oriented edge list (src, dst, ddst): each undirected edge
+    * directed from its (deg, id)-smaller endpoint, the classic triangle
+    * orientation that bounds wedge fan-out by oriented OUT-degree. */
+  private def orientedEdges(e0: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = e0
+      .join(deg.select(col("node").as("p1"), col("deg").as("d1")), Seq("p1"))
+      .join(deg.select(col("node").as("p2"), col("deg").as("d2")), Seq("p2"))
+    def before(dA: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
+        dB: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dA < dB || (dA === dB && a < b)
+    withDeg.select(
+      when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+        col("p1")).otherwise(col("p2")).as("src"),
+      when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+        col("p2")).otherwise(col("p1")).as("dst"),
+      when(before(col("d1"), col("p1"), col("d2"), col("p2")),
+        col("d2")).otherwise(col("d1")).as("ddst"))
+      .localCheckpoint()
+  }
+
+  /** Exact triangle count: oriented wedges from a per-src adjacency
+    * KERNEL (collect the out-neighbors sorted by the orientation order
+    * (ddst, dst), emit the i<j pairs as ONE packed long per wedge in a
+    * plain JVM loop), probed map-side against the BROADCAST packed
+    * oriented edge set. Versus the former wedge self-join + wedge-edge
+    * shuffle join (the round-7 plan), this moves ZERO wedge rows
+    * through any shuffle: the only exchanges are the 1.2M-row groupBy
+    * (src) and the broadcast of the 1.2M-long edge set (~10 MB) — the
+    * 35M oriented wedges live and die inside their task. Same measured
+    * lesson as the shingle kernel (DedupQueries.shingled): interpreted
+    * HOFs and join machinery lose to a tight JVM loop on dense
+    * fan-outs. Packing (u<<32)|v is exact for ids < 2^32 (part keys
+    * here are ≤ 2·10^4; Spark ANSI would fail loudly on overflow).
+    */
+  private def triangleCount(s: SparkSession, orientedE: DataFrame): DataFrame = {
+    import s.implicits._
+    val wedgePk = orientedE
+      .groupBy("src")
+      .agg(sort_array(collect_list(struct(col("ddst"), col("dst")))).as("xs"))
+      .select(col("xs"))
+      .as[Seq[(Long, Long)]]
+      .mapPartitions(_.flatMap { xs =>
+        val a = xs.toArray // sorted by (ddst, dst) — the orientation order
+        val out = new scala.collection.mutable.ArrayBuffer[Long](
+          math.max(0, a.length * (a.length - 1) / 2))
+        var i = 0
+        while (i < a.length) {
+          var j = i + 1
+          while (j < a.length) {
+            out += (a(i)._2 << 32) | a(j)._2
+            j += 1
+          }
+          i += 1
+        }
+        out
+      })
+      .toDF("pk")
+    val edgePk = orientedE
+      .select(shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("pk"))
+    wedgePk.join(broadcast(edgePk), Seq("pk"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 
   /** G1 (X119, beyond the reference): PAGERANK over the bipartite
     * supplier→part graph (distinct (l_suppkey, l_partkey) pairs,
@@ -156,39 +242,12 @@ object GraphQueries {
   private val g3 = Q(
     "g3_triangle_count",
     (s, dir) => {
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e0 = op.as("a").join(op.as("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2"))
-        .distinct()
-        .localCheckpoint()
-      val deg = e0.select(col("p1").as("node"))
-        .unionByName(e0.select(col("p2").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val withDeg = e0
-        .join(deg.select(col("node").as("p1"), col("deg").as("d1")), Seq("p1"))
-        .join(deg.select(col("node").as("p2"), col("deg").as("d2")), Seq("p2"))
-      def before(dA: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
-          dB: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        dA < dB || (dA === dB && a < b)
-      val oriented = withDeg.select(
-        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
-          col("p1")).otherwise(col("p2")).as("src"),
-        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
-          col("p2")).otherwise(col("p1")).as("dst"),
-        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
-          col("d2")).otherwise(col("d1")).as("ddst"))
-        .localCheckpoint()
-      val wedges = oriented.as("x").join(oriented.as("y"), Seq("src"))
-        .filter(before(col("x.ddst"), col("x.dst"), col("y.ddst"), col("y.dst")))
-        .select(col("x.dst").as("v"), col("y.dst").as("w"))
-      val tri = wedges.join(oriented,
-        col("v") === col("src") && col("w") === col("dst"))
+      val e0 = coEdges(s, dir)
+      val deg = degrees(e0)
+      val oriented = orientedEdges(e0, deg)
       val nNodes = deg.count()
       val nEdges = e0.count()
-      tri.agg(count(lit(1)).as("n_triangles"))
+      triangleCount(s, oriented)
         .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
           col("n_triangles"))
     },
@@ -237,17 +296,8 @@ object GraphQueries {
   private val g4 = Q(
     "g4_degree_assortativity",
     (s, dir) => {
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e0 = op.as("a").join(op.as("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2"))
-        .distinct()
-        .localCheckpoint()
-      val deg = e0.select(col("p1").as("node"))
-        .unionByName(e0.select(col("p2").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val e0 = coEdges(s, dir)
+      val deg = degrees(e0)
       val withDeg = e0
         .join(deg.select(col("node").as("p1"), col("deg").as("d1")), Seq("p1"))
         .join(deg.select(col("node").as("p2"), col("deg").as("d2")), Seq("p2"))
@@ -290,32 +340,71 @@ object GraphQueries {
 
   /** G5 (beyond the reference): common-neighbors link prediction —
     * score every non-adjacent part pair by how many co-purchase
-    * neighbors they share, report the top 20. The wedge join on the
-    * shared center is g3's cost shape (Σ deg(c)², equi-keyed on the
-    * center); the anti-join removes existing edges; the final order
-    * (score desc, pair asc) is total so LIMIT is deterministic. At
-    * power-law scale the center join takes the same degree-orientation
-    * treatment as g3; the straightforward symmetric join is the honest
-    * baseline and is what the oracle replays.
+    * neighbors they share, report the top 20. Exact common-neighbor
+    * counting must see every wedge (147.8M here — unlike triangles,
+    * orientation cannot shrink it, and endpoint-degree pruning is
+    * vacuous on this near-regular graph where every node has deg ≥ 32
+    * but the top-20 score is only 9-11), so the design goal is moving
+    * the wedges as cheaply as possible:
+    *   - wedges come from the same per-center adjacency KERNEL as
+    *     [[triangleCount]] — a JVM loop emitting ONE packed long per
+    *     wedge, no join machinery (measured 3.7× over the wedge
+    *     self-join + 2-col groupBy this replaces: 104 s → 28 s cold at
+    *     sf0.1);
+    *   - the single-long groupBy is the only wedge-sized shuffle;
+    *   - `cn ≥ 2` pre-filter before the anti-join (75M of the 101M
+    *     distinct pairs are cn=1 noise that cannot reach a top-20
+    *     whose scores are ≥ 2; if a corpus ever had < 20 such pairs
+    *     the row would return < 20 rows and the driver hash-compare
+    *     against the unfiltered oracle fails loudly);
+    *   - the 1.2M-edge set BROADCASTS (packed longs, ~10 MB) so the
+    *     anti-join and the top-20 selection are map-side — no second
+    *     pair-sized shuffle.
     */
   private val g5 = Q(
     "g5_link_prediction",
     (s, dir) => {
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e0 = op.as("a").join(op.as("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2"))
-        .distinct()
-        .localCheckpoint()
+      import s.implicits._
+      val e0 = coEdges(s, dir)
       val nbr = e0.select(col("p1").as("c"), col("p2").as("x"))
         .unionByName(e0.select(col("p2").as("c"), col("p1").as("x")))
-      val pairs = nbr.as("l").join(nbr.as("r"), Seq("c"))
-        .filter(col("l.x") < col("r.x"))
-        .groupBy(col("l.x").as("p1"), col("r.x").as("p2"))
-        .agg(count(lit(1)).as("common_neighbors"))
-      pairs.join(e0, Seq("p1", "p2"), "left_anti")
+      val pairPk = nbr
+        .groupBy("c").agg(sort_array(collect_list(col("x"))).as("xs"))
+        .select(col("xs")).as[Seq[Long]]
+        .mapPartitions(_.flatMap { xs =>
+          val a = xs.toArray // sorted ascending -> packed key has p1 < p2
+          val out = new scala.collection.mutable.ArrayBuffer[Long](
+            math.max(0, a.length * (a.length - 1) / 2))
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length) {
+              out += (a(i) << 32) | a(j)
+              j += 1
+            }
+            i += 1
+          }
+          out
+        })
+        .toDF("pk")
+      val edgePk = e0
+        .select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk"))
+      // Explicit repartition BEFORE the aggregate: with ~101M distinct
+      // pairs out of 148M wedges, the default plan's map-side partial
+      // agg is pure waste (keys barely repeat within a task) and its
+      // spill-thrash made the final agg the whole query (measured 65 s
+      // for groupBy alone). Pre-shuffling the raw packed longs makes
+      // the partial+final pair run AFTER the exchange on co-located
+      // small partitions: 65 s → 12 s at sf0.1. 2× parallelism keeps
+      // per-partition group counts ~1M at any executor count.
+      pairPk
+        .repartition(s.sparkContext.defaultParallelism * 2, col("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("common_neighbors"))
+        .filter(col("common_neighbors") >= 2)
+        .join(broadcast(edgePk), Seq("pk"), "left_anti")
+        .select(shiftright(col("pk"), 32).as("p1"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("p2"),
+          col("common_neighbors"))
         .orderBy(col("common_neighbors").desc, col("p1"), col("p2"))
         .limit(20)
     },
@@ -348,40 +437,12 @@ object GraphQueries {
   private val g6 = Q(
     "g6_clustering_coefficient",
     (s, dir) => {
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e0 = op.as("a").join(op.as("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2"))
-        .distinct()
-        .localCheckpoint()
-      val deg = e0.select(col("p1").as("node"))
-        .unionByName(e0.select(col("p2").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val e0 = coEdges(s, dir)
+      val deg = degrees(e0)
       val wedgeCount = deg.agg(
         sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
-      val withDeg = e0
-        .join(deg.select(col("node").as("p1"), col("deg").as("d1")), Seq("p1"))
-        .join(deg.select(col("node").as("p2"), col("deg").as("d2")), Seq("p2"))
-      def before(dA: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
-          dB: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        dA < dB || (dA === dB && a < b)
-      val oriented = withDeg.select(
-        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
-          col("p1")).otherwise(col("p2")).as("src"),
-        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
-          col("p2")).otherwise(col("p1")).as("dst"),
-        when(before(col("d1"), col("p1"), col("d2"), col("p2")),
-          col("d2")).otherwise(col("d1")).as("ddst"))
-        .localCheckpoint()
-      val wedges = oriented.as("x").join(oriented.as("y"), Seq("src"))
-        .filter(before(col("x.ddst"), col("x.dst"), col("y.ddst"), col("y.dst")))
-        .select(col("x.dst").as("v"), col("y.dst").as("w"))
-      val tri = wedges.join(oriented,
-        col("v") === col("src") && col("w") === col("dst"))
-        .agg(count(lit(1)).as("n_triangles"))
-      tri.crossJoin(wedgeCount)
+      triangleCount(s, orientedEdges(e0, deg))
+        .crossJoin(broadcast(wedgeCount))
         .select(col("n_wedges"), col("n_triangles"),
           ((lit(3L) * col("n_triangles")).cast("double") /
             col("n_wedges").cast("double")).as("global_cc"))
@@ -441,13 +502,7 @@ object GraphQueries {
     (s, dir) => {
       import s.implicits._
       val k = 80
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val eu = op.as("a").join(op.as("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2"))
-        .distinct()
+      val eu = coEdges(s, dir)
       var e = eu.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(eu.select(col("p2").as("src"), col("p1").as("dst")))
         .localCheckpoint()

@@ -173,5 +173,96 @@ object SketchQueries {
             GROUP BY p.user_id, p.exact_cnt
             ORDER BY exact_cnt DESC, user_id"""))
 
-  def all: Seq[Q] = Seq(sk1, sk2, sk3)
+  /** SK4 (X196, beyond the reference): BLOOM FILTER membership — the
+    * other deterministic sketch (with sk3's count-min): once the hash
+    * family is fixed, the bit set is exact integer arithmetic, so both
+    * engines build the IDENTICAL m=8192 / k=3 filter from md5-derived
+    * positions and every output bit is hash-verified. The filter is
+    * built over the customers who placed orders and probed with ALL
+    * customers: false positives are expected and REPORTED per probe
+    * (~3% at these fill levels), false negatives are provably
+    * impossible — the `false_negative` column is the per-row guarantee
+    * bit, pinned all-zero by the oracle.
+    *
+    * 100 TB role: membership pre-filtering (decontamination, blocklist
+    * joins) without shuffling the big side — the bit set is ≤ m
+    * distinct positions REGARDLESS of member count, so it broadcasts
+    * where the exact semi-join (d12's plan) shuffles both sides; the
+    * false-positive columns here measure exactly what that saving
+    * costs. Same md5 pairing as sk3: Spark
+    * `conv(substr(md5(...),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(...),1,15))::BIGINT` (60-bit positive, % m).
+    */
+  private val sk4 = Q(
+    "sk4_bloom_filter",
+    (s, dir) => {
+      val M = 8192
+      def pos(i: Int, key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(i.toString), lit(":"),
+          key.cast("string"))), 1, 15), 16, 10).cast("long") % M
+      val members = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("k")).distinct()
+      val bits = members
+        .select(explode(array((0 to 2).map(i => pos(i, col("k"))): _*))
+          .as("pos"))
+        .distinct()
+      val probes = Tables.load(s, dir, "customer").select("c_custkey")
+      // distinct per-probe positions: two of a key's k hashes may
+      // collide on one position, so membership is "every DISTINCT
+      // position set", not "k positions matched"
+      val ppos = probes
+        .select(col("c_custkey"),
+          explode(array((0 to 2).map(i => pos(i, col("c_custkey"))): _*))
+            .as("pp"))
+        .distinct()
+      val est = ppos
+        .join(broadcast(bits), col("pp") === col("pos"), "left")
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("npos"), count(col("pos")).as("nhit"))
+      val exact = probes
+        .join(members, col("c_custkey") === col("k"), "left")
+        .select(col("c_custkey"),
+          col("k").isNotNull.cast("int").as("exact_member"))
+      est.join(exact, "c_custkey")
+        .select(col("c_custkey"),
+          (col("nhit") === col("npos")).cast("int").as("bloom_member"),
+          col("exact_member"),
+          ((col("nhit") === col("npos")) && col("exact_member") === 0)
+            .cast("int").as("false_positive"),
+          (col("exact_member") === 1 && col("nhit") < col("npos"))
+            .cast("int").as("false_negative"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+                 ks AS (SELECT unnest([0, 1, 2]) AS i),
+                 bits AS (
+                   SELECT DISTINCT
+                     ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                       CAST(k AS VARCHAR)), 1, 15))::BIGINT % 8192 AS pos
+                   FROM members, ks),
+                 ppos AS (
+                   SELECT DISTINCT c_custkey,
+                     ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8192
+                       AS pp
+                   FROM customer, ks),
+                 est AS (
+                   SELECT c_custkey, count(*) AS npos, count(b.pos) AS nhit
+                   FROM ppos p LEFT JOIN bits b ON p.pp = b.pos
+                   GROUP BY 1),
+                 exact AS (
+                   SELECT c_custkey,
+                          CAST(m.k IS NOT NULL AS INT) AS exact_member
+                   FROM customer LEFT JOIN members m ON c_custkey = m.k)
+            SELECT e.c_custkey,
+                   CAST(nhit = npos AS INT) AS bloom_member,
+                   x.exact_member,
+                   CAST(nhit = npos AND x.exact_member = 0 AS INT)
+                     AS false_positive,
+                   CAST(x.exact_member = 1 AND nhit < npos AS INT)
+                     AS false_negative
+            FROM est e JOIN exact x USING (c_custkey)
+            ORDER BY 1"""))
+
+  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4)
 }

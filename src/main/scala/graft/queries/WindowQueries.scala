@@ -672,7 +672,76 @@ object WindowQueries {
                      AS first_anom_event
             FROM f GROUP BY 1 ORDER BY 1"""))
 
+  /** W26 (X198, beyond the reference): CLASSICAL SEASONAL DECOMPOSITION
+    * of the hourly event-count series — trend (centered 24-hour moving
+    * average), seasonal (per hour-of-day mean of the detrended series),
+    * residual — the additive y = T + S + R decomposition a capacity
+    * planner runs before anomaly thresholds.
+    *
+    * Exact-arithmetic construction (no FP summation anywhere): counts
+    * are BIGINT, the 24-term trend window keeps its integer SUM (trend
+    * = sw/24 as display only), the detrended series is carried ×24
+    * (`24c − sw`, an exact integer), the seasonal mean is the exact
+    * integer Σ(24c − sw) divided ONCE by 24·n_h, and the residual is
+    * the exact integer (24c − sw)·n_h − Σ, divided ONCE by 24·n_h —
+    * so every output double is one division of two bit-identical
+    * integers on both engines. Interior rows only (full 24-row
+    * windows): edge rows with partial windows would make the
+    * denominators row-dependent. Scale: one groupBy(hour) shuffle, one
+    * series-sized window sort, a 24-row broadcast back.
+    */
+  private val w26 = Q(
+    "w26_seasonal_decompose",
+    (s, dir) => {
+      val ser = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      // series-sized (|hours|), single sort task is the right plan
+      val w = Window.orderBy("hr").rowsBetween(-12, 11)
+      val det = ser
+        .withColumn("sw", sum("c").over(w))
+        .withColumn("cw", count(lit(1)).over(w))
+        .filter(col("cw") === 24)
+        .withColumn("det24", col("c") * 24 - col("sw"))
+        .withColumn("hod", hour(col("hr")))
+      val seas = det.groupBy("hod")
+        .agg(sum("det24").as("sdet"), count(lit(1)).as("nh"))
+      det.join(broadcast(seas), "hod")
+        .select(col("hr"), col("c"),
+          (col("sw").cast("double") / 24d).as("trend"),
+          (col("sdet").cast("double")
+            / (col("nh") * 24).cast("double")).as("seasonal"),
+          ((col("det24") * col("nh") - col("sdet")).cast("double")
+            / (col("nh") * 24).cast("double")).as("resid"))
+        .orderBy("hr")
+    },
+    Some("""WITH ser AS (
+              SELECT date_trunc('hour', ts) AS hr,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+            tr AS (
+              SELECT hr, c,
+                     CAST(sum(c) OVER w AS BIGINT) AS sw,
+                     count(*) OVER w AS cw
+              FROM ser
+              WINDOW w AS (ORDER BY hr
+                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+            det AS (
+              SELECT hr, c, sw, c * 24 - sw AS det24,
+                     hour(hr) AS hod
+              FROM tr WHERE cw = 24),
+            seas AS (
+              SELECT hod, CAST(sum(det24) AS BIGINT) AS sdet,
+                     CAST(count(*) AS BIGINT) AS nh
+              FROM det GROUP BY 1)
+            SELECT d.hr, d.c,
+                   CAST(sw AS DOUBLE) / 24 AS trend,
+                   CAST(sdet AS DOUBLE) / (nh * 24) AS seasonal,
+                   CAST(det24 * nh - sdet AS DOUBLE) / (nh * 24) AS resid
+            FROM det d JOIN seas s USING (hod)
+            ORDER BY d.hr"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25)
+      w22, w23, w24, w25, w26)
 }

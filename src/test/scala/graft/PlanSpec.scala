@@ -324,13 +324,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p.take(2000))
   }
 
-  test("g5 link-prediction wedge join stays equi-keyed on the shared " +
-      "center (hash or sort-merge, never cartesian)") {
+  test("g5 link-prediction: wedges stay inside their task (no wedge " +
+      "join), the edge set broadcasts for a map-side anti join") {
     val p = plan("g5_link_prediction")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), p.take(2000))
+    // the 1.2M-edge packed-long set must broadcast: a shuffled anti
+    // join would move the ~30M surviving pairs a second time
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    // the wedge stream must be pre-partitioned by pair key BEFORE the
+    // count aggregate (the 65s->12s lesson: map-side partial agg is
+    // waste when keys barely repeat within a task)
+    assert(p.contains("REPARTITION_BY_COL") ||
+      "Exchange hashpartitioning\\(pk".r.findFirstIn(p).isDefined,
+      p.take(3000))
   }
 
   test("dq6 fence lookup broadcasts the 3-row fence table back against " +
