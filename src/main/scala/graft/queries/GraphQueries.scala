@@ -562,5 +562,67 @@ object GraphQueries {
                    CAST(count(*) // 2 AS BIGINT) FROM e4
             ORDER BY round"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7)
+  /** G8 (X200, beyond the reference): PRODUCT-AFFINITY CLUSTERS —
+    * connected components of the STRONG co-purchase graph (part pairs
+    * bought together in ≥ 2 distinct orders; the w≥2 threshold is the
+    * classic noise gate that turns the near-complete raw co-purchase
+    * graph into meaningful affinity structure). This row puts
+    * [[graft.ops.ConnectedComponents]] — the pointer-jumping O(log d)
+    * min-label engine the dedup family runs on (d9/d10) — under the
+    * driver's hash gate ON A GRAPH-FAMILY INPUT: unlike the dedup
+    * cliques, the thresholded affinity graph has a giant component at
+    * sf0.01 (1,860 of 1,880 nodes), so the fixpoint actually exercises
+    * multi-round jumping. Output: every clustered part with its
+    * component label (min part id) and component size. The DuckDB
+    * oracle computes the same components by recursive transitive
+    * closure — Σ|component|² rows, fine at oracle scale, exactly the
+    * plan the distributed min-label loop exists to avoid.
+    */
+  private val g8 = Q(
+    "g8_affinity_components",
+    (s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val strong = op.as("a").join(op.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val edgesSym = strong.select(col("p1").as("doc_a"), col("p2").as("doc_b"))
+        .unionByName(
+          strong.select(col("p2").as("doc_a"), col("p1").as("doc_b")))
+      val (labels, _) = graft.ops.ConnectedComponents.minLabel(edgesSym)
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("doc_id").as("part_id"), col("lbl").as("cluster"),
+          col("cluster_size"))
+        .orderBy("part_id")
+    },
+    Some("""WITH RECURSIVE op AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+            strong AS (
+              SELECT a.p AS p1, b.p AS p2
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p HAVING count(*) >= 2),
+            edges AS (
+              SELECT p1 AS src, p2 AS dst FROM strong
+              UNION ALL
+              SELECT p2, p1 FROM strong),
+            reach(src, dst) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            comp AS (
+              SELECT src AS part_id, min(dst) AS cluster
+              FROM reach GROUP BY 1),
+            sizes AS (
+              SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY 1)
+            SELECT part_id, cluster, cluster_size
+            FROM comp JOIN sizes USING (cluster)
+            ORDER BY part_id"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8)
 }

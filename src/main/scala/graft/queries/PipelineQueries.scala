@@ -754,6 +754,78 @@ object PipelineQueries {
                    CAST(list_sum(ss) AS BIGINT) AS sum_samples
             FROM sm ORDER BY doc_id"""))
 
+  /** MM7 (X201, beyond the reference): REAL BMP ROUND TRIP — the third
+    * real media codec row (PNG pixels mm5, RIFF/PCM WAV mm6): per-doc
+    * deterministic RGB images are encoded to actual 24-bit Windows BMP
+    * bytes ([[graft.ops.BmpCodec]]: 'BM' file header, 40-byte DIB
+    * header, bottom-up BGR rows padded to 4 bytes) and decoded BACK by
+    * the full parser (magic/offset/depth/compression validation, both
+    * row orders); the emitted per-channel statistics come from the
+    * DECODED pixels, so one wrong pad byte, BGR swap, or row-flip
+    * anywhere in the codec shifts a sum and fails the driver hash
+    * against the oracle's pre-codec ground truth. BmpCodecSpec
+    * additionally proves both directions against the JDK ImageIO BMP
+    * plugin. Scan-local typed mapPartitions — no shuffle until the
+    * final orderBy.
+    */
+  private val mm7 = Q(
+    "mm7_bmp_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.BmpCodec
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("raw"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          def at(b: Array[Byte], i: Int): Int =
+            if (i < b.length) b(i) & 0xff else 0
+          it.map { case (id, raw) =>
+            val w = at(raw, 0) % 3 + 2
+            val h = at(raw, 1) % 2 + 2
+            val rgb = Array.tabulate(3 * w * h)(i => at(raw, i).toByte)
+            val img = BmpCodec.decode(BmpCodec.encode(w, h, rgb))
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var mn = 255; var mx = 0
+            var k = 0
+            while (k < img.width * img.height) {
+              val r = img.pixels(3 * k) & 0xff
+              val g = img.pixels(3 * k + 1) & 0xff
+              val b = img.pixels(3 * k + 2) & 0xff
+              sr += r; sg += g; sb += b
+              mn = math.min(mn, math.min(r, math.min(g, b)))
+              mx = math.max(mx, math.max(r, math.max(g, b)))
+              k += 1
+            }
+            (id, img.width, img.height, sr, sg, sb, mn, mx)
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+          "min_px", "max_px")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, text,
+                     ascii(substr(text, 1, 1)) % 3 + 2 AS width,
+                     ascii(substr(text, 2, 1)) % 2 + 2 AS height
+              FROM documents),
+            px AS (
+              SELECT doc_id, width, height,
+                     list_transform(range(0, width * height * 3),
+                       i -> ascii(substr(text, CAST(i + 1 AS INT), 1)))
+                       AS ps
+              FROM dims)
+            SELECT doc_id, CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST(list_sum(list_transform(range(0, width * height),
+                     k -> ps[CAST(3 * k + 1 AS INT)])) AS BIGINT) AS sum_r,
+                   CAST(list_sum(list_transform(range(0, width * height),
+                     k -> ps[CAST(3 * k + 2 AS INT)])) AS BIGINT) AS sum_g,
+                   CAST(list_sum(list_transform(range(0, width * height),
+                     k -> ps[CAST(3 * k + 3 AS INT)])) AS BIGINT) AS sum_b,
+                   CAST(list_min(ps) AS INT) AS min_px,
+                   CAST(list_max(ps) AS INT) AS max_px
+            FROM px ORDER BY doc_id"""))
+
   def all: Seq[Q] =
-    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6)
+    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7)
 }

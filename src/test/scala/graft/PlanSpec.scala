@@ -341,6 +341,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
   }
 
+  test("d18 sorted-neighborhood adjacency is an exploded-offset " +
+      "equi-join, never a nested-loop range join") {
+    val p = plan("d18_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("sk4 bloom bit-set probe broadcasts (membership without " +
+      "shuffling the probe side)") {
+    val p = plan("sk4_bloom_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("dq6 fence lookup broadcasts the 3-row fence table back against " +
       "the cents scan") {
     val p = plan("dq6_iqr_outliers")
