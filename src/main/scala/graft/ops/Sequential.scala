@@ -148,6 +148,51 @@ object Sequential {
     out.toIndexedSeq
   }
 
+  /** W27 — Holt–Winters ADDITIVE triple-exponential smoothing (level +
+    * trend + period-`m` seasonal), completing the w19 (EWMA) / w20
+    * (Holt) smoothing family. All smoothing constants MUST be exact
+    * binary doubles (0.25 / 0.5 / 0.125 here) so the DuckDB
+    * recursive-CTE oracle — which carries the m-slot seasonal ring as
+    * a LIST column — matches bit-for-bit. Init: level = first value,
+    * trend = 0, all seasonal slots 0; the first observation is emitted
+    * as-is (the w20 convention). Per step, in THIS op order (mirrored
+    * literally by the oracle):
+    *   sp     = seasonal slot for t−m   (front of the ring)
+    *   level' = alpha*(x − sp) + (1−alpha)*(level + trend)
+    *   trend' = beta*(level' − level) + (1−beta)*trend
+    *   seas'  = gamma*(x − level') + (1−gamma)*sp
+    *   ring   = shift left, append seas'
+    * Returns (level, seasonal, forecast = level' + trend' + ring.head)
+    * per input — the forecast is the one-step-ahead prediction, whose
+    * seasonal term is the (t+1−m) slot.
+    */
+  def holtWinters(xs: IndexedSeq[Double], m: Int,
+      alpha: Double, oneMinusAlpha: Double,
+      beta: Double, oneMinusBeta: Double,
+      gamma: Double, oneMinusGamma: Double)
+      : IndexedSeq[(Double, Double, Double)] = {
+    if (xs.isEmpty) return IndexedSeq.empty
+    val out = Array.ofDim[(Double, Double, Double)](xs.length)
+    val ring = Array.fill(m)(0.0)
+    var level = xs(0)
+    var trend = 0.0
+    out(0) = (level, 0.0, level + trend + ring(0))
+    var i = 1
+    while (i < xs.length) {
+      val sp = ring(0)
+      val nl = alpha * (xs(i) - sp) + oneMinusAlpha * (level + trend)
+      val nt = beta * (nl - level) + oneMinusBeta * trend
+      val ns = gamma * (xs(i) - nl) + oneMinusGamma * sp
+      System.arraycopy(ring, 1, ring, 0, m - 1)
+      ring(m - 1) = ns
+      level = nl
+      trend = nt
+      out(i) = (nl, ns, nl + nt + ring(0))
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
   /** One-sided positive CUSUM drift detector: S_t = max(0, S_{t-1} +
     * (x_t - k)), alarm when S_t > h. Page's classic sequential
     * change-point statistic. Op order (add the deviation, THEN clamp)

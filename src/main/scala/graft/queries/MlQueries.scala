@@ -2451,8 +2451,87 @@ object MlQueries {
                    CAST(n_users * total_cents AS DOUBLE) AS gini
             FROM agg"""))
 
+  /** M34 (X203, beyond the reference): ISOTONIC REGRESSION — the
+    * standard score-calibration step (fit the best NONDECREASING
+    * return-rate curve over quantity levels, the thing you run on a
+    * classifier's scores before trusting them as probabilities).
+    * Instead of the sequential pool-adjacent-violators loop — driver
+    * state, awkward to verify — this computes the closed-form minimax
+    * characterization of the isotonic fit:
+    *   fit_i = max_{j≤i} min_{k≥i} (S_k − S_{j−1}) / (N_k − N_{j−1})
+    * over LEVEL prefix sums (S = positives, N = rows — exact BIGINTs
+    * from one aggregation). Every candidate average is ONE IEEE
+    * division of identical integers on both engines, and min/max over
+    * identical doubles are identical — hash-exact, no tolerance. Cost
+    * is |levels|³/6 combinations of the ~50 quantity levels — a few
+    * thousand rows of driver-free arithmetic, data-size-INDEPENDENT
+    * after the one map-side-combined level aggregation: exactly how a
+    * calibration fit should scale (the row count never sees 100 TB,
+    * only the level table does).
+    */
+  private val m34 = Q(
+    "m34_isotonic_calibration",
+    (s, dir) => {
+      val wOrd = Window.orderBy("q")
+      val pref = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast("int").as("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("s"))
+        .withColumn("i", row_number().over(wOrd))
+        .withColumn("sp", sum("s").over(wOrd))
+        .withColumn("np", sum("n").over(wOrd))
+      // j-side carries the EXCLUSIVE prefix (S_{j-1} = sp - s)
+      val js = pref.select(col("i").as("j"),
+        (col("sp") - col("s")).as("sj"), (col("np") - col("n")).as("nj"))
+      val ks = pref.select(col("i").as("k"),
+        col("sp").as("sk"), col("np").as("nk"))
+      val avgs = js.crossJoin(ks).filter(col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          ((col("sk") - col("sj")).cast("double")
+            / (col("nk") - col("nj")).cast("double")).as("avg_jk"))
+      val is = pref.select(col("i"), col("q"), col("n"), col("s"))
+      val inner = is.join(avgs,
+          col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "q", "n", "s", "j")
+        .agg(min("avg_jk").as("mn"))
+      inner.groupBy("i", "q", "n", "s")
+        .agg(max("mn").as("isotonic_rate"))
+        .select(col("q").as("quantity"), col("n").as("n_rows"),
+          col("s").as("n_returned"),
+          (col("s").cast("double") / col("n").cast("double"))
+            .as("raw_rate"),
+          col("isotonic_rate"))
+        .orderBy("quantity")
+    },
+    Some("""WITH lv AS (
+              SELECT CAST(l_quantity AS INT) AS q,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                              END) AS BIGINT) AS s
+              FROM lineitem GROUP BY 1),
+            pref AS (
+              SELECT q, n, s,
+                     row_number() OVER (ORDER BY q) AS i,
+                     CAST(sum(s) OVER (ORDER BY q) AS BIGINT) AS sp,
+                     CAST(sum(n) OVER (ORDER BY q) AS BIGINT) AS np
+              FROM lv),
+            avgs AS (
+              SELECT j.i AS j, k.i AS k,
+                     CAST(k.sp - (j.sp - j.s) AS DOUBLE)
+                       / CAST(k.np - (j.np - j.n) AS DOUBLE) AS avg_jk
+              FROM pref j JOIN pref k ON j.i <= k.i),
+            inner_min AS (
+              SELECT p.i, p.q, p.n, p.s, a.j, min(a.avg_jk) AS mn
+              FROM pref p JOIN avgs a ON a.j <= p.i AND a.k >= p.i
+              GROUP BY 1, 2, 3, 4, 5)
+            SELECT q AS quantity, n AS n_rows, s AS n_returned,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+                   max(mn) AS isotonic_rate
+            FROM inner_min GROUP BY 1, 2, 3, 4
+            ORDER BY quantity"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30, m31, m32, m33)
+      m27, m28, m29, m30, m31, m32, m33, m34)
 }

@@ -19,6 +19,8 @@ case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 case class HoltOut(user_id: Long, event_id: Long, level: Double, trend: Double,
     forecast: Double)
 
+case class HwOut(user_id: Long, event_id: Long, level: Double,
+  seasonal: Double, forecast: Double)
 case class CusumOut(user_id: Long, event_id: Long, cusum: Double,
     alarm: Boolean)
 
@@ -371,5 +373,61 @@ object SequentialQueries {
                    s > CAST(256 AS DOUBLE) AS alarm
             FROM rec ORDER BY user_id, event_id"""))
 
-  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20, w21)
+  /** W27 (X202, beyond the reference): HOLT–WINTERS additive seasonal
+    * smoothing per user — the triple-exponential forecaster that
+    * completes the smoothing family (w19 EWMA → w20 Holt → this),
+    * with a period-4 seasonal ring. Same task-local typed fold as its
+    * siblings, distributed across users; constants α=0.25, β=0.5,
+    * γ=0.125 are exact binary doubles and the recursive-CTE oracle
+    * carries the seasonal ring as a LIST column updated in the
+    * IDENTICAL op order — bit-for-bit hash match, no tolerance.
+    */
+  private val w27 = Q(
+    "w27_holt_winters",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rows = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .select(col("user_id").as("key"), col("rn"),
+          col("event_id").as("id"), col("value").as("v"))
+        .as[EwmaRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rn)
+          val hw = Sequential.holtWinters(sorted.map(_.v), 4,
+            0.25, 0.75, 0.5, 0.5, 0.125, 0.875)
+          sorted.iterator.zip(hw.iterator).map { case (r, (l, sn, f)) =>
+            HwOut(key, r.id, l, sn, f)
+          }
+        }
+        .toDF()
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn, value AS lnew,
+                     CAST(0 AS DOUBLE) AS bnew,
+                     CAST(0 AS DOUBLE) AS snew,
+                     [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                      CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)] AS ring
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT bb.user_id, bb.event_id, bb.rn,
+                     0.25 * (bb.value - r.ring[1])
+                       + 0.75 * (r.lnew + r.bnew) AS ln2,
+                     0.5 * (ln2 - r.lnew) + 0.5 * r.bnew AS bn2,
+                     0.125 * (bb.value - ln2) + 0.875 * r.ring[1] AS sn2,
+                     r.ring[2:4] || [sn2] AS ring2
+              FROM rec r JOIN base bb
+                ON bb.user_id = r.user_id AND bb.rn = r.rn + 1)
+            SELECT user_id, event_id, lnew AS level, snew AS seasonal,
+                   lnew + bnew + ring[1] AS forecast
+            FROM rec ORDER BY user_id, event_id"""))
+
+  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20, w21, w27)
 }

@@ -23,6 +23,56 @@ class PropertySpec extends AnyFunSuite {
   private def refTopK(xs: List[(Long, Double)], k: Int): Seq[(Long, Double)] =
     xs.sortBy { case (id, v) => (-v, id) }.take(k)
 
+  // ---- m34 isotonic minimax characterization --------------------------
+  // The m34 registry row computes fit_i = max_{j<=i} min_{k>=i}
+  // avg(y[j..k]) in SQL. This property proves that closed form IS the
+  // pool-adjacent-violators solution, for arbitrary level tables.
+
+  private def minimaxFit(s: Array[Long], n: Array[Long]): Array[Double] = {
+    val m = s.length
+    val sp = s.scanLeft(0L)(_ + _) // exclusive prefix sums
+    val np = n.scanLeft(0L)(_ + _)
+    def avg(j: Int, k: Int): Double = // inclusive levels j..k (0-based)
+      (sp(k + 1) - sp(j)).toDouble / (np(k + 1) - np(j)).toDouble
+    Array.tabulate(m)(i =>
+      (0 to i).map(j => (i until m).map(k => avg(j, k)).min).max)
+  }
+
+  private def pavFit(s: Array[Long], n: Array[Long]): Array[Double] = {
+    // classic pool-adjacent-violators on (sum, weight) blocks
+    case class Block(var s: Long, var n: Long, var len: Int) {
+      def avg: Double = s.toDouble / n.toDouble
+    }
+    val st = scala.collection.mutable.Stack[Block]()
+    for (i <- s.indices) {
+      var b = Block(s(i), n(i), 1)
+      while (st.nonEmpty && st.top.avg >= b.avg) {
+        val t = st.pop()
+        b = Block(t.s + b.s, t.n + b.n, t.len + b.len)
+      }
+      st.push(b)
+    }
+    st.toList.reverse.flatMap(b => List.fill(b.len)(b.avg)).toArray
+  }
+
+  private val levelTables: Gen[(Array[Long], Array[Long])] = for {
+    m <- Gen.choose(1, 12)
+    ns <- Gen.listOfN(m, Gen.choose(1L, 20L))
+    ss <- Gen.sequence[List[Long], Long](
+      ns.map(nn => Gen.choose(0L, nn)))
+  } yield (ss.toArray, ns.map(identity).toArray)
+
+  test("m34 minimax closed form equals pool-adjacent-violators, and is " +
+      "nondecreasing, for arbitrary level tables") {
+    check(Prop.forAll(levelTables) { case (ss, ns) =>
+      val mm = minimaxFit(ss, ns)
+      val pav = pavFit(ss, ns)
+      val equal = mm.zip(pav).forall { case (a, b) => math.abs(a - b) < 1e-12 }
+      val monotone = mm.zip(mm.drop(1)).forall { case (a, b) => a <= b }
+      equal && monotone
+    })
+  }
+
   test("TopKAggregator: reduce over any order equals sort-take reference") {
     val agg = new TopKAggregator(3)
     check(Prop.forAll(rows) { xs0 =>

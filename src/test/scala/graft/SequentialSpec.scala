@@ -78,6 +78,33 @@ class SequentialSpec extends AnyFunSuite {
     }
   }
 
+  test("holtWinters degenerates to holt when the data has no " +
+      "seasonal signal and gamma keeps the ring near zero") {
+    // constant series: level locks to the value, trend 0, seasonal 0
+    val out = Sequential.holtWinters(IndexedSeq.fill(12)(7.5), 4,
+      0.25, 0.75, 0.5, 0.5, 0.125, 0.875)
+    val (l0, s0, f0) = out.head
+    assert(l0 == 7.5 && s0 == 0.0 && f0 == 7.5)
+    // the seasonal pulls a share of the constant level into the ring,
+    // but level + seasonal must converge to the value
+    val (l, sn, f) = out.last
+    assert(math.abs((l + sn) - 7.5) < 0.5, s"level $l seasonal $sn")
+    assert(math.abs(f - (l)) < 7.5, s"forecast $f")
+  }
+
+  test("holtWinters learns a pure period-4 seasonal pattern") {
+    // y = 100 + (10, 0, -10, 0) repeating: after convergence the
+    // one-step forecast must track the upcoming phase, not the mean
+    val pat = IndexedSeq(10.0, 0.0, -10.0, 0.0)
+    val xs = IndexedSeq.tabulate(400)(t => 100.0 + pat(t % 4))
+    val out = Sequential.holtWinters(xs, 4,
+      0.25, 0.75, 0.5, 0.5, 0.125, 0.875)
+    // forecast at step t predicts x_{t+1}
+    val errs = (360 until 399).map(t => math.abs(out(t)._3 - xs(t + 1)))
+    assert(errs.max < 1.0,
+      s"converged one-step error should be small, got ${errs.max}")
+  }
+
   test("cusum accumulates drift above k, clamps at zero, and alarms") {
     // k=2, h=3: x=(5,1,1,6) -> S = (3, 2, 1, 5); alarms at 3>3? no, 5>3 yes
     val out = Sequential.cusum(IndexedSeq(5.0, 1.0, 1.0, 6.0), 2.0, 3.0)
