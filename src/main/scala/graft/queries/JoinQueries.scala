@@ -558,7 +558,106 @@ object JoinQueries {
                      AS sum_ref_cents
             FROM m GROUP BY 1 ORDER BY 1"""))
 
+  /** J16 (X204, beyond the reference): FORWARD AS-OF JOIN WITH
+    * TOLERANCE — each click matched to the FIRST purchase at-or-after
+    * it, attributed only when the gap is within 30 minutes (the
+    * `merge_asof(direction='forward', tolerance=...)` contract, the
+    * mirror of j15's backward as-of). Same scale design as j15: the
+    * as-of match is NOT a range join — purchases and clicks union into
+    * one tagged stream, ONE shuffle on user_id, and a
+    * first-non-null-over-FOLLOWING window resolves each click's next
+    * purchase by sort order inside the partition; the tolerance is a
+    * post-window filter. The oracle replays the naive
+    * range-join + rank-1 plan — exactly what this composition avoids.
+    * Purchases are deduped to one per (user, µs) (min event_id) so the
+    * "first at-or-after" witness is unique and the hash deterministic.
+    */
+  private val j16 = Q(
+    "j16_asof_forward_tolerance",
+    (s, dir) => {
+      val tolUs = 30L * 60L * 1000000L
+      val ev = Tables.load(s, dir, "events")
+      val wDedup = Window.partitionBy("user_id", "us")
+        .orderBy(col("event_id").asc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+      val tagged = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(0).as("side"), lit(null).cast("long").as("p_eid"),
+          lit(null).cast("long").as("p_us"),
+          lit(null).cast("long").as("p_cents"))
+        .unionByName(purchases
+          .select(col("user_id"), col("us"), lit(1).as("side"),
+            col("event_id").as("p_eid"), col("us").as("p_us"),
+            col("cents").as("p_cents")))
+      // clicks sort BEFORE the same-microsecond purchase (side 0 < 1),
+      // so "at-or-after" includes a purchase at the exact click time
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("side"), col("p_eid"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val matched = tagged
+        .withColumn("ref_eid",
+          first(col("p_eid"), ignoreNulls = true).over(wf))
+        .withColumn("ref_us",
+          first(col("p_us"), ignoreNulls = true).over(wf))
+        .withColumn("ref_cents",
+          first(col("p_cents"), ignoreNulls = true).over(wf))
+        .filter(col("side") === 0)
+        .withColumn("gap", col("ref_us") - col("us"))
+        .withColumn("within",
+          col("ref_eid").isNotNull && col("gap") <= tolUs)
+      matched.groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("ref_eid")).as("n_matched"),
+          sum(when(col("within"), 1L).otherwise(0L)).as("n_within_tol"),
+          coalesce(sum(when(col("within"), col("gap"))), lit(0L))
+            .as("sum_gap_us"),
+          coalesce(sum(when(col("within"), col("ref_cents"))), lit(0L))
+            .as("sum_ref_cents"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p0 AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id, ts
+                       ORDER BY event_id ASC) AS rn
+              FROM events WHERE event_type = 'purchase'),
+            p AS (SELECT user_id, event_id, us, cents
+                  FROM p0 WHERE rn = 1),
+            c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                  FROM events WHERE event_type = 'click'),
+            cand AS (
+              SELECT c.user_id, c.event_id AS c_eid, c.us,
+                     p.us AS ref_us, p.cents AS ref_cents,
+                     p.event_id AS ref_eid,
+                     row_number() OVER (PARTITION BY c.user_id, c.event_id
+                       ORDER BY p.us, p.event_id) AS rn
+              FROM c JOIN p
+                ON c.user_id = p.user_id AND p.us >= c.us),
+            m AS (SELECT * FROM cand WHERE rn = 1),
+            full0 AS (
+              SELECT c.user_id, c.event_id, c.us,
+                     m.ref_eid, m.ref_us, m.ref_cents,
+                     m.ref_us - c.us AS gap,
+                     m.ref_eid IS NOT NULL
+                       AND m.ref_us - c.us <= 1800000000 AS within
+              FROM c LEFT JOIN m
+                ON c.user_id = m.user_id AND c.event_id = m.c_eid)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+                   CAST(count(ref_eid) AS BIGINT) AS n_matched,
+                   CAST(sum(CASE WHEN within THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_within_tol,
+                   CAST(coalesce(sum(CASE WHEN within THEN gap END), 0)
+                     AS BIGINT) AS sum_gap_us,
+                   CAST(coalesce(sum(CASE WHEN within THEN ref_cents END),
+                     0) AS BIGINT) AS sum_ref_cents
+            FROM full0 GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13, j14,
-      j15)
+      j15, j16)
 }

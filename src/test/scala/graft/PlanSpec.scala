@@ -379,4 +379,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 2, s"expected 2 shuffles, got $n\n" + p.take(3000))
   }
+
+  test("j16 forward as-of with tolerance keeps the j15 no-join shape " +
+      "(windows over one user shuffle, tolerance as a filter)") {
+    val p = plan("j16_asof_forward_tolerance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("BroadcastHashJoin"), p.take(3000))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 shuffles, got $n\n" + p.take(3000))
+  }
 }
