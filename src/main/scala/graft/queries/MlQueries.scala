@@ -2530,8 +2530,77 @@ object MlQueries {
             FROM inner_min GROUP BY 1, 2, 3, 4
             ORDER BY quantity"""))
 
+  /** M35 (X205, beyond the reference): MATTHEWS CORRELATION COEFFICIENT
+    * for the binary is-English classifier — the chance-robust single
+    * number for imbalanced confusion matrices (completing the
+    * classification-metrics family: m16 P/R/F1, m19 kappa, m24 AUC,
+    * m29 McNemar). TP/FP/FN/TN come from ONE map-side-combined pass;
+    * MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is exact
+    * integer arithmetic up to the final √ (IEEE sqrt is correctly
+    * rounded on both engines — the m31 device) and ONE division, so
+    * the row hash-matches unrounded.
+    */
+  private val m35 = Q(
+    "m35_matthews_corrcoef",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+      val cells = Tables.load(s, dir, "documents")
+        .withColumn("s_en",
+          size(filter(toks, x => x.isInCollection(
+            graft.ops.Corpus.langMarkers(0)._2))))
+        .withColumn("s_es",
+          size(filter(toks, x => x.isInCollection(
+            graft.ops.Corpus.langMarkers(1)._2))))
+        .withColumn("s_fr",
+          size(filter(toks, x => x.isInCollection(
+            graft.ops.Corpus.langMarkers(2)._2))))
+        .select(
+          (col("lang") === "en").as("t"),
+          // STRICT wins: the >= tie rule (m16's multiclass device)
+          // predicts positive for every zero-marker doc here, zeroing
+          // the TN/FN margin and making MCC undefined
+          (col("s_en") > col("s_es") && col("s_en") > col("s_fr"))
+            .as("p"))
+        .agg(
+          sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("tn"))
+      cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") * col("tn") - col("fp") * col("fn")).cast("double")
+          / sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn"))
+            * (col("tn") + col("fp")) * (col("tn") + col("fn")))
+            .cast("double"))).as("mcc"))
+    },
+    Some("""WITH scored AS (
+              SELECT lang = 'en' AS t,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('the','a','and','of'))) AS s_en,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('el','la','de','que'))) AS s_es,
+                len(list_filter(list_filter(string_split(lower(text), ' '),
+                  x -> x <> ''), x -> x IN ('le','les','et','de'))) AS s_fr
+              FROM documents),
+            cells AS (
+              SELECT
+                CAST(sum(CASE WHEN t AND s_en > s_es AND s_en > s_fr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN NOT t AND s_en > s_es AND s_en > s_fr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN t AND NOT (s_en > s_es AND s_en > s_fr)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN NOT t
+                              AND NOT (s_en > s_es AND s_en > s_fr)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM scored)
+            SELECT tp, fp, fn, tn,
+                   CAST(tp * tn - fp * fn AS DOUBLE)
+                   / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                     AS DOUBLE)) AS mcc
+            FROM cells"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30, m31, m32, m33, m34)
+      m27, m28, m29, m30, m31, m32, m33, m34, m35)
 }

@@ -741,7 +741,86 @@ object WindowQueries {
             FROM det d JOIN seas s USING (hod)
             ORDER BY d.hr"""))
 
+  /** W28 (X206, beyond the reference): BINARY-SEGMENTATION CHANGEPOINT —
+    * per user, the single best split of the value sequence: the t
+    * maximizing the between-segments sum-of-squares
+    * n₁n₂(μ₁−μ₂)²/n = (n·S_t − t·S_n)² / (t·(n−t)·n) — the first step
+    * of the classical binary-segmentation changepoint detector (and the
+    * F-statistic numerator of a one-way two-group ANOVA at every t).
+    * Determinism: values in exact integer cents, prefix sums S_t via
+    * one window pass, d = n·S_t − t·S_n an EXACT int64 (≤ 2^45 here);
+    * the statistic is d²/(t(n−t)) evaluated as one double multiply +
+    * one division in pinned order (d² may exceed 2^53 — then it is the
+    * same correctly-rounded product on both engines), and the argmax is
+    * a row_number under the TOTAL order (stat desc, t asc) — so the
+    * winning split, not just its score, is hash-stable. One shuffle on
+    * user_id; candidates stay inside their partition.
+    */
+  private val w28 = Q(
+    "w28_binseg_changepoint",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = Tables.load(s, dir, "events")
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("t", row_number().over(wOrd))
+        .withColumn("st", sum("c").over(wOrd))
+      val wAll = Window.partitionBy("user_id")
+      val cand = base
+        .withColumn("n", max("t").over(wAll))
+        .withColumn("sn", max(struct(col("t"), col("st"))).over(wAll)
+          .getField("st"))
+        .filter(col("t") < col("n"))
+        .withColumn("d", col("n") * col("st") - col("t") * col("sn"))
+        .withColumn("stat",
+          (col("d").cast("double") * col("d").cast("double"))
+            / (col("t") * (col("n") - col("t"))).cast("double"))
+      val wPick = Window.partitionBy("user_id")
+        .orderBy(col("stat").desc, col("t").asc)
+      cand.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("n").cast("long").as("n"),
+          col("t").cast("long").as("split_t"),
+          (col("st").cast("double") / col("t").cast("double"))
+            .as("mean_left"),
+          ((col("sn") - col("st")).cast("double")
+            / (col("n") - col("t")).cast("double")).as("mean_right"),
+          col("stat"))
+        .orderBy("user_id")
+    },
+    Some("""WITH base AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS c,
+                     row_number() OVER w AS t,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                       OVER w AS BIGINT) AS st
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tot AS (
+              SELECT user_id, CAST(max(t) AS BIGINT) AS n,
+                     CAST(max_by(st, t) AS BIGINT) AS sn
+              FROM base GROUP BY 1),
+            cand AS (
+              SELECT b.user_id, b.t, b.st, o.n, o.sn,
+                     o.n * b.st - b.t * o.sn AS d
+              FROM base b JOIN tot o USING (user_id)
+              WHERE b.t < o.n),
+            scored AS (
+              SELECT user_id, t, st, n, sn,
+                     (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+                       / CAST(t * (n - t) AS DOUBLE) AS stat,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+                         / CAST(t * (n - t) AS DOUBLE) DESC, t ASC) AS rk
+              FROM cand)
+            SELECT user_id, n, t AS split_t,
+                   CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS mean_left,
+                   CAST(sn - st AS DOUBLE) / CAST(n - t AS DOUBLE)
+                     AS mean_right,
+                   stat
+            FROM scored WHERE rk = 1
+            ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26)
+      w22, w23, w24, w25, w26, w28)
 }
