@@ -1479,6 +1479,44 @@ object EventQueries {
                    / CAST(n * n * ss - n * s * s AS DOUBLE) AS acf
             FROM agg, gmom ORDER BY 1"""))
 
+  /** E33 (X208, beyond the reference): BEHAVIORAL TRIGRAM MINING — the
+    * top-15 most common 3-step event-type journeys across all users
+    * (the sequence-pattern summary behind funnel DISCOVERY, where e12
+    * checks a KNOWN funnel and e26 stops at pairwise transitions).
+    * Two lead() columns over each user's time-ordered stream build the
+    * trigrams in one window pass — no self-joins, no explode of
+    * per-user histories — then one global count and a top-15 under the
+    * TOTAL order (count desc, trigram asc) so the cutoff is
+    * deterministic. Scale: |events| rows through one user-keyed
+    * shuffle + a 125-key aggregate (|event_types|³ bound).
+    */
+  private val e33 = Q(
+    "e33_event_trigrams",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(15)
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE t3 IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, trigram LIMIT 15"""))
+
   /** The 12 rows that execute REAL Structured Streaming micro-batches
     * (memory/foreachBatch sinks, checkpoints, watermark eviction). Their
     * wall-time is streaming-machinery latency, not engine throughput, so
@@ -1495,6 +1533,6 @@ object EventQueries {
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31, e32)
+      e29, e30, e31, e32, e33)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }

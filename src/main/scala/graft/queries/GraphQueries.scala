@@ -68,7 +68,24 @@ object GraphQueries {
     * fan-outs. Packing (u<<32)|v is exact for ids < 2^32 (part keys
     * here are ≤ 2·10^4; Spark ANSI would fail loudly on overflow).
     */
-  private def triangleCount(s: SparkSession, orientedE: DataFrame): DataFrame = {
+  /** Edge sets up to this many rows join as an explicit broadcast
+    * (packed longs: 4M ≈ 32 MB payload); bigger graphs fall back to a
+    * plain equi-join and let Catalyst/AQE pick the strategy. The wedge
+    * ScaleProbe found the cliff: at 8× sf0.1 (9.6M edges) the forced
+    * broadcast turned g3 from ~10 s into 77 s, while the probe-side
+    * equi-join stays linear. Size-aware, not hardcoded: the choice
+    * keys off the actual materialized edge count.
+    */
+  private val broadcastEdgeLimit = 4000000L
+
+  private def joinEdgeSet(left: DataFrame, edgePk: DataFrame,
+      nEdges: Long, joinType: String): DataFrame =
+    if (nEdges <= broadcastEdgeLimit)
+      left.join(broadcast(edgePk), Seq("pk"), joinType)
+    else left.join(edgePk, Seq("pk"), joinType)
+
+  private def triangleCount(s: SparkSession, orientedE: DataFrame,
+      nEdges: Long): DataFrame = {
     import s.implicits._
     val wedgePk = orientedE
       .groupBy("src")
@@ -93,7 +110,7 @@ object GraphQueries {
       .toDF("pk")
     val edgePk = orientedE
       .select(shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("pk"))
-    wedgePk.join(broadcast(edgePk), Seq("pk"))
+    joinEdgeSet(wedgePk, edgePk, nEdges, "inner")
       .agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -247,7 +264,7 @@ object GraphQueries {
       val oriented = orientedEdges(e0, deg)
       val nNodes = deg.count()
       val nEdges = e0.count()
-      triangleCount(s, oriented)
+      triangleCount(s, oriented, nEdges)
         .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
           col("n_triangles"))
     },
@@ -397,11 +414,12 @@ object GraphQueries {
       // the partial+final pair run AFTER the exchange on co-located
       // small partitions: 65 s → 12 s at sf0.1. 2× parallelism keeps
       // per-partition group counts ~1M at any executor count.
-      pairPk
-        .repartition(s.sparkContext.defaultParallelism * 2, col("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("common_neighbors"))
-        .filter(col("common_neighbors") >= 2)
-        .join(broadcast(edgePk), Seq("pk"), "left_anti")
+      joinEdgeSet(
+        pairPk
+          .repartition(s.sparkContext.defaultParallelism * 2, col("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("common_neighbors"))
+          .filter(col("common_neighbors") >= 2),
+        edgePk, e0.count(), "left_anti")
         .select(shiftright(col("pk"), 32).as("p1"),
           col("pk").bitwiseAND(lit(0xffffffffL)).as("p2"),
           col("common_neighbors"))
@@ -441,7 +459,7 @@ object GraphQueries {
       val deg = degrees(e0)
       val wedgeCount = deg.agg(
         sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
-      triangleCount(s, orientedEdges(e0, deg))
+      triangleCount(s, orientedEdges(e0, deg), e0.count())
         .crossJoin(broadcast(wedgeCount))
         .select(col("n_wedges"), col("n_triangles"),
           ((lit(3L) * col("n_triangles")).cast("double") /

@@ -1036,7 +1036,77 @@ object RelationalQueries {
             GROUP BY c.flag
             ORDER BY c.flag"""))
 
+  /** DQ7 (X207, beyond the reference): CROSS-TABLE AGGREGATE
+    * RECONCILIATION — does each order header's o_totalprice agree with
+    * the sum of its line items' discounted+taxed extended prices? The
+    * classic warehouse audit ("do the fact and the rollup still tie
+    * out?"), reported per order priority: order count, headers with NO
+    * lines at all, headers within 1% of their recomputed total, and
+    * the max/total absolute discrepancy. All money in exact integer
+    * cents; the 1% gate compared in INTEGERS (100·|diff| ≤ total — the
+    * dq6 device) so the boundary can't wobble in FP. This synthetic
+    * fixture is deliberately unreconciled — the report QUANTIFIES that
+    * (which is exactly what the audit is for); on a consistent TPC-H
+    * load the same query returns all-green. One lineitem rollup
+    * shuffle + one header join, both on o_orderkey.
+    */
+  private val dq7 = Q(
+    "dq7_total_reconciliation",
+    (s, dir) => {
+      // floor(x+0.5), not round(): the recomputed line total is an
+      // arbitrary-decimal double product, and Spark round (HALF_UP)
+      // vs DuckDB round (half-even) could split on an exact half —
+      // floor(+0.5) is the same HALF_UP on both engines
+      val li = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100 + lit(0.5)).cast("long"))
+          .as("line_cents"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("diff",
+          when(col("line_cents").isNotNull,
+            abs(col("hdr_cents") - col("line_cents"))))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("line_cents").isNull, 1L).otherwise(0L))
+            .as("n_no_lines"),
+          sum(when(col("diff") * 100 <= col("hdr_cents"), 1L)
+            .otherwise(0L)).as("n_within_1pct"),
+          coalesce(max("diff"), lit(0L)).as("max_abs_diff_cents"),
+          coalesce(sum("diff"), lit(0L)).as("sum_abs_diff_cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH li AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                       * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS line_cents
+              FROM lineitem GROUP BY 1),
+            o AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents
+              FROM orders),
+            j AS (
+              SELECT o.o_orderpriority, o.hdr_cents, li.line_cents,
+                     CASE WHEN li.line_cents IS NOT NULL
+                          THEN abs(o.hdr_cents - li.line_cents) END AS diff
+              FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_no_lines,
+                   CAST(sum(CASE WHEN diff * 100 <= hdr_cents THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_within_1pct,
+                   CAST(coalesce(max(diff), 0) AS BIGINT)
+                     AS max_abs_diff_cents,
+                   CAST(coalesce(sum(diff), 0) AS BIGINT)
+                     AS sum_abs_diff_cents
+            FROM j GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6)
+      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6, dq7)
 }

@@ -81,5 +81,39 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(latSql) },
     Some(latSql))
 
-  def all: Seq[Q] = Seq(sql1, sql2)
+  /** X209: SQL-STANDARD PIVOT clause — the third shared-string surface
+    * row (after recursion and LATERAL): `FROM ... PIVOT (agg [AS a]...
+    * FOR col IN (v AS alias, ...))` with TWO aggregates per cell, the
+    * spreadsheet-shaped rollup analysts write directly in SQL (a6
+    * proves the DataFrame pivot; this proves the SQL spelling parses
+    * and executes identically on both engines, including the
+    * `{value}_{aggAlias}` output-column naming convention). Money in
+    * exact integer cents; the outer SELECT pins every aggregate to
+    * BIGINT because DuckDB's sum(BIGINT) widens to HUGEINT (the
+    * check.py dtype gotcha) while Spark stays long.
+    */
+  private val pivotSql = """
+    SELECT o_orderpriority,
+           CAST(o_n AS BIGINT) AS o_n,
+           CAST(o_sum_cents AS BIGINT) AS o_sum_cents,
+           CAST(f_n AS BIGINT) AS f_n,
+           CAST(f_sum_cents AS BIGINT) AS f_sum_cents,
+           CAST(p_n AS BIGINT) AS p_n,
+           CAST(p_sum_cents AS BIGINT) AS p_sum_cents
+    FROM (
+      SELECT * FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      PIVOT (
+        count(*) AS n, sum(cents) AS sum_cents
+        FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)))
+    ORDER BY o_orderpriority"""
+
+  private val sql3 = Q(
+    "sql3_pivot_clause",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(pivotSql) },
+    Some(pivotSql))
+
+  def all: Seq[Q] = Seq(sql1, sql2, sql3)
 }
