@@ -193,6 +193,39 @@ object Sequential {
     out.toIndexedSeq
   }
 
+  /** 1-D local-level Kalman filter (random-walk state, scalar
+    * observation). Classic predict/update with process variance q and
+    * observation variance r:
+    *   pp = P + q                      (predicted variance)
+    *   K  = pp / (pp + r)              (gain)
+    *   x' = x + K*(z − x)              (filtered estimate)
+    *   P' = (1 − K) * pp               (posterior variance)
+    * First observation initializes x = z, K = 1, P = 1 by convention
+    * (a diffuse prior collapsed onto the first reading). Every step is
+    * one IEEE division plus correctly-rounded add/multiply; the CTE
+    * oracle replays the IDENTICAL op order via DuckDB lateral column
+    * aliases, so (xhat, gain, p) are bit-stable cross-engine.
+    * Returns (xhat, gain, p) per input.
+    */
+  def kalman1d(xs: IndexedSeq[Double], q: Double, r: Double)
+      : IndexedSeq[(Double, Double, Double)] = {
+    if (xs.isEmpty) return IndexedSeq.empty
+    val out = Array.ofDim[(Double, Double, Double)](xs.length)
+    var x = xs(0)
+    var p = 1.0
+    out(0) = (x, 1.0, p)
+    var i = 1
+    while (i < xs.length) {
+      val pp = p + q
+      val k = pp / (pp + r)
+      x = x + k * (xs(i) - x)
+      p = (1.0 - k) * pp
+      out(i) = (x, k, p)
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
   /** One-sided positive CUSUM drift detector: S_t = max(0, S_{t-1} +
     * (x_t - k)), alarm when S_t > h. Page's classic sequential
     * change-point statistic. Op order (add the deviation, THEN clamp)

@@ -1216,7 +1216,95 @@ object DedupQueries {
              WHERE round(shared * 1.0 / (na + nb - shared), 4) >= 0.5
              ORDER BY 1, 2"""))
 
+  /** X215 d19: WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm) — the fourth candidate-generation family, and the
+    * one with a POSITIONAL guarantee the others lack: any shared run
+    * of ≥ w+k−1 tokens (here 6) is detected with certainty, because
+    * every length-w window of k-gram hashes contributes its minimum.
+    * Hashes are md5 hex compared lexicographically (the repo's
+    * order-isomorphic device), the window-min selection runs
+    * task-locally in one mapPartitions pass (same cost envelope as the
+    * MinHash signature build: embarrassingly parallel, ~|doc| work,
+    * no shuffle), and only the selected fingerprints — a provably
+    * 2/(w+1)-density subset — reach the candidate equi-join. Pairs
+    * sharing ≥2 fingerprints report winnow-containment
+    * shared/min(nfp), the MOSS report statistic.
+    */
+  private val d19 = Q(
+    "d19_winnowing",
+    (s, dir) => {
+      import s.implicits._
+      val ex = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md5 = graft.ops.Hashing.newMd5()
+          it.flatMap { case (id, text) =>
+            val toks = text.split(" ").filter(_.nonEmpty)
+            if (toks.length < 3) Iterator.empty
+            else {
+              val hs = toks.sliding(3).map(g => md5.hex(g.mkString(" ")))
+                .toArray
+              val fps: Set[String] =
+                if (hs.length <= 4) Set(hs.min)
+                else (0 to hs.length - 4).map { i =>
+                  var m = hs(i)
+                  var j = i + 1
+                  while (j < i + 4) {
+                    if (hs(j) < m) m = hs(j); j += 1
+                  }
+                  m
+                }.toSet
+              val n = fps.size
+              fps.iterator.map(fp => ShingleRow(id, n, fp))
+            }
+          }
+        }
+        .toDF()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("nfp_a"),
+        col("sh").as("fp"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nfp_b"),
+        col("sh").as("fp"))
+      a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "nfp_a", "nfp_b")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .withColumn("containment", round(col("shared").cast("double")
+          / least(col("nfp_a"), col("nfp_b")), 4))
+        .select("doc_a", "doc_b", "nfp_a", "nfp_b", "shared", "containment")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(0, len(tk) - 2),
+                       j -> md5(tk[j+1] || ' ' || tk[j+2] || ' ' || tk[j+3]))
+                       AS hs
+              FROM t WHERE len(tk) >= 3),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                          ELSE list_distinct(list_transform(
+                            range(0, len(hs) - 3),
+                            i -> list_min(hs[i+1:i+4]))) END AS fps
+              FROM g),
+            ex AS (
+              SELECT doc_id, len(fps) AS nfp, unnest(fps) AS fp FROM f)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.nfp AS nfp_a, b.nfp AS nfp_b,
+                   CAST(count(*) AS BIGINT) AS shared,
+                   round(count(*) * 1.0 / least(a.nfp, b.nfp), 4)
+                     AS containment
+            FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+            HAVING count(*) >= 2
+            ORDER BY 1, 2"""))
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18)
+      d16, d17, d18, d19)
 }

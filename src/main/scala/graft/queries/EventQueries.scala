@@ -1530,9 +1530,72 @@ object EventQueries {
     "e20_stream_dedup_equiv", "e21_stream_static_enrich",
     "e23_stream_rate_limit", "e24_stream_stream_left_outer")
 
+  /** E34 (X213, beyond the reference): TIME-TO-CONVERT distribution —
+    * per user, latency from the FIRST view to the first purchase
+    * STRICTLY after it, summarized as exact-integer order statistics.
+    * The quantiles are DISCRETE (the rank-⌈n/2⌉ and rank-⌈9n/10⌉
+    * elements under the total order (delta, user_id)) so no
+    * interpolation arithmetic exists to diverge cross-engine; indices
+    * are computed with integer division only. Mean is ONE division of
+    * exact BIGINT Σdelta. Scale: both event scans prune on event_type
+    * at the parquet level; the rank runs over the PRE-AGGREGATED
+    * one-row-per-converting-user table (the m33 Gini device), never
+    * the raw event log.
+    */
+  private val e34 = Q(
+    "e34_time_to_convert",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val deltas = ev.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter(col("us") > col("v_us"))
+        .groupBy("user_id")
+        .agg((min("us") - min("v_us")).as("delta"))
+      val wRank = Window.orderBy(col("delta"), col("user_id"))
+      deltas
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .agg(count(lit(1)).as("n_users"),
+          min("delta").as("min_us"),
+          max(when(col("rk") === expr("(n + 1) div 2"), col("delta")))
+            .as("p50_us"),
+          max(when(col("rk") === expr("(9 * n + 9) div 10"), col("delta")))
+            .as("p90_us"),
+          max("delta").as("max_us"),
+          (sum("delta").cast("double") / count(lit(1)).cast("double"))
+            .as("mean_us"))
+    },
+    Some("""WITH fv AS (
+              SELECT user_id, min(epoch_us(ts)) AS v_us
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            d AS (
+              SELECT e.user_id,
+                     min(epoch_us(e.ts)) - min(fv.v_us) AS delta
+              FROM events e JOIN fv USING (user_id)
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v_us
+              GROUP BY e.user_id),
+            rk AS (
+              SELECT delta,
+                     row_number() OVER (ORDER BY delta, user_id) AS rk,
+                     count(*) OVER () AS n
+              FROM d)
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   min(delta) AS min_us,
+                   max(CASE WHEN rk = (n + 1) // 2 THEN delta END) AS p50_us,
+                   max(CASE WHEN rk = (9 * n + 9) // 10 THEN delta END)
+                     AS p90_us,
+                   max(delta) AS max_us,
+                   CAST(sum(delta) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS mean_us
+            FROM rk"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31, e32, e33)
+      e29, e30, e31, e32, e33, e34)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }

@@ -826,6 +826,78 @@ object PipelineQueries {
                    CAST(list_max(ps) AS INT) AS max_px
             FROM px ORDER BY doc_id"""))
 
+  /** X214 pl6: temperature-scaled language-mixture construction — the
+    * multilingual data-balancing step (sampling share ∝ n^τ, τ=1/2,
+    * the mT5/XLM-R recipe that up-weights low-resource languages).
+    * Weights are INTEGER floor-sqrt of the language counts, so the
+    * whole target computation is exact integer arithmetic (no
+    * float-sum-order hazard in the normalizer); per-language selection
+    * is the p10/p11 deterministic md5-order device — rank docs by
+    * (md5(text), doc_id) inside each language and keep the first
+    * target_n, reproducible across engines, runs, and partitionings.
+    * Achieved share is ONE division off the 5-row result. Scale: one
+    * count pass + one rank shuffle on lang (skew-free: rank within a
+    * language can two-phase to (lang, hash-prefix) buckets if one
+    * language dominates); selection is a broadcast-size join of the
+    * per-lang targets against the ranked scan.
+    */
+  private val pl6 = Q(
+    "pl6_temperature_mixture",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("text"))
+      val targets = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_int",
+          floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+        .withColumn("target_n",
+          expr("(200 * w_int) div sum(w_int) over ()"))
+      val ranked = docs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))))
+      ranked.join(broadcast(targets), Seq("lang"))
+        .filter(col("rk") <= col("target_n"))
+        .groupBy("lang")
+        .agg(min("n_docs").as("n_docs"), min("w_int").as("w_int"),
+          min("target_n").as("target_n"),
+          count(lit(1)).as("n_sampled"),
+          sum("doc_id").as("sum_doc_id"))
+        .withColumn("achieved_share",
+          col("n_sampled").cast("double")
+            / sum("n_sampled").over(Window.partitionBy(lit(1)))
+              .cast("double"))
+        .orderBy("lang")
+    },
+    Some("""WITH szs AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(floor(sqrt(count(*))) AS BIGINT) AS w_int
+              FROM documents GROUP BY 1),
+            tot AS (
+              SELECT lang, n_docs, w_int,
+                     (200 * w_int) // CAST(sum(w_int) OVER () AS BIGINT)
+                       AS target_n
+              FROM szs),
+            rkd AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(text), doc_id) AS rk
+              FROM documents),
+            sel AS (
+              SELECT r.lang, r.doc_id, t.n_docs, t.w_int, t.target_n
+              FROM rkd r JOIN tot t USING (lang)
+              WHERE r.rk <= t.target_n),
+            agg AS (
+              SELECT lang, min(n_docs) AS n_docs, min(w_int) AS w_int,
+                     min(target_n) AS target_n,
+                     CAST(count(*) AS BIGINT) AS n_sampled,
+                     CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+              FROM sel GROUP BY 1)
+            SELECT lang, n_docs, w_int, target_n, n_sampled, sum_doc_id,
+                   CAST(n_sampled AS DOUBLE)
+                     / CAST(sum(n_sampled) OVER () AS DOUBLE)
+                     AS achieved_share
+            FROM agg ORDER BY lang"""))
+
   def all: Seq[Q] =
-    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7)
+    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6)
 }

@@ -23,6 +23,8 @@ case class HwOut(user_id: Long, event_id: Long, level: Double,
   seasonal: Double, forecast: Double)
 case class CusumOut(user_id: Long, event_id: Long, cusum: Double,
     alarm: Boolean)
+case class KalmanOut(user_id: Long, event_id: Long, xhat: Double,
+    gain: Double, pvar: Double)
 
 /** The three order-sensitive recurrences (SURVEY.md §2.7 W5/W6/W7) as
   * `groupByKey.flatMapGroups` folds over [[graft.ops.Sequential]]'s
@@ -429,5 +431,57 @@ object SequentialQueries {
                    lnew + bnew + ring[1] AS forecast
             FROM rec ORDER BY user_id, event_id"""))
 
-  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20, w21, w27)
+  /** X210 w29: 1-D Kalman filter (local-level model) per user over the
+    * event-value series — the probabilistic cousin of the w19 EWMA
+    * (a Kalman filter with constant gain IS an EWMA; here the gain
+    * adapts as the variance converges). q=0.25, r=1.0 are exact binary
+    * doubles; the gain/estimate/variance recurrence runs ONE division
+    * per step in pinned op order, mirrored literally by the
+    * recursive-CTE oracle (lateral aliases pp → k → xh → p), so all
+    * three outputs hash bit-exact. Scale: one shuffle on user_id, then
+    * task-local typed folds — identical cost envelope to w19/w20/w27.
+    */
+  private val w29 = Q(
+    "w29_kalman_filter",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rows = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .select(col("user_id").as("key"), col("rn"),
+          col("event_id").as("id"), col("value").as("v"))
+        .as[EwmaRow]
+      rows.groupByKey(_.key)
+        .flatMapGroups { (key, it) =>
+          val sorted = it.toIndexedSeq.sortBy(_.rn)
+          val kf = Sequential.kalman1d(sorted.map(_.v), 0.25, 1.0)
+          sorted.iterator.zip(kf.iterator).map { case (r, (x, k, p)) =>
+            KalmanOut(key, r.id, x, k, p)
+          }
+        }
+        .toDF()
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, rn, value AS xh,
+                     CAST(1 AS DOUBLE) AS gain, CAST(1 AS DOUBLE) AS p
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT bb.user_id, bb.event_id, bb.rn,
+                     r.xh + ((r.p + 0.25) / ((r.p + 0.25) + 1.0))
+                       * (bb.value - r.xh) AS xh2,
+                     (r.p + 0.25) / ((r.p + 0.25) + 1.0) AS k2,
+                     (1.0 - (r.p + 0.25) / ((r.p + 0.25) + 1.0))
+                       * (r.p + 0.25) AS p2
+              FROM rec r JOIN base bb
+                ON bb.user_id = r.user_id AND bb.rn = r.rn + 1)
+            SELECT user_id, event_id, xh AS xhat, gain, p AS pvar
+            FROM rec ORDER BY user_id, event_id"""))
+
+  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20, w21, w27, w29)
 }

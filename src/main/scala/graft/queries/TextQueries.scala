@@ -910,7 +910,53 @@ object TextQueries {
             ORDER BY score DESC, word ASC
             LIMIT 20"""))
 
+  /** X212 t19: lexical-diversity profile per source — type-token ratio
+    * and hapax-legomenon rate, the standard corpus-health numbers a
+    * data pipeline tracks to catch template/boilerplate sources (low
+    * TTR) and OCR/noise sources (high hapax rate). All counts are
+    * exact integers off ONE (source, word) aggregate; the two ratios
+    * are single IEEE divisions. Scale: the shuffle carries the
+    * per-source VOCABULARY (map-side partial count collapses repeated
+    * tokens), never the exploded corpus.
+    */
+  private val t19 = Q(
+    "t19_lexical_diversity",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("source", "word")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("types"),
+          sum("cnt").as("tokens"),
+          sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("types"), col("tokens"), col("hapax"),
+          (col("types").cast("double") / col("tokens").cast("double"))
+            .as("ttr"),
+          (col("hapax").cast("double") / col("types").cast("double"))
+            .as("hapax_rate"))
+        .orderBy("source")
+    },
+    Some("""WITH wc AS (
+              SELECT source, word, count(*) AS cnt
+              FROM (SELECT source,
+                      unnest(string_split(lower(text), ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY 1, 2)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS types,
+                   CAST(sum(cnt) AS BIGINT) AS tokens,
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS hapax,
+                   CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                     AS ttr,
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS hapax_rate
+            FROM wc GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18)
+      t16, t17, t18, t19)
 }

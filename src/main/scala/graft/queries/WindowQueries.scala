@@ -820,7 +820,55 @@ object WindowQueries {
             FROM scored WHERE rk = 1
             ORDER BY user_id"""))
 
+  /** X211 w30: Savitzky–Golay smoothing (quadratic fit, window 5) of
+    * each user's event-value series — the polynomial-preserving filter
+    * (unlike a moving average, it passes quadratics through unchanged),
+    * with the classic INTEGER coefficient row (−3, 12, 17, 12, −3)/35.
+    * Values carried as exact cents so the 5-tap convolution numerator
+    * is exact BIGINT; the smoothed value is ONE division by 35.0.
+    * Interior (full-window) rows only, so every output row uses all
+    * five taps. Scale: one user-keyed shuffle, 4 frame taps per row —
+    * a pure window pass, no joins.
+    */
+  private val w30 = Q(
+    "w30_savitzky_golay",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wAll = Window.partitionBy("user_id")
+      Tables.load(s, dir, "events")
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("num",
+          lit(-3L) * lag("c", 2).over(w) + lit(12L) * lag("c", 1).over(w)
+            + lit(17L) * col("c") + lit(12L) * lead("c", 1).over(w)
+            - lit(3L) * lead("c", 2).over(w))
+        .filter(col("rn") >= 3 && col("rn") <= col("n") - 2)
+        .select(col("user_id"), col("event_id"), col("c").as("cents"),
+          col("num"), (col("num").cast("double") / 35.0).as("smoothed"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH base AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS c,
+                     row_number() OVER w AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n,
+                     lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS l2,
+                     lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS l1,
+                     lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS f1,
+                     lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS f2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id, c AS cents,
+                   CAST(-3 * l2 + 12 * l1 + 17 * c + 12 * f1 - 3 * f2
+                     AS BIGINT) AS num,
+                   CAST(-3 * l2 + 12 * l1 + 17 * c + 12 * f1 - 3 * f2
+                     AS DOUBLE) / 35.0 AS smoothed
+            FROM base
+            WHERE rn >= 3 AND rn <= n - 2
+            ORDER BY user_id, event_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26, w28)
+      w22, w23, w24, w25, w26, w28, w30)
 }
