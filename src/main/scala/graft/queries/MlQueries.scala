@@ -2599,8 +2599,66 @@ object MlQueries {
                      AS DOUBLE)) AS mcc
             FROM cells"""))
 
+  /** X218 m36: LOGISTIC regression Newton step — the binomial-GLM
+    * sibling of the m1b/m1c Poisson IRLS chain, on the is-English
+    * classifier (x = English-marker count, y = lang='en'). At β=0 the
+    * logistic weights are EXACTLY ¼ (p=½ for every row), so the first
+    * Newton step has a closed form over exact-integer sufficient
+    * statistics: with u = 2y−1 ∈ {−1,+1},
+    *   β₁ = 4(XᵀX)⁻¹Xᵀ(y−½) = 2(XᵀX)⁻¹Xᵀu,
+    * i.e. beta0 = 2(Σx²·Σu − Σx·Σxu)/det, beta1 = 2(n·Σxu − Σx·Σu)/det
+    * with det = n·Σx² − (Σx)² — every numerator/denominator an exact
+    * BIGINT off ONE map-side aggregate, each coefficient ONE IEEE
+    * division. The distributed shape is the whole point: a Newton/IRLS
+    * step at 100 TB is a 5-number sufficient-statistics reduce, not a
+    * data-sized solve.
+    */
+  private val m36 = Q(
+    "m36_logistic_newton_step",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+      Tables.load(s, dir, "documents")
+        .select(
+          size(filter(toks, x => x.isInCollection(
+            graft.ops.Corpus.langMarkers(0)._2))).cast("long").as("x"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("u"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum("u").as("su"), sum(col("x") * col("u")).as("sxu"))
+        .select(col("n"), col("sx"), col("sxx"), col("su"), col("sxu"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("det"),
+          ((lit(2L) * (col("sxx") * col("su") - col("sx") * col("sxu")))
+            .cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("beta0"),
+          ((lit(2L) * (col("n") * col("sxu") - col("sx") * col("su")))
+            .cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("beta1"))
+    },
+    Some("""WITH sc AS (
+              SELECT len(list_filter(list_filter(
+                       string_split(lower(text), ' '), x -> x <> ''),
+                       x -> x IN ('the','a','and','of'))) AS x,
+                     CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS u
+              FROM documents),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(u) AS BIGINT) AS su,
+                     CAST(sum(x * u) AS BIGINT) AS sxu
+              FROM sc)
+            SELECT n, sx, sxx, su, sxu,
+                   n * sxx - sx * sx AS det,
+                   CAST(2 * (sxx * su - sx * sxu) AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS beta0,
+                   CAST(2 * (n * sxu - sx * su) AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS beta1
+            FROM st"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30, m31, m32, m33, m34, m35)
+      m27, m28, m29, m30, m31, m32, m33, m34, m35, m36)
 }

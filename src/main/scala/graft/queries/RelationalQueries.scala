@@ -1106,7 +1106,73 @@ object RelationalQueries {
                      AS sum_abs_diff_cents
             FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** X217 dq8: FUNCTIONAL-DEPENDENCY discovery (level-1 TANE): for five
+    * candidate A→B dependencies across four tables, compare
+    * |distinct A| against |distinct (A,B)| — equal counts mean every
+    * key maps to exactly one value and the FD HOLDS; the ratio is the
+    * standard FD-strength score (1.0 = exact). The testdata splits the
+    * verdicts (c_name→c_nationkey holds; the rest are violated to
+    * different degrees), so the query proves both branches. Scale:
+    * each candidate is ONE distinct-shuffle bounded by its pair
+    * cardinality (never the raw table), and the five probes are
+    * independent branches of one union — they parallelize as separate
+    * stages of the same job.
+    */
+  private val dq8 = Q(
+    "dq8_fd_discovery",
+    (s, dir) => {
+      def probe(table: String, fdName: String, a: String, b: String) =
+        Tables.load(s, dir, table)
+          .select(col(a).as("k"), col(b).as("v")).distinct()
+          .agg(countDistinct(col("k")).as("n_keys"),
+            count(lit(1)).as("n_pairs"))
+          .select(lit(fdName).as("fd"), col("n_keys"), col("n_pairs"),
+            (col("n_keys") === col("n_pairs")).as("holds"),
+            (col("n_keys").cast("double") / col("n_pairs").cast("double"))
+              .as("strength"))
+      probe("part", "part_brand_to_type", "p_brand", "p_type")
+        .unionByName(probe("part", "part_name_to_brand", "p_name", "p_brand"))
+        .unionByName(probe("documents", "doc_lang_to_source",
+          "lang", "source"))
+        .unionByName(probe("customer", "cust_name_to_nation",
+          "c_name", "c_nationkey"))
+        .unionByName(probe("orders", "orders_cust_to_priority",
+          "o_custkey", "o_orderpriority"))
+        .orderBy("fd")
+    },
+    Some("""WITH probes AS (
+              SELECT 'part_brand_to_type' AS fd,
+                     CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM (SELECT DISTINCT p_brand AS k, p_type AS v FROM part)
+              UNION ALL
+              SELECT 'part_name_to_brand',
+                     CAST(count(DISTINCT k) AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM (SELECT DISTINCT p_name AS k, p_brand AS v FROM part)
+              UNION ALL
+              SELECT 'doc_lang_to_source',
+                     CAST(count(DISTINCT k) AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM (SELECT DISTINCT lang AS k, source AS v FROM documents)
+              UNION ALL
+              SELECT 'cust_name_to_nation',
+                     CAST(count(DISTINCT k) AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM (SELECT DISTINCT c_name AS k, c_nationkey AS v
+                    FROM customer)
+              UNION ALL
+              SELECT 'orders_cust_to_priority',
+                     CAST(count(DISTINCT k) AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM (SELECT DISTINCT o_custkey AS k, o_orderpriority AS v
+                    FROM orders))
+            SELECT fd, n_keys, n_pairs, n_keys = n_pairs AS holds,
+                   CAST(n_keys AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                     AS strength
+            FROM probes ORDER BY fd"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6, dq7)
+      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6, dq7, dq8)
 }

@@ -115,5 +115,35 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(pivotSql) },
     Some(pivotSql))
 
-  def all: Seq[Q] = Seq(sql1, sql2, sql3)
+  /** X216: GROUPING SETS with GROUPING() disambiguation as the FOURTH
+    * shared-string SQL-surface row (after WITH RECURSIVE, LATERAL, and
+    * PIVOT): the identical ANSI text — three explicit grouping sets
+    * (detail, per-priority subtotal, grand total), GROUPING() flags
+    * cast to BIGINT, exact-cents measures, and the ORDER BY spelled
+    * `ASC NULLS FIRST` because the engines' bare-ASC null placement
+    * DIFFERS (Spark NULLS FIRST, DuckDB NULLS LAST) while the explicit
+    * spelling parses and means the same thing on both. a17 proves the
+    * operator through the DataFrame API; this row proves the SQL
+    * surface itself.
+    */
+  private val gsetsSql = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    ORDER BY g_pri ASC, g_st ASC,
+             o_orderpriority ASC NULLS FIRST,
+             o_orderstatus ASC NULLS FIRST"""
+
+  private val sql4 = Q(
+    "sql4_grouping_sets_clause",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(gsetsSql) },
+    Some(gsetsSql))
+
+  def all: Seq[Q] = Seq(sql1, sql2, sql3, sql4)
 }
