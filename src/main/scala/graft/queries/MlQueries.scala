@@ -2657,8 +2657,79 @@ object MlQueries {
                      / CAST(n * sxx - sx * sx AS DOUBLE) AS beta1
             FROM st"""))
 
+  /** X219 m37: TWO-PROPORTION z-test (pooled) on an id-bucketed A/B
+    * split — assignment by user_id parity (the deterministic
+    * experiment-bucketing device real holdouts use), outcome = the
+    * user logged more purchases than errors. The four cell counts come
+    * from ONE per-user aggregate, and the statistic is the textbook
+    * pooled z evaluated in a PINNED op-order chain of correctly-rounded
+    * IEEE ops (four divisions, one sqrt) mirrored literally by the
+    * oracle — hash-exact with no tolerance, the m25/m29 convention of
+    * reporting the statistic (the normal CDF is a table lookup, not
+    * engine work). Scale: flag building is map-side partial agg on
+    * user_id; the test itself reduces to 4 integers.
+    */
+  private val m37 = Q(
+    "m37_two_proportion_ztest",
+    (s, dir) => {
+      val flags = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            > sum(when(col("event_type") === "error", 1L).otherwise(0L)),
+            1L).otherwise(0L).as("out"))
+        .withColumn("seg", (col("user_id") % 2).cast("long"))
+      val cells = flags.agg(
+        sum(when(col("seg") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("seg") === 1L, col("out")).otherwise(0L)).as("x1"),
+        sum(when(col("seg") === 0L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("seg") === 0L, col("out")).otherwise(0L)).as("x2"))
+      cells.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        (col("x1").cast("double") / col("n1").cast("double")).as("p1"),
+        (col("x2").cast("double") / col("n2").cast("double")).as("p2"),
+        ((col("x1").cast("double") / col("n1").cast("double")
+          - col("x2").cast("double") / col("n2").cast("double"))
+          / sqrt(((col("x1") + col("x2")).cast("double")
+              / (col("n1") + col("n2")).cast("double"))
+            * (lit(1.0) - (col("x1") + col("x2")).cast("double")
+              / (col("n1") + col("n2")).cast("double"))
+            * (lit(1.0) / col("n1").cast("double")
+              + lit(1.0) / col("n2").cast("double")))).as("z"))
+    },
+    Some("""WITH flags AS (
+              SELECT user_id, user_id % 2 AS seg,
+                     CASE WHEN
+                       sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >
+                       sum(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END AS "out"
+              FROM events GROUP BY 1),
+            cells AS (
+              SELECT CAST(sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN seg = 1 THEN "out" ELSE 0 END)
+                       AS BIGINT) AS x1,
+                     CAST(sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN seg = 0 THEN "out" ELSE 0 END)
+                       AS BIGINT) AS x2
+              FROM flags)
+            SELECT n1, x1, n2, x2,
+                   CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                   CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / sqrt((CAST(x1 + x2 AS DOUBLE)
+                       / CAST(n1 + n2 AS DOUBLE))
+                     * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                       / CAST(n1 + n2 AS DOUBLE))
+                     * (1.0 / CAST(n1 AS DOUBLE)
+                       + 1.0 / CAST(n2 AS DOUBLE))) AS z
+            FROM cells"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30, m31, m32, m33, m34, m35, m36)
+      m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Q
 import graft.ops.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Approximate/sketch aggregates — the 100 TB substitutes for exact
   * distinct counts and exact percentiles (exact versions shuffle every
@@ -264,5 +265,72 @@ object SketchQueries {
             FROM est e JOIN exact x USING (c_custkey)
             ORDER BY 1"""))
 
-  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4)
+  /** X221 sk5: KMV (k-minimum-values) distinct-count sketch — the
+    * THIRD deterministic sketch (after sk3 count-min, sk4 Bloom), and
+    * the one whose merge is trivially a k-min of unions, proven here
+    * by the `__all__` row. Each user hashes to a 60-bit integer via
+    * the established md5 device (identical on both engines); the
+    * k=64th smallest hash h_k yields the classic estimator
+    * n̂ = (k−1)·2⁶⁰/h_k. 63·2⁶⁰ is EXACTLY representable as a double
+    * (6 significand bits × a power of two) and the estimate is one
+    * multiply + one division of identically-rounded doubles, so even
+    * the ESTIMATE hash-matches — with exact counts and relative error
+    * reported alongside (the sk2 diagnostic-columns posture). Scale:
+    * at 100 TB the rank becomes a per-partition k-min heap partial
+    * aggregate merged associatively; this row proves the estimator
+    * math and the merge law on the same data.
+    */
+  private val sk5 = Q(
+    "sk5_kmv_distinct",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      val tagged = ev.unionByName(
+        ev.select(lit("__all__").as("event_type"), col("user_id")))
+      val hashes = tagged.distinct()
+        .withColumn("h",
+          conv(substring(md5(concat(lit("u:"),
+            col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+        .select(col("event_type"), col("h"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      hashes
+        .withColumn("rk", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("exact_distinct"),
+          max(when(col("rk") === 64, col("h"))).as("h_k"))
+        .withColumn("estimate",
+          lit(63.0) * lit(1152921504606846976L).cast("double")
+            / col("h_k").cast("double"))
+        .withColumn("rel_err",
+          (col("estimate") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double"))
+        .orderBy("event_type")
+    },
+    Some("""WITH tagged AS (
+              SELECT event_type, user_id FROM events
+              UNION ALL
+              SELECT '__all__' AS event_type, user_id FROM events),
+            hashes AS (
+              SELECT DISTINCT event_type,
+                ('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)),
+                  1, 15))::BIGINT AS h
+              FROM tagged),
+            rk AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY h) AS rk
+              FROM hashes)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS exact_distinct,
+                   max(CASE WHEN rk = 64 THEN h END) AS h_k,
+                   63.0 * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
+                     AS estimate,
+                   (63.0 * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
+                    - CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)
+                     AS rel_err
+            FROM rk GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4, sk5)
 }

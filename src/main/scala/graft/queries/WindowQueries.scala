@@ -868,7 +868,73 @@ object WindowQueries {
             WHERE rn >= 3 AND rn <= n - 2
             ORDER BY user_id, event_id"""))
 
+  /** X220 w31: WINSORIZED mean per user (clamp at the discrete p5/p95
+    * order statistics, then average) — the robust-mean companion to
+    * dq6's IQR fencing: instead of DROPPING outliers it CLAMPS them,
+    * so n is preserved. Bounds are the rank-⌈n/20⌉ and rank-⌈19n/20⌉
+    * cents values (integer-division indices, no interpolation — the
+    * e34 device); the clamped sum is exact BIGINT and the two means
+    * are single divisions. The value at a rank is well-defined under
+    * ties because ranking orders by the value itself. One user-keyed
+    * shuffle shared by both window passes and the final aggregate.
+    */
+  private val w31 = Q(
+    "w31_winsorized_mean",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("cents", "event_id")
+      val wAll = Window.partitionBy("user_id")
+      Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("lo_c",
+          max(when(col("rk") === expr("(n + 19) div 20"), col("cents")))
+            .over(wAll))
+        .withColumn("hi_c",
+          max(when(col("rk") === expr("(19 * n + 19) div 20"), col("cents")))
+            .over(wAll))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          min("lo_c").as("lo_cents"), min("hi_c").as("hi_cents"),
+          sum("cents").as("raw_sum"),
+          sum(greatest(least(col("cents"), col("hi_c")), col("lo_c")))
+            .as("win_sum"))
+        .select(col("user_id"), col("n"), col("lo_cents"), col("hi_cents"),
+          col("raw_sum"), col("win_sum"),
+          (col("raw_sum").cast("double") / col("n").cast("double"))
+            .as("raw_mean"),
+          (col("win_sum").cast("double") / col("n").cast("double"))
+            .as("win_mean"))
+        .orderBy("user_id")
+    },
+    Some("""WITH base AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER wo AS rk,
+                     count(*) OVER wa AS n
+              FROM events
+              WINDOW wo AS (PARTITION BY user_id ORDER BY
+                              CAST(round(value * 100) AS BIGINT), event_id),
+                     wa AS (PARTITION BY user_id)),
+            bounds AS (
+              SELECT user_id, event_id, cents, n,
+                     max(CASE WHEN rk = (n + 19) // 20 THEN cents END)
+                       OVER (PARTITION BY user_id) AS lo_c,
+                     max(CASE WHEN rk = (19 * n + 19) // 20 THEN cents END)
+                       OVER (PARTITION BY user_id) AS hi_c
+              FROM base)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   min(lo_c) AS lo_cents, min(hi_c) AS hi_cents,
+                   CAST(sum(cents) AS BIGINT) AS raw_sum,
+                   CAST(sum(greatest(least(cents, hi_c), lo_c)) AS BIGINT)
+                     AS win_sum,
+                   CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS raw_mean,
+                   CAST(sum(greatest(least(cents, hi_c), lo_c)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS win_mean
+            FROM bounds GROUP BY user_id ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26, w28, w30)
+      w22, w23, w24, w25, w26, w28, w30, w31)
 }
