@@ -49,7 +49,7 @@ object DedupQueries {
     * flatMap is plain JVM string work: shuffle-free, ~10× cheaper, and
     * the per-doc cost is what a 100 TB scan pays per document.
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -64,7 +64,7 @@ object DedupQueries {
       .toDF()
   }
 
-  private val duckShingles =
+  private[queries] val duckShingles =
     """list_distinct(list_transform(
       |  range(0, len(list_filter(string_split(text, ' '), x -> x <> '')) - 2),
       |  j -> list_filter(string_split(text, ' '), x -> x <> '')[j+1] || ' ' ||

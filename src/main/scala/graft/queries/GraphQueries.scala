@@ -642,5 +642,146 @@ object GraphQueries {
             FROM comp JOIN sizes USING (cluster)
             ORDER BY part_id"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8)
+  /** X224 g9: CLOSENESS + HARMONIC centrality of a hub (supplier 0) on
+    * the g2 bipartite supplier–part graph — completing the centrality
+    * family (PageRank eigenvector, degree assortativity, clustering,
+    * k-core) with the two distance-based measures. Six Bellman-Ford
+    * rounds (the graph's diameter fits; unreached nodes are REPORTED,
+    * not hidden) produce an all-BIGINT distance census; closeness
+    * (n_reached−1)/Σd is ONE division, and harmonic centrality is
+    * rebuilt from the ≤6-bucket census as a FIXED left-associative
+    * expression n₁/1 + n₂/2 + … + n₆/6 — summing six pinned doubles,
+    * not |V| unordered ones, so it hash-matches exactly. Scale shape
+    * per round = g2: one frontier equi-join + one map-side-combined
+    * MIN, localCheckpoint truncating lineage.
+    */
+  private val g9 = Q(
+    "g9_closeness_centrality",
+    (s, dir) => {
+      val pairs = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"),
+          (col("l_partkey") + 1000000L).as("pk"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionByName(pairs.select(col("pk").as("src"), col("sk").as("dst")))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var dist = nodes.withColumn("dist",
+        when(col("node") === 0L, lit(0L))).localCheckpoint()
+      for (_ <- 1 to 6) {
+        val nb = edges
+          .join(dist.filter(col("dist").isNotNull)
+            .select(col("node").as("rn"), col("dist").as("rd")),
+            col("src") === col("rn"))
+          .groupBy(col("dst"))
+          .agg((min("rd") + 1L).as("nd"))
+        dist = dist.join(nb, col("node") === col("dst"), "left")
+          .select(col("node"), least(col("dist"), col("nd")).as("dist"))
+          .localCheckpoint()
+      }
+      val census = dist
+        .groupBy(coalesce(col("dist"), lit(-1L)).as("d"))
+        .agg(count(lit(1)).as("n"))
+      def hk(k: Int) =
+        sum(when(col("d") === k.toLong, col("n")).otherwise(0L))
+      census.agg(
+        sum("n").as("n_total"),
+        sum(when(col("d") >= 0L, col("n")).otherwise(0L)).as("n_reached"),
+        sum(when(col("d") >= 0L, col("d") * col("n")).otherwise(0L))
+          .as("sum_dist"),
+        hk(1).as("h1"), hk(2).as("h2"), hk(3).as("h3"),
+        hk(4).as("h4"), hk(5).as("h5"), hk(6).as("h6"))
+        .select(col("n_total"), col("n_reached"), col("sum_dist"),
+          ((col("n_reached") - 1L).cast("double")
+            / col("sum_dist").cast("double")).as("closeness"),
+          (col("h1").cast("double") / 1.0
+            + col("h2").cast("double") / 2.0
+            + col("h3").cast("double") / 3.0
+            + col("h4").cast("double") / 4.0
+            + col("h5").cast("double") / 5.0
+            + col("h6").cast("double") / 6.0).as("harmonic"))
+    },
+    Some("""WITH e0 AS (
+              SELECT DISTINCT l_suppkey AS sk, l_partkey + 1000000 AS pk
+              FROM lineitem),
+            edges AS (
+              SELECT sk AS src, pk AS dst FROM e0
+              UNION ALL
+              SELECT pk AS src, sk AS dst FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            d0 AS (SELECT node,
+                          CASE WHEN node = 0 THEN CAST(0 AS BIGINT) END
+                            AS dist
+                   FROM nodes),
+            d1 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d0 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d0 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node),
+            d2 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d1 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d1 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node),
+            d3 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d2 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d2 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node),
+            d4 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d3 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d3 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node),
+            d5 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d4 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d4 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node),
+            d6 AS (SELECT d.node, least(d.dist, nb.nd) AS dist
+                   FROM d5 d LEFT JOIN (
+                     SELECT e.dst AS node, min(dd.dist) + 1 AS nd
+                     FROM edges e JOIN d5 dd ON e.src = dd.node
+                     WHERE dd.dist IS NOT NULL GROUP BY e.dst) nb
+                   ON d.node = nb.node),
+            census AS (
+              SELECT coalesce(dist, -1) AS d,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM d6 GROUP BY 1),
+            agg AS (
+              SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN d >= 0 THEN n ELSE 0 END)
+                       AS BIGINT) AS n_reached,
+                     CAST(sum(CASE WHEN d >= 0 THEN d * n ELSE 0 END)
+                       AS BIGINT) AS sum_dist,
+                     CAST(sum(CASE WHEN d = 1 THEN n ELSE 0 END)
+                       AS BIGINT) AS h1,
+                     CAST(sum(CASE WHEN d = 2 THEN n ELSE 0 END)
+                       AS BIGINT) AS h2,
+                     CAST(sum(CASE WHEN d = 3 THEN n ELSE 0 END)
+                       AS BIGINT) AS h3,
+                     CAST(sum(CASE WHEN d = 4 THEN n ELSE 0 END)
+                       AS BIGINT) AS h4,
+                     CAST(sum(CASE WHEN d = 5 THEN n ELSE 0 END)
+                       AS BIGINT) AS h5,
+                     CAST(sum(CASE WHEN d = 6 THEN n ELSE 0 END)
+                       AS BIGINT) AS h6
+              FROM census)
+            SELECT n_total, n_reached, sum_dist,
+                   CAST(n_reached - 1 AS DOUBLE)
+                     / CAST(sum_dist AS DOUBLE) AS closeness,
+                   CAST(h1 AS DOUBLE) / 1.0
+                     + CAST(h2 AS DOUBLE) / 2.0
+                     + CAST(h3 AS DOUBLE) / 3.0
+                     + CAST(h4 AS DOUBLE) / 4.0
+                     + CAST(h5 AS DOUBLE) / 5.0
+                     + CAST(h6 AS DOUBLE) / 6.0 AS harmonic
+            FROM agg"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9)
 }

@@ -2728,8 +2728,79 @@ object MlQueries {
                        + 1.0 / CAST(n2 AS DOUBLE))) AS z
             FROM cells"""))
 
+  /** X223 m38: A/B EXPERIMENT READOUT — the one-stop health-plus-effect
+    * row an experimentation system emits: sample-ratio-mismatch chi²
+    * ((n1−n2)²/(n1+n2) against the designed 50/50, the guardrail that
+    * invalidates a run before anyone reads the effect), per-arm
+    * conversion rates, absolute lift, and relative lift. Same id-parity
+    * arms and purchase>error outcome as m37, so the two rows
+    * cross-check. SRM chi² numerator/denominator are exact BIGINT;
+    * every ratio is ONE pinned IEEE division. Scale: the readout is a
+    * 4-integer reduce off a map-side per-user aggregate — constant
+    * driver state at any corpus size.
+    */
+  private val m38 = Q(
+    "m38_experiment_readout",
+    (s, dir) => {
+      val flags = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            > sum(when(col("event_type") === "error", 1L).otherwise(0L)),
+            1L).otherwise(0L).as("out"))
+        .withColumn("seg", (col("user_id") % 2).cast("long"))
+      flags.agg(
+        sum(when(col("seg") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("seg") === 1L, col("out")).otherwise(0L)).as("x1"),
+        sum(when(col("seg") === 0L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("seg") === 0L, col("out")).otherwise(0L)).as("x2"))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          (((col("n1") - col("n2")) * (col("n1") - col("n2")))
+            .cast("double") / (col("n1") + col("n2")).cast("double"))
+            .as("srm_chi2"),
+          (col("x1").cast("double") / col("n1").cast("double")).as("p1"),
+          (col("x2").cast("double") / col("n2").cast("double")).as("p2"),
+          (col("x1").cast("double") / col("n1").cast("double")
+            - col("x2").cast("double") / col("n2").cast("double"))
+            .as("abs_lift"),
+          ((col("x1").cast("double") / col("n1").cast("double")
+            - col("x2").cast("double") / col("n2").cast("double"))
+            / (col("x2").cast("double") / col("n2").cast("double")))
+            .as("rel_lift"))
+    },
+    Some("""WITH flags AS (
+              SELECT user_id, user_id % 2 AS seg,
+                     CASE WHEN
+                       sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >
+                       sum(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END AS "out"
+              FROM events GROUP BY 1),
+            cells AS (
+              SELECT CAST(sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN seg = 1 THEN "out" ELSE 0 END)
+                       AS BIGINT) AS x1,
+                     CAST(sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n2,
+                     CAST(sum(CASE WHEN seg = 0 THEN "out" ELSE 0 END)
+                       AS BIGINT) AS x2
+              FROM flags)
+            SELECT n1, x1, n2, x2,
+                   CAST((n1 - n2) * (n1 - n2) AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE) AS srm_chi2,
+                   CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                   CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                   CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS abs_lift,
+                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS rel_lift
+            FROM cells"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37)
+      m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38)
 }

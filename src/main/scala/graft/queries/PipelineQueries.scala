@@ -898,6 +898,110 @@ object PipelineQueries {
                      AS achieved_share
             FROM agg ORDER BY lang"""))
 
+  /** X222 pl7: GROUP-AWARE train/val split + near-dup LEAKAGE audit —
+    * the eval-integrity step of a training pipeline: if near-duplicate
+    * documents land on opposite sides of the split, validation loss is
+    * contaminated. Two deterministic md5-bucketed strategies are
+    * audited side by side on the SAME near-dup pair set (the d3
+    * inverted-index candidates under the exact integer Jaccard≥½ gate
+    * 2·shared ≥ |A|+|B|−shared): `group_by_source` routes whole
+    * sources (the GroupShuffleSplit discipline), `naive_by_doc` routes
+    * each doc independently — the row quantifies exactly how many
+    * near-dup pairs each strategy lets cross the boundary. Scale: the
+    * pair set is candidate-bounded (d3's plan); the split maps are
+    * doc-count-sized broadcast joins.
+    */
+  private val pl7 = Q(
+    "pl7_group_split_leakage",
+    (s, dir) => {
+      val ex = DedupQueries.shingled(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("sh"))
+      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .filter(lit(2L) * col("shared")
+          >= col("na") + col("nb") - col("shared"))
+        .select("doc_a", "doc_b")
+      val sp = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("g_split",
+          when(substring(md5(col("source")), 1, 1) < "c", "train")
+            .otherwise("val"))
+        .withColumn("n_split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+            "train").otherwise("val"))
+      def audit(strategy: String, splitCol: String) = {
+        val counts = sp.agg(
+          sum(when(col(splitCol) === "train", 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col(splitCol) === "val", 1L).otherwise(0L)).as("n_val"))
+        val sa = sp.select(col("doc_id").as("doc_a"),
+          col(splitCol).as("sp_a"))
+        val sb = sp.select(col("doc_id").as("doc_b"),
+          col(splitCol).as("sp_b"))
+        val pairAgg = pairs.join(broadcast(sa), Seq("doc_a"))
+          .join(broadcast(sb), Seq("doc_b"))
+          .agg(count(lit(1)).as("n_neardup_pairs"),
+            sum(when(col("sp_a") =!= col("sp_b"), 1L).otherwise(0L))
+              .as("n_cross_pairs"))
+        counts.crossJoin(pairAgg).select(lit(strategy).as("strategy"),
+          col("n_train"), col("n_val"), col("n_neardup_pairs"),
+          col("n_cross_pairs"))
+      }
+      audit("group_by_source", "g_split")
+        .unionByName(audit("naive_by_doc", "n_split"))
+        .orderBy("strategy")
+    },
+    Some(s"""WITH sets AS (
+               SELECT doc_id, ${DedupQueries.duckShingles} AS shs
+               FROM documents),
+             ex AS (
+               SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh
+               FROM sets),
+             pairs AS (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+               HAVING 2 * count(*) >= a.nsh + b.nsh - count(*)),
+             sp AS (
+               SELECT doc_id, source,
+                 CASE WHEN substr(md5(source), 1, 1) < 'c'
+                      THEN 'train' ELSE 'val' END AS g_split,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                      THEN 'train' ELSE 'val' END AS n_split
+               FROM documents),
+             g AS (
+               SELECT 'group_by_source' AS strategy,
+                 (SELECT CAST(count(*) AS BIGINT) FROM sp
+                  WHERE g_split = 'train') AS n_train,
+                 (SELECT CAST(count(*) AS BIGINT) FROM sp
+                  WHERE g_split = 'val') AS n_val,
+                 CAST(count(*) AS BIGINT) AS n_neardup_pairs,
+                 CAST(sum(CASE WHEN sa.g_split <> sb.g_split
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs
+               FROM pairs p
+               JOIN sp sa ON p.doc_a = sa.doc_id
+               JOIN sp sb ON p.doc_b = sb.doc_id),
+             n AS (
+               SELECT 'naive_by_doc' AS strategy,
+                 (SELECT CAST(count(*) AS BIGINT) FROM sp
+                  WHERE n_split = 'train') AS n_train,
+                 (SELECT CAST(count(*) AS BIGINT) FROM sp
+                  WHERE n_split = 'val') AS n_val,
+                 CAST(count(*) AS BIGINT) AS n_neardup_pairs,
+                 CAST(sum(CASE WHEN sa.n_split <> sb.n_split
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs
+               FROM pairs p
+               JOIN sp sa ON p.doc_a = sa.doc_id
+               JOIN sp sb ON p.doc_b = sb.doc_id)
+             SELECT * FROM g UNION ALL SELECT * FROM n
+             ORDER BY strategy"""))
+
   def all: Seq[Q] =
-    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6)
+    Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
+      pl7)
 }
