@@ -1304,7 +1304,119 @@ object DedupQueries {
             HAVING count(*) >= 2
             ORDER BY 1, 2"""))
 
+  /** X225 d20: LSH BAND-TUNING sweep — the s-curve engineering table
+    * behind every MinHash deployment: the same 8-hash signatures banded
+    * four ways (8 bands×1 row … 1 band×8 rows), each config scored for
+    * candidate volume, recall and precision against the EXACT
+    * Jaccard≥½ truth set (integer 2·shared ≥ |A|+|B|−shared gate).
+    * Wide bands (r=1) catch everything but flood the verifier; narrow
+    * bands (r=8) are cheap but miss — the row MEASURES the tradeoff a
+    * 100 TB operator must pick, on the same data, in one query.
+    * Signatures and the truth set are each built once and reused by
+    * all four configs; candidate generation stays equi-join-on-band-key
+    * (the d4 plan) for every config.
+    */
+  private val d20 = Q(
+    "d20_lsh_tuning",
+    (s, dir) => {
+      val sig = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"),
+        col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("sh"))
+      val truth = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .filter(lit(2L) * col("shared")
+          >= col("na") + col("nb") - col("shared"))
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val truthTotal = truth.agg(count(lit(1)).as("n_true_total"))
+      val cfgs = Seq(("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4),
+        ("b1r8", 1, 8))
+      cfgs.map { case (cfg, nb, r) =>
+        val bands = sig.select(col("doc_id"), explode(array(
+          (0 until nb).map { j =>
+            val key = md5(concat(
+              (0 until r).map(i => col(s"mh${j * r + i}")): _*))
+            struct(lit(j).as("bi"), key.as("bk"))
+          }: _*)).as("bd"))
+          .select(col("doc_id"), col("bd.bi"), col("bd.bk"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val nc = cand.agg(count(lit(1)).as("n_candidates"))
+        val caught = cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_caught"))
+        nc.crossJoin(caught).crossJoin(truthTotal)
+          .select(lit(cfg).as("cfg"), col("n_candidates"),
+            col("n_true_total"), col("n_caught"),
+            when(col("n_true_total") > 0L,
+              col("n_caught").cast("double")
+                / col("n_true_total").cast("double")).as("recall"),
+            when(col("n_candidates") > 0L,
+              col("n_caught").cast("double")
+                / col("n_candidates").cast("double")).as("precision"))
+      }.reduce(_ unionByName _).orderBy("cfg")
+    },
+    Some {
+      val bandSql = (cfg: String, nb: Int, r: Int) =>
+        (0 until nb).map { j =>
+          val key = (0 until r).map(i => s"mh${j * r + i}").mkString(" || ")
+          s"SELECT doc_id, $j AS bi, md5($key) AS bk FROM sigs"
+        }.mkString(" UNION ALL ")
+      val candSql = (cfg: String) =>
+        s"""c_$cfg AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM b_$cfg x JOIN b_$cfg y
+           |    ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id)"""
+          .stripMargin
+      val rowSql = (cfg: String) =>
+        s"""SELECT '$cfg' AS cfg,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c_$cfg)
+           |    AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_total,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c_$cfg c
+           |   JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+           |    AS n_caught,
+           |  CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+           |    (SELECT CAST(count(*) AS DOUBLE) FROM c_$cfg c
+           |     JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+           |    / (SELECT CAST(count(*) AS DOUBLE) FROM truth) END
+           |    AS recall,
+           |  CASE WHEN (SELECT count(*) FROM c_$cfg) > 0 THEN
+           |    (SELECT CAST(count(*) AS DOUBLE) FROM c_$cfg c
+           |     JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+           |    / (SELECT CAST(count(*) AS DOUBLE) FROM c_$cfg) END
+           |    AS precision""".stripMargin
+      val cfgs = Seq(("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4),
+        ("b1r8", 1, 8))
+      s"""WITH sets AS (
+         |  SELECT doc_id, $duckShingles AS shs FROM documents),
+         |ex AS (
+         |  SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(i =>
+               s"min(md5(sh || '|$i')) AS mh$i").mkString(", ")}
+         |  FROM ex GROUP BY 1),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+         |  HAVING 2 * count(*) >= a.nsh + b.nsh - count(*)),
+         |${cfgs.map { case (c, nb, r) =>
+             s"b_$c AS (${bandSql(c, nb, r)})" }.mkString(",\n")},
+         |${cfgs.map { case (c, _, _) => candSql(c) }.mkString(",\n")}
+         |${cfgs.map { case (c, _, _) => rowSql(c) }
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY cfg""".stripMargin
+    })
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19)
+      d16, d17, d18, d19, d20)
 }

@@ -145,5 +145,38 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(gsetsSql) },
     Some(gsetsSql))
 
-  def all: Seq[Q] = Seq(sql1, sql2, sql3, sql4)
+  /** X227: INTERSECT ALL / EXCEPT ALL as the FIFTH shared-string
+    * SQL-surface row — the MULTISET set operations (SQL:1999 bag
+    * semantics: min(multiplicity) for intersect, multiplicity
+    * difference for except), summarized per operation as exact-BIGINT
+    * cardinality/distinct/key-sum so the bag semantics themselves are
+    * what the hash checks (u3 proves the same operators through the
+    * DataFrame API; this row proves the ANSI text). Scale: both set
+    * ops hash-partition on the full row — one shuffle each, same cost
+    * envelope as a groupBy on the compared columns.
+    */
+  private val setopsSql = """
+    WITH a AS (SELECT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'F'),
+         i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+         x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM x
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM i
+    ORDER BY op"""
+
+  private val sql5 = Q(
+    "sql5_setops_clause",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(setopsSql) },
+    Some(setopsSql))
+
+  def all: Seq[Q] = Seq(sql1, sql2, sql3, sql4, sql5)
 }

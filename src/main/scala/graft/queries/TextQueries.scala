@@ -956,7 +956,64 @@ object TextQueries {
                      / CAST(count(*) AS DOUBLE) AS hapax_rate
             FROM wc GROUP BY source ORDER BY source"""))
 
+  /** X226 t20: CORPUS NOVELTY/SATURATION curve — the Heaps-law
+    * diagnostic a data pipeline watches while ingesting: per 100-doc
+    * bucket (in doc_id order), what fraction of shingle instances are
+    * NEW (first occurrence in the whole corpus lands in this doc)?
+    * A healthy diverse corpus stays high; a saturating or duplicated
+    * feed decays fast. First-occurrence is min(doc_id) per shingle —
+    * one inverted-index shuffle (the d3 plan) — and everything else is
+    * exact integers plus a single novelty-rate division; the running
+    * distinct-shingle total is a window cumsum of EXACT BIGINTs over
+    * the tiny bucket table.
+    */
+  private val t20 = Q(
+    "t20_novelty_curve",
+    (s, dir) => {
+      val ex = DedupQueries.shingled(s, dir).select("doc_id", "sh")
+      val firsts = ex.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      val j = ex.join(firsts, Seq("sh"))
+        .withColumn("bucket", expr("doc_id div 100"))
+        .withColumn("is_new",
+          when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+      val b = j.groupBy("bucket")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_inst"),
+          sum("is_new").as("n_new"))
+      b.select(col("bucket"), col("n_docs"), col("n_inst"), col("n_new"),
+        (col("n_new").cast("double") / col("n_inst").cast("double"))
+          .as("novelty_rate"),
+        sum("n_new").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_distinct"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH sets AS (
+               SELECT doc_id, ${DedupQueries.duckShingles} AS shs
+               FROM documents),
+             ex AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+             firsts AS (
+               SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+             j AS (
+               SELECT e.doc_id, e.doc_id // 100 AS bucket,
+                      CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END
+                        AS is_new
+               FROM ex e JOIN firsts f USING (sh)),
+             b AS (
+               SELECT bucket,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                      CAST(count(*) AS BIGINT) AS n_inst,
+                      CAST(sum(is_new) AS BIGINT) AS n_new
+               FROM j GROUP BY 1)
+             SELECT bucket, n_docs, n_inst, n_new,
+                    CAST(n_new AS DOUBLE) / CAST(n_inst AS DOUBLE)
+                      AS novelty_rate,
+                    CAST(sum(n_new) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_distinct
+             FROM b ORDER BY bucket"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19)
+      t16, t17, t18, t19, t20)
 }
