@@ -2799,8 +2799,276 @@ object MlQueries {
                    / (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS rel_lift
             FROM cells"""))
 
+  /** X228 m39: WELCH's unequal-variance t-test on event spend (purchase
+    * vs click cents) — the CONTINUOUS-outcome sibling of m37's
+    * two-proportion z (and the default two-sample test when nobody can
+    * vouch for equal variances). Sufficient statistics per arm are
+    * exact BIGINT (n, Σcents, Σcents² — cents ≤ 5e4 so the squared sum
+    * stays under 2^63 through sf10); mean, variance (the Q − S²/n
+    * one-pass identity), the t statistic, and the Welch–Satterthwaite
+    * df are then a PINNED left-associative chain of correctly-rounded
+    * IEEE ops mirrored literally by the oracle — hash-exact unrounded,
+    * the m37 convention (the t CDF is a table lookup, not engine work).
+    * Scale: one map-side partial aggregate over the event-type filter;
+    * the test reduces to 6 integers at any corpus size.
+    */
+  private val m39 = Q(
+    "m39_welch_ttest",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val cells = ev.agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("s1"),
+        sum(when(col("event_type") === "purchase",
+          col("cents") * col("cents")).otherwise(0L)).as("q1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n2"),
+        sum(when(col("event_type") === "click", col("cents"))
+          .otherwise(0L)).as("s2"),
+        sum(when(col("event_type") === "click",
+          col("cents") * col("cents")).otherwise(0L)).as("q2"))
+      // Pinned IEEE chains, mirrored token-for-token by the oracle.
+      val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+      val m1c = col("s1").cast("double") / n1d
+      val m2c = col("s2").cast("double") / n2d
+      val v1 = (col("q1").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / n1d) /
+        (n1d - lit(1.0))
+      val v2 = (col("q2").cast("double")
+        - col("s2").cast("double") * col("s2").cast("double") / n2d) /
+        (n2d - lit(1.0))
+      val se2 = v1 / n1d + v2 / n2d
+      cells.select(col("n1"), col("s1"), col("q1"),
+        col("n2"), col("s2"), col("q2"),
+        m1c.as("mean1"), m2c.as("mean2"),
+        v1.as("var1"), v2.as("var2"),
+        ((m1c - m2c) / sqrt(se2)).as("t_stat"),
+        (se2 * se2 / ((v1 / n1d) * (v1 / n1d) / (n1d - lit(1.0))
+          + (v2 / n2d) * (v2 / n2d) / (n2d - lit(1.0)))).as("welch_df"))
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type IN ('purchase', 'click')),
+            cells AS (
+              SELECT
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN event_type = 'click' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s2,
+                CAST(sum(CASE WHEN event_type = 'click'
+                         THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+              FROM ev)
+            SELECT n1, s1, q1, n2, s2, q2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+                   (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                      * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) - 1.0) AS var1,
+                   (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                      * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / (CAST(n2 AS DOUBLE) - 1.0) AS var2,
+                   (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                     + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                        * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+                     AS t_stat,
+                   (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                        * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE))
+                    * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                        * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)))
+                   / (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE))
+                      * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) - 1.0)
+                     + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                        * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE))
+                      * ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                        * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
+            FROM cells"""))
+
+  /** X229 m40: ONE-WAY ANOVA F (does mean spend differ across the five
+    * event types?) — the k-group generalization of m39's two-sample t.
+    * All sufficient statistics are exact BIGINT off ONE map-side
+    * aggregate: per-type (n_g, S_g) PIVOTED into fixed columns plus the
+    * global Σcents². The between/within sums of squares then use the
+    * g9-harmonic device: the Σ_g S_g²/n_g term is a FIXED
+    * left-associative 5-term chain over the pivoted columns (type order
+    * alphabetical: click, error, purchase, signup, view), never an
+    * unordered float aggregate — so SSB/SSW/F hash bit-exact. Scale:
+    * the whole test is a k·2+1-integer reduce regardless of corpus
+    * size; k is the (bounded) type-domain cardinality, not data.
+    */
+  private val m40 = Q(
+    "m40_anova_oneway",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      def ng(t: String) =
+        sum(when(col("event_type") === t, 1L).otherwise(0L))
+      def sg(t: String) =
+        sum(when(col("event_type") === t, col("cents")).otherwise(0L))
+      val cells = ev.agg(
+        ng("click").as("n_cl"), sg("click").as("s_cl"),
+        ng("error").as("n_er"), sg("error").as("s_er"),
+        ng("purchase").as("n_pu"), sg("purchase").as("s_pu"),
+        ng("signup").as("n_si"), sg("signup").as("s_si"),
+        ng("view").as("n_vi"), sg("view").as("s_vi"),
+        sum(col("cents") * col("cents")).as("q_all"))
+      def d(c: String) = col(c).cast("double")
+      // Σ_g S_g²/n_g as a pinned 5-term left-assoc chain.
+      val sumSq = d("s_cl") * d("s_cl") / d("n_cl") +
+        d("s_er") * d("s_er") / d("n_er") +
+        d("s_pu") * d("s_pu") / d("n_pu") +
+        d("s_si") * d("s_si") / d("n_si") +
+        d("s_vi") * d("s_vi") / d("n_vi")
+      val nTot = col("n_cl") + col("n_er") + col("n_pu") +
+        col("n_si") + col("n_vi")
+      val sTot = col("s_cl") + col("s_er") + col("s_pu") +
+        col("s_si") + col("s_vi")
+      val ssb = sumSq -
+        sTot.cast("double") * sTot.cast("double") / nTot.cast("double")
+      val ssw = d("q_all") - sumSq
+      cells.select(
+        nTot.as("n_total"), sTot.as("sum_cents"), col("q_all"),
+        (d("s_cl") / d("n_cl")).as("mean_click"),
+        (d("s_er") / d("n_er")).as("mean_error"),
+        (d("s_pu") / d("n_pu")).as("mean_purchase"),
+        (d("s_si") / d("n_si")).as("mean_signup"),
+        (d("s_vi") / d("n_vi")).as("mean_view"),
+        ssb.as("ss_between"), ssw.as("ss_within"),
+        lit(4L).as("df1"), (nTot - lit(5L)).as("df2"),
+        ((ssb / lit(4.0))
+          / (ssw / (nTot.cast("double") - lit(5.0)))).as("f_stat"))
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            cells AS (
+              SELECT
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_cl,
+                CAST(sum(CASE WHEN event_type = 'click' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s_cl,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_er,
+                CAST(sum(CASE WHEN event_type = 'error' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s_er,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_pu,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s_pu,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_si,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s_si,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_vi,
+                CAST(sum(CASE WHEN event_type = 'view' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s_vi,
+                CAST(sum(cents * cents) AS BIGINT) AS q_all
+              FROM ev)
+            SELECT n_cl + n_er + n_pu + n_si + n_vi AS n_total,
+                   s_cl + s_er + s_pu + s_si + s_vi AS sum_cents,
+                   q_all,
+                   CAST(s_cl AS DOUBLE) / CAST(n_cl AS DOUBLE)
+                     AS mean_click,
+                   CAST(s_er AS DOUBLE) / CAST(n_er AS DOUBLE)
+                     AS mean_error,
+                   CAST(s_pu AS DOUBLE) / CAST(n_pu AS DOUBLE)
+                     AS mean_purchase,
+                   CAST(s_si AS DOUBLE) / CAST(n_si AS DOUBLE)
+                     AS mean_signup,
+                   CAST(s_vi AS DOUBLE) / CAST(n_vi AS DOUBLE)
+                     AS mean_view,
+                   (CAST(s_cl AS DOUBLE) * CAST(s_cl AS DOUBLE)
+                      / CAST(n_cl AS DOUBLE)
+                    + CAST(s_er AS DOUBLE) * CAST(s_er AS DOUBLE)
+                      / CAST(n_er AS DOUBLE)
+                    + CAST(s_pu AS DOUBLE) * CAST(s_pu AS DOUBLE)
+                      / CAST(n_pu AS DOUBLE)
+                    + CAST(s_si AS DOUBLE) * CAST(s_si AS DOUBLE)
+                      / CAST(n_si AS DOUBLE)
+                    + CAST(s_vi AS DOUBLE) * CAST(s_vi AS DOUBLE)
+                      / CAST(n_vi AS DOUBLE))
+                   - CAST(s_cl + s_er + s_pu + s_si + s_vi AS DOUBLE)
+                     * CAST(s_cl + s_er + s_pu + s_si + s_vi AS DOUBLE)
+                     / CAST(n_cl + n_er + n_pu + n_si + n_vi AS DOUBLE)
+                     AS ss_between,
+                   CAST(q_all AS DOUBLE)
+                   - (CAST(s_cl AS DOUBLE) * CAST(s_cl AS DOUBLE)
+                      / CAST(n_cl AS DOUBLE)
+                    + CAST(s_er AS DOUBLE) * CAST(s_er AS DOUBLE)
+                      / CAST(n_er AS DOUBLE)
+                    + CAST(s_pu AS DOUBLE) * CAST(s_pu AS DOUBLE)
+                      / CAST(n_pu AS DOUBLE)
+                    + CAST(s_si AS DOUBLE) * CAST(s_si AS DOUBLE)
+                      / CAST(n_si AS DOUBLE)
+                    + CAST(s_vi AS DOUBLE) * CAST(s_vi AS DOUBLE)
+                      / CAST(n_vi AS DOUBLE)) AS ss_within,
+                   CAST(4 AS BIGINT) AS df1,
+                   n_cl + n_er + n_pu + n_si + n_vi - 5 AS df2,
+                   (((CAST(s_cl AS DOUBLE) * CAST(s_cl AS DOUBLE)
+                      / CAST(n_cl AS DOUBLE)
+                    + CAST(s_er AS DOUBLE) * CAST(s_er AS DOUBLE)
+                      / CAST(n_er AS DOUBLE)
+                    + CAST(s_pu AS DOUBLE) * CAST(s_pu AS DOUBLE)
+                      / CAST(n_pu AS DOUBLE)
+                    + CAST(s_si AS DOUBLE) * CAST(s_si AS DOUBLE)
+                      / CAST(n_si AS DOUBLE)
+                    + CAST(s_vi AS DOUBLE) * CAST(s_vi AS DOUBLE)
+                      / CAST(n_vi AS DOUBLE))
+                   - CAST(s_cl + s_er + s_pu + s_si + s_vi AS DOUBLE)
+                     * CAST(s_cl + s_er + s_pu + s_si + s_vi AS DOUBLE)
+                     / CAST(n_cl + n_er + n_pu + n_si + n_vi AS DOUBLE))
+                    / 4.0)
+                   / ((CAST(q_all AS DOUBLE)
+                   - (CAST(s_cl AS DOUBLE) * CAST(s_cl AS DOUBLE)
+                      / CAST(n_cl AS DOUBLE)
+                    + CAST(s_er AS DOUBLE) * CAST(s_er AS DOUBLE)
+                      / CAST(n_er AS DOUBLE)
+                    + CAST(s_pu AS DOUBLE) * CAST(s_pu AS DOUBLE)
+                      / CAST(n_pu AS DOUBLE)
+                    + CAST(s_si AS DOUBLE) * CAST(s_si AS DOUBLE)
+                      / CAST(n_si AS DOUBLE)
+                    + CAST(s_vi AS DOUBLE) * CAST(s_vi AS DOUBLE)
+                      / CAST(n_vi AS DOUBLE)))
+                     / (CAST(n_cl + n_er + n_pu + n_si + n_vi AS DOUBLE)
+                        - 5.0)) AS f_stat
+            FROM cells"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
-      m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38)
+      m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38, m39,
+      m40)
 }

@@ -1001,7 +1001,67 @@ object PipelineQueries {
              SELECT * FROM g UNION ALL SELECT * FROM n
              ORDER BY strategy"""))
 
+  /** X233 pl8: TOKEN-BUDGET corpus sampling — the "give me exactly N
+    * tokens per source" step of training-mixture construction (budgets
+    * are specified in tokens, not documents, because doc lengths vary
+    * 50×). Greedy-prefix semantics: docs rank in the deterministic
+    * (md5(text), doc_id) order (the pl6/p10 device), the per-source
+    * BIGINT token cumsum runs over that order, and a doc is kept iff
+    * its cumulative total still fits the 4,000-token budget — the doc
+    * that would cross the line is dropped, matching how packing
+    * pipelines cut corpora. Every measure is exact integer; the
+    * utilization ratio is ONE division. Scale: one rank+cumsum shuffle
+    * on source (two window passes share it), budget check is
+    * row-local; no collect, no global sort.
+    */
+  private val pl8 = Q(
+    "pl8_token_budget_sample",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("source")
+        .orderBy(md5(col("text")), col("doc_id"))
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("n_tok",
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long"))
+        .withColumn("cum_tok", sum("n_tok").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum("n_tok").as("tokens_total"),
+          sum(when(col("cum_tok") <= lit(4000L), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("cum_tok") <= lit(4000L), col("n_tok"))
+            .otherwise(0L)).as("tokens_kept"),
+          sum(when(col("cum_tok") <= lit(4000L), col("doc_id"))
+            .otherwise(0L)).as("kept_doc_id_sum"))
+        .withColumn("budget_utilization",
+          col("tokens_kept").cast("double") / lit(4000.0))
+        .orderBy("source")
+    },
+    Some("""WITH ranked AS (
+              SELECT source, doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tok,
+                     CAST(sum(len(regexp_extract_all(text, '\S+')))
+                       OVER (PARTITION BY source
+                             ORDER BY md5(text), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_tok
+              FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+                   CAST(sum(CASE WHEN cum_tok <= 4000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN cum_tok <= 4000 THEN n_tok
+                            ELSE 0 END) AS BIGINT) AS tokens_kept,
+                   CAST(sum(CASE WHEN cum_tok <= 4000 THEN doc_id
+                            ELSE 0 END) AS BIGINT) AS kept_doc_id_sum,
+                   CAST(sum(CASE WHEN cum_tok <= 4000 THEN n_tok
+                            ELSE 0 END) AS DOUBLE) / 4000.0
+                     AS budget_utilization
+            FROM ranked GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7)
+      pl7, pl8)
 }

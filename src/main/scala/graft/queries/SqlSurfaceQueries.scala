@@ -178,5 +178,68 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(setopsSql) },
     Some(setopsSql))
 
-  def all: Seq[Q] = Seq(sql1, sql2, sql3, sql4, sql5)
+  /** X231: aggregate FILTER clause (SQL:2003 T612) as the SIXTH
+    * shared-string SQL-surface row — per-aggregate predicates without
+    * the CASE-WHEN contortion, the idiom conditional-metric dashboards
+    * are written in. One pass computes four differently-filtered
+    * aggregates per group; measures stay exact (counts BIGINT, cents
+    * floor()'d to BIGINT before summing — the dq7 device — with
+    * DuckDB's HUGEINT sum pinned back to BIGINT). Scale: all four
+    * FILTERed aggregates fold into the SAME map-side partial aggregate
+    * — one shuffle on l_returnflag, no extra passes.
+    */
+  private val filterSql = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_deep_discount,
+           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+             AS n_bulk,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE l_tax > 0.04) AS BIGINT)
+             AS cents_high_tax,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE l_linestatus = 'F') AS BIGINT)
+             AS cents_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  private val sql6 = Q(
+    "sql6_filter_clause",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(filterSql) },
+    Some(filterSql))
+
+  /** X232: CORRELATED SCALAR SUBQUERIES (in both SELECT-list and WHERE)
+    * as the SEVENTH shared-string SQL-surface row — the "inline lookup
+    * per outer row" construct Catalyst decorrelates into aggregate +
+    * left outer join (RewriteCorrelatedScalarSubquery), proven against
+    * DuckDB's own decorrelation on the identical text. Customers with
+    * ≥8 orders, each row carrying two independently-correlated scalars
+    * (open-order count, max order cents). All-integer measures;
+    * COALESCE pins the no-match scalar to 0 on both engines. Scale:
+    * each decorrelated subquery is one aggregate on o_custkey + one
+    * equi-join — no per-row re-execution survives optimization, which
+    * is exactly what the row certifies.
+    */
+  private val corrSql = """
+    SELECT c.c_custkey, c.c_mktsegment,
+           (SELECT COALESCE(CAST(count(*) AS BIGINT), 0)
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'O') AS n_open_orders,
+           (SELECT COALESCE(max(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                     AS BIGINT)), 0)
+            FROM orders o WHERE o.o_custkey = c.c_custkey)
+             AS max_order_cents
+    FROM customer c
+    WHERE (SELECT count(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey) >= 8
+    ORDER BY c.c_custkey"""
+
+  private val sql7 = Q(
+    "sql7_correlated_scalar_subquery",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(corrSql) },
+    Some(corrSql))
+
+  def all: Seq[Q] = Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7)
 }

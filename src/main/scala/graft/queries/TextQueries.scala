@@ -1013,7 +1013,79 @@ object TextQueries {
                       AS BIGINT) AS cum_distinct
              FROM b ORDER BY bucket"""))
 
+  /** X234 t21: CORPUS DIVERGENCE via total-variation distance — "how
+    * different is the English sub-corpus's unigram distribution from
+    * the rest?", the drift/contamination number behind mixture
+    * rebalancing and domain-shift alarms. TV = ½·Σ_w |p_w − q_w| is
+    * computed EXACTLY: with c1/c2 the per-word counts and n1/n2 the
+    * corpus totals, Σ|c1·n2 − c2·n1| is an exact-BIGINT aggregate over
+    * the FULL vocabulary (bounded by 2·n1·n2 ≈ 2e12 at sf0.1 — no
+    * truncation, no float-sum order hazard, unlike KL/JS whose log is
+    * not cross-engine deterministic, the t17 lesson), and TV is ONE
+    * final division. The top-10 divergence contributors rank by the
+    * same exact integer. Scale: one vocabulary-keyed aggregate (map-
+    * side combined), a 2-row totals broadcast, a 10-row TakeOrdered.
+    */
+  private val t21 = Q(
+    "t21_corpus_tv_distance",
+    (s, dir) => {
+      val words = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("word"))
+        .withColumn("is_en",
+          when(col("lang") === "en", 1L).otherwise(0L))
+      val counts = words.groupBy("word")
+        .agg(sum(col("is_en")).as("c1"),
+          sum(lit(1L) - col("is_en")).as("c2"))
+        .localCheckpoint()
+      val totals = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val scored = counts.crossJoin(broadcast(totals))
+        .withColumn("num", abs(col("c1") * col("n2")
+          - col("c2") * col("n1")))
+      val tv = scored.agg(sum("num").as("num_total"),
+        min("n1").as("n1"), min("n2").as("n2"))
+      // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+      // top-10 heaps + a 10-row driver merge, never a global sort.
+      val topDf = scored.select(col("word"), col("c1"), col("c2"),
+        col("num"))
+        .orderBy(col("num").desc, col("word")).limit(10)
+      topDf.crossJoin(broadcast(tv))
+        .select(col("word"), col("c1"), col("c2"), col("num"),
+          col("n1"), col("n2"), col("num_total"),
+          (col("num_total").cast("double")
+            / (lit(2.0) * col("n1").cast("double")
+              * col("n2").cast("double"))).as("tv_distance"))
+        .orderBy(col("num").desc, col("word"))
+    },
+    Some("""WITH words AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS word
+              FROM documents),
+            counts AS (
+              SELECT word, CAST(sum(is_en) AS BIGINT) AS c1,
+                     CAST(sum(1 - is_en) AS BIGINT) AS c2
+              FROM words GROUP BY word),
+            totals AS (
+              SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2
+              FROM counts),
+            scored AS (
+              SELECT word, c1, c2, abs(c1 * n2 - c2 * n1) AS num, n1, n2
+              FROM counts CROSS JOIN totals),
+            tv AS (
+              SELECT CAST(sum(num) AS BIGINT) AS num_total,
+                     min(n1) AS n1, min(n2) AS n2
+              FROM scored)
+            SELECT s.word, s.c1, s.c2, s.num, t.n1, t.n2, t.num_total,
+                   CAST(t.num_total AS DOUBLE)
+                     / (2.0 * CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+                     AS tv_distance
+            FROM scored s CROSS JOIN tv t
+            ORDER BY s.num DESC, s.word LIMIT 10"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20)
+      t16, t17, t18, t19, t20, t21)
 }

@@ -934,7 +934,81 @@ object WindowQueries {
                      / CAST(count(*) AS DOUBLE) AS win_mean
             FROM bounds GROUP BY user_id ORDER BY user_id"""))
 
+  /** X230 w32: MEDIAN-ABSOLUTE-DEVIATION anomaly fence per user — the
+    * fully-robust outlier gate completing the trio with dq6 (IQR drop)
+    * and w31 (winsorize): median and MAD have 50% breakdown points, so
+    * unlike the w25 z-score the fence itself cannot be dragged by the
+    * outliers it hunts. Both medians are DISCRETE rank-⌈n/2⌉ order
+    * statistics via the w31/e34 integer-division-rank device: the
+    * per-user cents median from one ranked pass, then the median of the
+    * (exact BIGINT) absolute deviations from a second ranked pass over
+    * the SAME user-keyed shuffle. The flag |x−med| > 3·MAD compares in
+    * integers — no 1.4826 float scaling, no tolerance. Scale: one
+    * hash-partition shuffle on user_id shared by both window passes and
+    * the final aggregate; per-user work is sort-local.
+    */
+  private val w32 = Q(
+    "w32_mad_anomaly",
+    (s, dir) => {
+      val wAll = Window.partitionBy("user_id")
+      val wOrd = Window.partitionBy("user_id").orderBy("cents", "event_id")
+      val base = Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("med_c",
+          max(when(col("rk") === expr("(n + 1) div 2"), col("cents")))
+            .over(wAll))
+        .withColumn("dev", abs(col("cents") - col("med_c")))
+      val wDev = Window.partitionBy("user_id").orderBy("dev", "event_id")
+      base
+        .withColumn("rk2", row_number().over(wDev))
+        .withColumn("mad_c",
+          max(when(col("rk2") === expr("(n + 1) div 2"), col("dev")))
+            .over(wAll))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          min("med_c").as("med_cents"),
+          min("mad_c").as("mad_cents"),
+          max("dev").as("max_dev"),
+          sum(when(col("dev") > lit(3L) * col("mad_c"), 1L).otherwise(0L))
+            .as("n_anomalies"))
+        .orderBy("user_id")
+    },
+    Some("""WITH base AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER wo AS rk,
+                     count(*) OVER wa AS n
+              FROM events
+              WINDOW wo AS (PARTITION BY user_id ORDER BY
+                              CAST(round(value * 100) AS BIGINT), event_id),
+                     wa AS (PARTITION BY user_id)),
+            med AS (
+              SELECT user_id, event_id, cents, n,
+                     max(CASE WHEN rk = (n + 1) // 2 THEN cents END)
+                       OVER (PARTITION BY user_id) AS med_c
+              FROM base),
+            dev AS (
+              SELECT user_id, event_id, cents, n, med_c,
+                     abs(cents - med_c) AS dv,
+                     row_number() OVER (PARTITION BY user_id ORDER BY
+                       abs(cents - med_c), event_id) AS rk2
+              FROM med),
+            mad AS (
+              SELECT user_id, event_id, dv, med_c,
+                     max(CASE WHEN rk2 = (n + 1) // 2 THEN dv END)
+                       OVER (PARTITION BY user_id) AS mad_c
+              FROM dev)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   min(med_c) AS med_cents,
+                   min(mad_c) AS mad_cents,
+                   max(dv) AS max_dev,
+                   CAST(sum(CASE WHEN dv > 3 * mad_c THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_anomalies
+            FROM mad GROUP BY user_id ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26, w28, w30, w31)
+      w22, w23, w24, w25, w26, w28, w30, w31, w32)
 }
