@@ -1593,9 +1593,65 @@ object EventQueries {
                      AS mean_us
             FROM rk"""))
 
+  /** X236 e35: FIRST-/LAST-TOUCH purchase attribution — the marketing
+    * attribution matrix (which channel opened the journey × which
+    * channel closed it) over each user's event stream. Last-touch =
+    * the most recent non-purchase event strictly before the purchase,
+    * via last(..., ignoreNulls) over an UNBOUNDED-PRECEDING-to-1-
+    * PRECEDING frame (the w4 first-non-null device with an
+    * exclusive-current frame); first-touch = first_value over the
+    * user's whole ordered stream. Purchases with no preceding touch
+    * attribute to 'none' on both axes via COALESCE. Revenue stays in
+    * exact cents. Scale: ONE user-keyed shuffle feeds both window
+    * passes and the 36-cell-bounded aggregate; no self-join against
+    * the purchase subset.
+    */
+  private val e35 = Q(
+    "e35_touch_attribution",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val attributed = graft.ops.Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("first_touch",
+          first(col("event_type")).over(wOrd))
+        .withColumn("last_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true)
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase")
+      attributed
+        .groupBy(
+          coalesce(col("first_touch"), lit("none")).as("first_touch"),
+          coalesce(col("last_touch"), lit("none")).as("last_touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("cents").as("revenue_cents"),
+          sum("event_id").as("event_id_sum"))
+        .orderBy("first_touch", "last_touch")
+    },
+    Some("""WITH attributed AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     event_id,
+                     first_value(event_type) OVER wo AS first_touch,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS last_touch
+              FROM events
+              WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT coalesce(first_touch, 'none') AS first_touch,
+                   coalesce(last_touch, 'none') AS last_touch,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents,
+                   CAST(sum(event_id) AS BIGINT) AS event_id_sum
+            FROM attributed
+            WHERE event_type = 'purchase'
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31, e32, e33, e34)
+      e29, e30, e31, e32, e33, e34, e35)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }

@@ -657,7 +657,68 @@ object JoinQueries {
                      0) AS BIGINT) AS sum_ref_cents
             FROM full0 GROUP BY 1 ORDER BY 1"""))
 
+  /** X235 j17: BAND JOIN (|price_a − price_b| ≤ δ) via bucket-explode —
+    * the "find competitors within 10 cents" matching the interval
+    * family still lacked: j10 overlaps explicit intervals, j15/j16
+    * pick ONE nearest row, a band join wants EVERY row within a fixed
+    * distance. Naive form is a non-equi theta join (nested-loop at any
+    * scale); here the probe side (Brand#1 parts) explodes each row to
+    * its δ-width bucket and both neighbors, the candidate side carries
+    * its single bucket, and the join is a pure EQUI-join on the bucket
+    * key — each true pair produced exactly once (a candidate's bucket
+    * is unique), with the exact |Δcents| ≤ 10 filter applied
+    * post-join in integers. Scale: shuffle cost is 3×probe + 1×build
+    * rows hash-partitioned on bucket; no cross product ever forms,
+    * and bucket width = δ bounds candidates per probe to two buckets'
+    * occupancy regardless of table size.
+    */
+  private val j17 = Q(
+    "j17_price_band_join",
+    (s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+        .withColumn("cents",
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"))
+      val probe = parts.filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("probe_key"),
+          col("cents").as("probe_cents"),
+          explode(array(expr("cents div 10") - 1L,
+            expr("cents div 10"),
+            expr("cents div 10") + 1L)).as("bkt"))
+      val cand = parts.filter(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey").as("cand_key"),
+          col("cents").as("cand_cents"),
+          expr("cents div 10").as("bkt"))
+      probe.join(cand, "bkt")
+        .filter(abs(col("probe_cents") - col("cand_cents")) <= 10L)
+        .groupBy("probe_key")
+        .agg(min("probe_cents").as("probe_cents"),
+          count(lit(1)).as("n_matches"),
+          min("cand_cents").as("min_match_cents"),
+          max("cand_cents").as("max_match_cents"),
+          sum("cand_key").as("match_key_sum"))
+        .orderBy("probe_key")
+    },
+    Some("""WITH parts AS (
+              SELECT p_partkey, p_brand,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM part),
+            probe AS (
+              SELECT p_partkey AS probe_key, cents AS probe_cents
+              FROM parts WHERE p_brand = 'Brand#1'),
+            cand AS (
+              SELECT p_partkey AS cand_key, cents AS cand_cents
+              FROM parts WHERE p_brand <> 'Brand#1')
+            SELECT p.probe_key, min(p.probe_cents) AS probe_cents,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   min(c.cand_cents) AS min_match_cents,
+                   max(c.cand_cents) AS max_match_cents,
+                   CAST(sum(c.cand_key) AS BIGINT) AS match_key_sum
+            FROM probe p JOIN cand c
+              ON abs(p.probe_cents - c.cand_cents) <= 10
+            GROUP BY p.probe_key ORDER BY p.probe_key"""))
+
   def all: Seq[Q] =
     Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13, j14,
-      j15, j16)
+      j15, j16, j17)
 }

@@ -1172,7 +1172,92 @@ object RelationalQueries {
                      AS strength
             FROM probes ORDER BY fd"""))
 
+  /** X237 dq9: COLUMN-PROFILE table (the pandas-profiling / Deequ
+    * "describe" every ingestion run opens with): one output row per
+    * orders column — row count, null count, distinct count, min/max
+    * rendered as strings — where dq1 ASSERTS known constraints, this
+    * row DISCOVERS the shape. Six fixed per-column branches union
+    * together; doubles are profiled as exact floor()'d cents and dates
+    * as ISO strings so every rendered value is cross-engine stable
+    * (raw double→string formatting is NOT — '900.0' vs '900'). Scale:
+    * each branch is one map-side-combined aggregate over a single
+    * column (count-distinct shuffles that column's values only);
+    * branches parallelize independently, nothing is row-wise.
+    */
+  private val dq9 = Q(
+    "dq9_column_profile",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("cents",
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .withColumn("odate",
+          date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd"))
+      def profile(label: String, c: org.apache.spark.sql.Column) =
+        o.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(c)).as("n_null"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_str"),
+          max(c).cast("string").as("max_str"))
+          .select(lit(label).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+      profile("o_orderkey", col("o_orderkey"))
+        .unionAll(profile("o_custkey", col("o_custkey")))
+        .unionAll(profile("o_orderstatus", col("o_orderstatus")))
+        .unionAll(profile("o_totalprice_cents", col("cents")))
+        .unionAll(profile("o_orderdate", col("odate")))
+        .unionAll(profile("o_orderpriority", col("o_orderpriority")))
+        .orderBy("col_name")
+    },
+    Some("""WITH o AS (
+              SELECT *,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                     strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                       AS odate
+              FROM orders)
+            SELECT 'o_orderkey' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                     AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_str
+            FROM o
+            UNION ALL
+            SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_custkey) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM o
+            UNION ALL
+            SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(cents) AS BIGINT),
+                   CAST(count(DISTINCT cents) AS BIGINT),
+                   CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(odate) AS BIGINT),
+                   CAST(count(DISTINCT odate) AS BIGINT),
+                   min(odate), max(odate)
+            FROM o
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderpriority) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM o
+            ORDER BY col_name"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
-      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6, dq7, dq8)
+      p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6, dq7, dq8,
+      dq9)
 }
