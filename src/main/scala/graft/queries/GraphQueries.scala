@@ -783,5 +783,65 @@ object GraphQueries {
                      + CAST(h6 AS DOUBLE) / 6.0 AS harmonic
             FROM agg"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9)
+  /** X238 g10: HITS hub/authority scores on the DIRECTED supplier→part
+    * supply graph (g1's edges) — two rounds of mutual reinforcement
+    * kept ENTIRELY IN INTEGERS by skipping the cosmetic normalization:
+    * a₁(p) = indegree, h₁(s) = Σ_out a₁, a₂(p) = Σ_in h₁ are exact
+    * BIGINT path counts (h₁ counts supplier→part→supplier' paths, a₂
+    * counts length-3 alternating paths into p), so the ranking is
+    * hash-exact with no float-sum order hazard — the g9/m33 lesson
+    * applied to spectral-style scores (normalized HITS converges to
+    * the same ORDER; the order is what operators read). Each round is
+    * one equi-join + one map-side-combinable groupBy on the edge list;
+    * top-15 per role via TakeOrderedAndProject, never a global sort.
+    */
+  private val g10 = Q(
+    "g10_hits_bipartite",
+    (s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("su"), col("l_partkey").as("pa"))
+        .distinct()
+        .localCheckpoint()
+      val a1 = edges.groupBy("pa").agg(count(lit(1)).as("a1"))
+      val h1 = edges.join(a1, "pa")
+        .groupBy("su").agg(sum("a1").as("h1"))
+      val a2 = edges.join(h1, "su")
+        .groupBy("pa").agg(sum("h1").as("a2"))
+      val topHubs = h1
+        .select(lit("hub").as("role"), col("su").as("node"),
+          col("h1").as("score_r1"), lit(null).cast("long").as("score_r2"))
+        .orderBy(col("score_r1").desc, col("node")).limit(15)
+      val topAuth = a1.join(a2, "pa")
+        .select(lit("authority").as("role"), col("pa").as("node"),
+          col("a1").as("score_r1"), col("a2").as("score_r2"))
+        .orderBy(col("score_r2").desc, col("node")).limit(15)
+      topAuth.unionAll(topHubs).orderBy("role", "node")
+    },
+    Some("""WITH edges AS (
+              SELECT DISTINCT l_suppkey AS su, l_partkey AS pa
+              FROM lineitem),
+            a1 AS (
+              SELECT pa, CAST(count(*) AS BIGINT) AS a1
+              FROM edges GROUP BY pa),
+            h1 AS (
+              SELECT e.su, CAST(sum(a.a1) AS BIGINT) AS h1
+              FROM edges e JOIN a1 a USING (pa) GROUP BY e.su),
+            a2 AS (
+              SELECT e.pa, CAST(sum(h.h1) AS BIGINT) AS a2
+              FROM edges e JOIN h1 h USING (su) GROUP BY e.pa),
+            top_hubs AS (
+              SELECT 'hub' AS role, su AS node, h1 AS score_r1,
+                     CAST(NULL AS BIGINT) AS score_r2
+              FROM h1 ORDER BY h1 DESC, su LIMIT 15),
+            top_auth AS (
+              SELECT 'authority' AS role, a1.pa AS node,
+                     a1.a1 AS score_r1, a2.a2 AS score_r2
+              FROM a1 JOIN a2 USING (pa)
+              ORDER BY a2.a2 DESC, a1.pa LIMIT 15)
+            SELECT * FROM top_auth
+            UNION ALL
+            SELECT * FROM top_hubs
+            ORDER BY role, node"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10)
 }

@@ -241,5 +241,31 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(corrSql) },
     Some(corrSql))
 
-  def all: Seq[Q] = Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7)
+  /** X240: GROUP BY ALL (the modern infer-the-grouping-keys shorthand
+    * both engines adopted — Spark 3.4+, DuckDB 0.6+) as the EIGHTH
+    * shared-string SQL-surface row: every non-aggregate SELECT item
+    * becomes a grouping key, including a COMPUTED one (the order-date
+    * year), which is where hand-maintained GROUP BY lists rot. Exact
+    * measures (counts, floor()'d cents with DuckDB's HUGEINT pinned
+    * back to BIGINT); ORDER BY positional, common ground for the
+    * inferred columns. Scale: identical plan to the explicit GROUP BY
+    * — one map-side-combined aggregate, the sugar is analysis-time.
+    */
+  private val groupAllSql = """
+    SELECT o_orderstatus,
+           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY 1, 2"""
+
+  private val sql8 = Q(
+    "sql8_group_by_all",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(groupAllSql) },
+    Some(groupAllSql))
+
+  def all: Seq[Q] = Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8)
 }

@@ -1008,7 +1008,77 @@ object WindowQueries {
                      AS BIGINT) AS n_anomalies
             FROM mad GROUP BY user_id ORDER BY user_id"""))
 
+  /** X239 w33: PER-USER OLS TREND (least-squares slope/intercept of
+    * spend over event index) — the classical-regression companion to
+    * w23's robust Theil–Sen: one closed-form fit per user from FOUR
+    * exact-BIGINT sufficient statistics (n, Σt, Σt·y, Σy with t the
+    * 1-based event rank and y exact cents; Σt and Σt² are then exact
+    * by formula, never summed). Slope and intercept are pinned IEEE
+    * chains over those integers — hash-exact, the m39 convention.
+    * Scale: ONE user-keyed shuffle (rank pass + aggregate); at sf10 a
+    * per-user n of ~10⁵ keeps nΣty < 2^63 — beyond that the stats
+    * columns widen to decimal(38,0) mechanically. No matrix solve:
+    * simple regression is a 4-number reduce per key.
+    */
+  private val w33 = Q(
+    "w33_ols_trend",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val stats = Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_y"),
+          sum(col("t") * col("cents")).as("sum_ty"))
+      // Σt = n(n+1)/2 and Σt² = n(n+1)(2n+1)/6 exactly, by formula.
+      val st = expr("(n * (n + 1)) div 2")
+      val stt = expr("(n * (n + 1) * (2 * n + 1)) div 6")
+      val nd = col("n").cast("double")
+      val slope = ((nd * col("sum_ty").cast("double"))
+        - st.cast("double") * col("sum_y").cast("double")) /
+        ((nd * stt.cast("double")) - st.cast("double") * st.cast("double"))
+      stats.select(col("user_id"), col("n"), col("sum_y"), col("sum_ty"),
+        st.as("sum_t"), stt.as("sum_tt"),
+        slope.as("slope_cents_per_event"),
+        (col("sum_y").cast("double") / nd
+          - slope * (st.cast("double") / nd)).as("intercept_cents"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS BIGINT) AS t
+              FROM events),
+            stats AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sum_y,
+                     CAST(sum(t * cents) AS BIGINT) AS sum_ty
+              FROM ranked GROUP BY user_id)
+            SELECT user_id, n, sum_y, sum_ty,
+                   (n * (n + 1)) // 2 AS sum_t,
+                   (n * (n + 1) * (2 * n + 1)) // 6 AS sum_tt,
+                   (CAST(n AS DOUBLE) * CAST(sum_ty AS DOUBLE)
+                     - CAST((n * (n + 1)) // 2 AS DOUBLE)
+                       * CAST(sum_y AS DOUBLE))
+                   / (CAST(n AS DOUBLE)
+                       * CAST((n * (n + 1) * (2 * n + 1)) // 6 AS DOUBLE)
+                     - CAST((n * (n + 1)) // 2 AS DOUBLE)
+                       * CAST((n * (n + 1)) // 2 AS DOUBLE))
+                     AS slope_cents_per_event,
+                   CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sum_ty AS DOUBLE)
+                     - CAST((n * (n + 1)) // 2 AS DOUBLE)
+                       * CAST(sum_y AS DOUBLE))
+                   / (CAST(n AS DOUBLE)
+                       * CAST((n * (n + 1) * (2 * n + 1)) // 6 AS DOUBLE)
+                     - CAST((n * (n + 1)) // 2 AS DOUBLE)
+                       * CAST((n * (n + 1)) // 2 AS DOUBLE)))
+                     * (CAST((n * (n + 1)) // 2 AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS intercept_cents
+            FROM stats ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26, w28, w30, w31, w32)
+      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33)
 }
