@@ -389,4 +389,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 2, s"expected 2 shuffles, got $n\n" + p.take(3000))
   }
+
+  test("j17 band join plans as an EQUI-join on the bucket key — the " +
+      "|Δ|≤δ predicate must not surface as a theta join") {
+    val p = plan("j17_price_band_join")
+    // The whole design: explode probe to bucket±1 so the band match is
+    // a hash-partitionable equi-join; a nested-loop or cartesian plan
+    // means the bucket key got lost and the query is O(n·m) at scale.
+    assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("sql7 correlated scalar subqueries decorrelate: no per-outer-row " +
+      "re-execution survives optimization") {
+    val p = plan("sql7_correlated_scalar_subquery")
+    // Catalyst's RewriteCorrelatedScalarSubquery turns each correlated
+    // scalar into aggregate + join; an InSubquery/ScalarSubquery node
+    // re-evaluated per row (or a nested-loop join) would be O(n·m).
+    assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("pl8 token-budget sampling runs on ONE source shuffle (rank + " +
+      "cumsum + aggregate share the partitioning)") {
+    val p = plan("pl8_token_budget_sample")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 shuffle, got $n\n" + p.take(3000))
+  }
+
+  test("w33 OLS trend is one user shuffle: the rank window and the " +
+      "sufficient-statistics aggregate reuse the same partitioning") {
+    val p = plan("w33_ols_trend")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 shuffle, got $n\n" + p.take(3000))
+  }
+
+  test("t21 TV distance: the full-vocabulary aggregate is map-side " +
+      "combined and the totals join back as a broadcast") {
+    val p = plan("t21_corpus_tv_distance")
+    assert(p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
