@@ -1416,7 +1416,83 @@ object DedupQueries {
          |ORDER BY cfg""".stripMargin
     })
 
+  /** X242 d21: MEDOID canonicalization — pick each near-dup cluster's
+    * canonical document by CENTRALITY (the member most similar to its
+    * peers) where d10 picks by source-precedence POLICY; dedup systems
+    * offer both because the medoid preserves the "most representative"
+    * text while policy preserves provenance. The objective is kept in
+    * EXACT INTEGERS: score(a) = Σ_b shared(a,b) over cluster peers,
+    * computed WITHOUT any pairwise join — per (cluster, shingle) count
+    * occurrences c, then each member's score is Σ over its shingles of
+    * (c − 1); that equals the pairwise sum by counting each shared
+    * (a,b,sh) instance once from each side. A float Jaccard sum would
+    * be order-hazardous; the shared-count objective is hash-exact.
+    * Scale: one (cluster, sh) aggregate + a join back — cost tracks
+    * the CLUSTERED docs' shingles only, never all-pairs; argmax per
+    * cluster under the (score desc, doc_id) total order.
+    */
+  private val d21 = Q(
+    "d21_medoid_canonical",
+    (s, dir) => {
+      val labels = ccLabels(s, dir)
+      val ex = shingled(s, dir).select("doc_id", "sh")
+      val clustered = ex.join(labels, "doc_id")
+      val shCounts = clustered.groupBy("cluster", "sh")
+        .agg(count(lit(1)).as("c"))
+      val scores = clustered.join(shCounts, Seq("cluster", "sh"))
+        .groupBy("cluster", "doc_id")
+        .agg(sum(col("c") - lit(1L)).as("score"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("score").desc, col("doc_id"))
+      scores
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"),
+          min(when(col("rn") === 1, col("doc_id"))).as("medoid_doc"),
+          min(when(col("rn") === 1, col("score"))).as("medoid_score"),
+          sum("score").as("total_shared"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE $duckLshPairCtes,
+             cedges AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL
+               SELECT doc_b, doc_a FROM pairs),
+             reach(src, dst) AS (
+               SELECT DISTINCT src, src FROM cedges
+               UNION
+               SELECT r.src, e.dst FROM reach r
+               JOIN cedges e ON r.dst = e.src),
+             comp AS (
+               SELECT src AS doc_id, min(dst) AS cluster
+               FROM reach GROUP BY 1),
+             cl AS (
+               SELECT e.doc_id, e.sh, c.cluster
+               FROM ex e JOIN comp c USING (doc_id)),
+             shc AS (
+               SELECT cluster, sh, count(*) AS c
+               FROM cl GROUP BY 1, 2),
+             scores AS (
+               SELECT cl.cluster, cl.doc_id,
+                      CAST(sum(shc.c - 1) AS BIGINT) AS score
+               FROM cl JOIN shc ON cl.cluster = shc.cluster
+                 AND cl.sh = shc.sh
+               GROUP BY 1, 2),
+             ranked AS (
+               SELECT cluster, doc_id, score,
+                      row_number() OVER (PARTITION BY cluster
+                        ORDER BY score DESC, doc_id) AS rn
+               FROM scores)
+             SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+                    min(CASE WHEN rn = 1 THEN doc_id END) AS medoid_doc,
+                    min(CASE WHEN rn = 1 THEN score END) AS medoid_score,
+                    CAST(sum(score) AS BIGINT) AS total_shared
+             FROM ranked
+             GROUP BY cluster HAVING count(*) >= 2
+             ORDER BY cluster"""))
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20)
+      d16, d17, d18, d19, d20, d21)
 }

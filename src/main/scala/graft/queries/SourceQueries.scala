@@ -575,6 +575,63 @@ object SourceQueries {
             FROM documents
             GROUP BY lang ORDER BY lang"""))
 
+  /** S14 (X241): corrupt-record handling on the JSON reader — the JSON
+    * sibling of src6's CSV row, because the two parsers take different
+    * code paths (JacksonParser vs UnivocityParser) and a real feed
+    * breaks both. The fixture serializes documents to JSON lines and
+    * TRUNCATES the line for every doc_id ≡ 0 (mod 89) (an interrupted
+    * write, the classic corruption); the PERMISSIVE read surfaces those
+    * rows as a non-null _corrupt_record while parsing the survivors,
+    * and DROPMALFORMED skips them. The oracle reproduces the survivor
+    * set as doc_id % 89 <> 0 — proving dropped ≡ planted, nothing
+    * more, nothing less. Scale: JSON lines split by byte ranges like
+    * CSV; parse + corrupt-detection are scan-local.
+    */
+  private val s14 = Q(
+    "src14_json_corrupt",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = tmpDir("documents_bad_json")
+      Tables.load(s, dir, "documents")
+        .select(
+          when(col("doc_id") % 89 === 0,
+            // truncate mid-token: unclosed string + missing brace
+            substring(to_json(struct(col("doc_id"), col("lang"),
+              col("source"), col("n_chars"))), 1, 20))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"),
+              col("source"), col("n_chars")))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType),
+        StructField("_corrupt", StringType)))
+      val perm = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+        .cache()
+      val nCorrupt =
+        try perm.filter(col("_corrupt").isNotNull).count()
+        finally perm.unpersist()
+      val good = s.read
+        .schema(StructType(schema.fields.dropRight(1)))
+        .option("mode", "DROPMALFORMED")
+        .json(out)
+      good.groupBy("lang")
+        .agg(count(lit(1)).as("n_good"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("doc_id_sum"))
+        .withColumn("n_corrupt_total", lit(nCorrupt))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_good,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+                   (SELECT count(*) FROM documents WHERE doc_id % 89 = 0)
+                     AS n_corrupt_total
+            FROM documents WHERE doc_id % 89 <> 0
+            GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14)
 }

@@ -21,6 +21,7 @@ object ScaleProbe {
     if (args.headOption.contains("graph")) { graphProbe(); return }
     if (args.headOption.contains("wedge")) { wedgeProbe(); return }
     if (args.headOption.contains("asof")) { asofProbe(); return }
+    if (args.headOption.contains("band")) { bandProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -197,6 +198,61 @@ object ScaleProbe {
       t0 = System.nanoTime()
       naive.count()
       println(f"ASOF  x$m%-2d naive-range-join        " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+
+  /** Band-join scaling: part replicated m× (offset keys, SAME price
+    * domain so band density per bucket grows m× — the adversarial
+    * direction). Claim under test: the bucket-explode equi-join scales
+    * with OUTPUT size (pairs grow m² here because both sides grow in a
+    * fixed price range — at real scale the price domain grows too and
+    * bucket occupancy stays bounded), while the naive theta join
+    * re-COMPARES all probe×cand pairs regardless of matches. The probe
+    * measures both so the gap, not just the trend, is on record.
+    */
+  private def bandProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    for (m <- Seq(1, 4, 8)) {
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_scale_band_x$m"
+      val parts = spark.read.parquet(s"$src/part.parquet")
+      val n = parts.count()
+      (0 until m).map(i =>
+          parts.withColumn("p_partkey", col("p_partkey") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      val fn = graft.SparkEntry.queries("j17_price_band_join")
+      fn(spark, dir).count() // warm
+      var t0 = System.nanoTime()
+      val rows = fn(spark, dir).count()
+      println(f"BAND  x$m%-2d bucket-equi rows=$rows%-7d " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // naive theta join: same semantics, no bucket key
+      val p2 = graft.ops.Tables.load(spark, dir, "part")
+        .withColumn("cents",
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"))
+      val probe = p2.filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("pk"), col("cents").as("pc"))
+      val cand = p2.filter(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey").as("ck"), col("cents").as("cc"))
+      val naive = probe.join(cand,
+          abs(col("pc") - col("cc")) <= 10L)
+        .groupBy("pk").agg(count(lit(1)).as("n"))
+      naive.count() // warm
+      t0 = System.nanoTime()
+      naive.count()
+      println(f"BAND  x$m%-2d naive-theta             " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
