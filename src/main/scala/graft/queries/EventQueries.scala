@@ -1649,9 +1649,59 @@ object EventQueries {
             WHERE event_type = 'purchase'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** X243 e36: DIURNAL CONCENTRATION profile per event type — the
+    * seasonality-shape number a scheduler or anomaly baseline needs
+    * ("how peaked is this event's hour-of-day histogram?"). Modal hour
+    * by exact-integer argmax under the (count desc, hour) total order;
+    * concentration = 24·n_modal/n (ONE pinned division; 1.0 = uniform,
+    * 24 = everything in one hour). The full 24-bucket histogram stays
+    * exact; only the summary ratio is a double. Scale: one map-side
+    * (type, hour) aggregate — 120 cells regardless of corpus size —
+    * then a 120-row window argmax.
+    */
+  private val e36 = Q(
+    "e36_diurnal_concentration",
+    (s, dir) => {
+      val byHour = graft.ops.Tables.load(s, dir, "events")
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n_hr"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n_hr").desc, col("hr"))
+      byHour
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(sum("n_hr").as("n"),
+          count(lit(1)).as("n_active_hours"),
+          min(when(col("rn") === 1, col("hr"))).as("modal_hour"),
+          min(when(col("rn") === 1, col("n_hr"))).as("n_modal"))
+        .withColumn("concentration",
+          lit(24.0) * col("n_modal").cast("double")
+            / col("n").cast("double"))
+        .orderBy("event_type")
+    },
+    Some("""WITH by_hour AS (
+              SELECT event_type,
+                     CAST(hour(ts) AS BIGINT) AS hr,
+                     CAST(count(*) AS BIGINT) AS n_hr
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT event_type, hr, n_hr,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY n_hr DESC, hr) AS rn
+              FROM by_hour)
+            SELECT event_type, CAST(sum(n_hr) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_active_hours,
+                   min(CASE WHEN rn = 1 THEN hr END) AS modal_hour,
+                   min(CASE WHEN rn = 1 THEN n_hr END) AS n_modal,
+                   24.0 * CAST(min(CASE WHEN rn = 1 THEN n_hr END)
+                     AS DOUBLE) / CAST(sum(n_hr) AS DOUBLE)
+                     AS concentration
+            FROM ranked GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31, e32, e33, e34, e35)
+      e29, e30, e31, e32, e33, e34, e35, e36)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }

@@ -1061,7 +1061,80 @@ object PipelineQueries {
                      AS budget_utilization
             FROM ranked GROUP BY source ORDER BY source"""))
 
+  /** X245 pl9: DETERMINISTIC EPOCH SHUFFLING — the reproducible
+    * train-order generator (order epoch e by md5(doc_id || ':' || e)):
+    * every worker, rerun, and engine derives the SAME order for the
+    * same epoch and a DECORRELATED order for the next, with no RNG
+    * state to ship. The row PROVES both properties: per-epoch
+    * doc_id_sum is identical (same multiset), while the top-100
+    * prefixes of epochs 0 and 1 overlap at chance level (~100·100/n).
+    * Top-100 via TakeOrderedAndProject (per-partition heaps) — the
+    * epoch ORDER is never materialized as a global sort; at training
+    * scale the order key is a sort column, range-partitioned like any
+    * distributed sort. Everything integer or md5-string; no RNG.
+    */
+  private val pl9 = Q(
+    "pl9_epoch_shuffle",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      def epochTop(e: Int) = docs
+        .withColumn("ok", md5(concat(col("doc_id").cast("string"),
+          lit(":" + e))))
+        .orderBy("ok", "doc_id").limit(100)
+        .select(col("doc_id"), col("ok"))
+      val t0 = epochTop(0).localCheckpoint()
+      val t1 = epochTop(1).localCheckpoint()
+      val overlap = t0.select("doc_id").join(t1.select("doc_id"), "doc_id")
+        .count()
+      val globals = docs.agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("doc_id_sum"))
+      def summary(e: Int, top: org.apache.spark.sql.DataFrame) = top
+        .agg(count(lit(1)).as("n_top"),
+          sum("doc_id").as("top_doc_id_sum"),
+          min("ok").as("first_order_key"))
+        .select(lit(e.toLong).as("epoch"), col("n_top"),
+          col("top_doc_id_sum"), col("first_order_key"))
+      summary(0, t0).unionAll(summary(1, t1))
+        .crossJoin(broadcast(globals))
+        .withColumn("n_top_overlap", lit(overlap))
+        .select("epoch", "n_docs", "doc_id_sum", "n_top",
+          "top_doc_id_sum", "first_order_key", "n_top_overlap")
+        .orderBy("epoch")
+    },
+    Some("""WITH t0 AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':0') AS ok
+              FROM documents ORDER BY ok, doc_id LIMIT 100),
+            t1 AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':1') AS ok
+              FROM documents ORDER BY ok, doc_id LIMIT 100),
+            ov AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_top_overlap
+              FROM t0 JOIN t1 USING (doc_id)),
+            g AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+              FROM documents),
+            s0 AS (
+              SELECT CAST(0 AS BIGINT) AS epoch,
+                     CAST(count(*) AS BIGINT) AS n_top,
+                     CAST(sum(doc_id) AS BIGINT) AS top_doc_id_sum,
+                     min(ok) AS first_order_key
+              FROM t0),
+            s1 AS (
+              SELECT CAST(1 AS BIGINT) AS epoch,
+                     CAST(count(*) AS BIGINT) AS n_top,
+                     CAST(sum(doc_id) AS BIGINT) AS top_doc_id_sum,
+                     min(ok) AS first_order_key
+              FROM t1)
+            SELECT epoch, n_docs, doc_id_sum, n_top, top_doc_id_sum,
+                   first_order_key, n_top_overlap
+            FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+            CROSS JOIN g CROSS JOIN ov
+            ORDER BY epoch"""))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8)
+      pl7, pl8, pl9)
 }

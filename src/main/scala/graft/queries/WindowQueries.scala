@@ -1078,7 +1078,75 @@ object WindowQueries {
                         / CAST(n AS DOUBLE)) AS intercept_cents
             FROM stats ORDER BY user_id"""))
 
+  /** X244 w34: ROLLING trend correlation — per event, the Pearson r
+    * between spend and event index over the trailing 8 events (the
+    * windowed "is spend trending with time right now?" signal, the
+    * local companion to w33's whole-history OLS). All six windowed
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINT
+    * window sums (x = event rank, y = cents), so r is a pinned IEEE
+    * chain with two correctly-rounded sqrts per row; windows where y
+    * is constant (zero variance, detected in INTEGERS as nΣy²−(Σy)²=0)
+    * emit NULL rather than a 0/0. Full-window rows only. Scale: ONE
+    * user-keyed shuffle; every windowed sum shares the same frame sort.
+    */
+  private val w34 = Q(
+    "w34_rolling_corr",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRoll = wOrd.rowsBetween(-7, Window.currentRow)
+      val base = Tables.load(s, dir, "events")
+        .withColumn("y", round(col("value") * 100).cast("long"))
+        .withColumn("x", row_number().over(wOrd).cast("long"))
+        .withColumn("k", count(lit(1)).over(wRoll))
+        .withColumn("sx", sum("x").over(wRoll))
+        .withColumn("sy", sum("y").over(wRoll))
+        .withColumn("sxy", sum(col("x") * col("y")).over(wRoll))
+        .withColumn("sxx", sum(col("x") * col("x")).over(wRoll))
+        .withColumn("syy", sum(col("y") * col("y")).over(wRoll))
+        .filter(col("k") === 8L)
+      val nd = col("k").cast("double")
+      val cov = nd * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val vx = nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = nd * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      base.select(col("user_id"), col("event_id"), col("x"), col("y"),
+        when(col("k") * col("syy") - col("sy") * col("sy") === 0L,
+          lit(null).cast("double"))
+          .otherwise(cov / (sqrt(vx) * sqrt(vy))).as("rolling_r"))
+        .orderBy("user_id", "x")
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id, event_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS y,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS BIGINT) AS x
+              FROM events),
+            rolled AS (
+              SELECT user_id, event_id, x, y,
+                     CAST(count(*) OVER w AS BIGINT) AS k,
+                     CAST(sum(x) OVER w AS BIGINT) AS sx,
+                     CAST(sum(y) OVER w AS BIGINT) AS sy,
+                     CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+                     CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                     CAST(sum(y * y) OVER w AS BIGINT) AS syy
+              FROM ranked
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+            SELECT user_id, event_id, x, y,
+                   CASE WHEN k * syy - sy * sy = 0 THEN NULL
+                   ELSE (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   END AS rolling_r
+            FROM rolled WHERE k = 8
+            ORDER BY user_id, x"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33)
+      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33, w34)
 }
