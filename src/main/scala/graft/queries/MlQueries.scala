@@ -3066,9 +3066,167 @@ object MlQueries {
                         - 5.0)) AS f_stat
             FROM cells"""))
 
+  /** X246 m41: EFFECT SIZES (Cohen's d + Hedges' g) for the m39
+    * comparison — the "is it LARGE, not just significant" number a
+    * readout needs next to the t statistic, because at corpus scale
+    * everything is significant. Same six exact-BIGINT sufficient
+    * statistics as m39; pooled SD, d = Δmean/s_pooled, and the
+    * small-sample correction g = d·(1 − 3/(4(n1+n2)−9)) are pinned
+    * IEEE chains mirrored literally — hash-exact unrounded. A
+    * 6-integer reduce at any scale.
+    */
+  private val m41 = Q(
+    "m41_effect_sizes",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val cells = ev.agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("s1"),
+        sum(when(col("event_type") === "purchase",
+          col("cents") * col("cents")).otherwise(0L)).as("q1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n2"),
+        sum(when(col("event_type") === "click", col("cents"))
+          .otherwise(0L)).as("s2"),
+        sum(when(col("event_type") === "click",
+          col("cents") * col("cents")).otherwise(0L)).as("q2"))
+      val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+      val v1 = (col("q1").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / n1d) /
+        (n1d - lit(1.0))
+      val v2 = (col("q2").cast("double")
+        - col("s2").cast("double") * col("s2").cast("double") / n2d) /
+        (n2d - lit(1.0))
+      val sp = sqrt(((n1d - lit(1.0)) * v1 + (n2d - lit(1.0)) * v2)
+        / (n1d + n2d - lit(2.0)))
+      val d = (col("s1").cast("double") / n1d
+        - col("s2").cast("double") / n2d) / sp
+      cells.select(col("n1"), col("n2"),
+        v1.as("var1"), v2.as("var2"), sp.as("pooled_sd"),
+        d.as("cohens_d"),
+        (d * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (n1d + n2d) - lit(9.0)))).as("hedges_g"))
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type IN ('purchase', 'click')),
+            cells AS (
+              SELECT
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN event_type = 'click' THEN cents
+                         ELSE 0 END) AS BIGINT) AS s2,
+                CAST(sum(CASE WHEN event_type = 'click'
+                         THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+              FROM ev),
+            derived AS (
+              SELECT n1, n2,
+                (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) - 1.0) AS var1,
+                (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                  / (CAST(n2 AS DOUBLE) - 1.0) AS var2,
+                CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dmean
+              FROM cells)
+            SELECT n1, n2, var1, var2,
+                   sqrt(((CAST(n1 AS DOUBLE) - 1.0) * var1
+                       + (CAST(n2 AS DOUBLE) - 1.0) * var2)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+                     AS pooled_sd,
+                   dmean / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * var1
+                       + (CAST(n2 AS DOUBLE) - 1.0) * var2)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+                     AS cohens_d,
+                   (dmean / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * var1
+                       + (CAST(n2 AS DOUBLE) - 1.0) * var2)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))
+                   * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+                       + CAST(n2 AS DOUBLE)) - 9.0)) AS hedges_g
+            FROM derived"""))
+
+  /** X247 m42: PAIRED SIGN TEST on first-half vs second-half spend per
+    * user — the distribution-free cousin of m32's Wilcoxon (signs
+    * only, no ranks: immune to any monotone transform of the data).
+    * Each user's events split at the discrete midpoint of their own
+    * ordered history; the comparison first-half-sum vs second-half-sum
+    * is EXACT BIGINT, so n_plus/n_minus/n_zero are exact and the
+    * normal-approximation z = (n⁺ − n⁻)/√(n⁺ + n⁻) is one pinned
+    * chain. Zero-difference users are excluded from z by the standard
+    * convention but REPORTED. Scale: one user-keyed shuffle, then a
+    * 3-integer reduce.
+    */
+  private val m42 = Q(
+    "m42_sign_test",
+    (s, dir) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+      val perUser = Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("user_id")
+        .agg(sum(when(col("rk") <= expr("n div 2"), col("cents"))
+          .otherwise(0L)).as("first_half"),
+          sum(when(col("rk") > expr("n div 2"), col("cents"))
+            .otherwise(0L)).as("second_half"))
+      val signs = perUser.agg(
+        sum(when(col("second_half") > col("first_half"), 1L)
+          .otherwise(0L)).as("n_plus"),
+        sum(when(col("second_half") < col("first_half"), 1L)
+          .otherwise(0L)).as("n_minus"),
+        sum(when(col("second_half") === col("first_half"), 1L)
+          .otherwise(0L)).as("n_zero"))
+      signs.select(col("n_plus"), col("n_minus"), col("n_zero"),
+        ((col("n_plus") - col("n_minus")).cast("double")
+          / sqrt((col("n_plus") + col("n_minus")).cast("double")))
+          .as("z_stat"))
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rk,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            per_user AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN rk <= n // 2 THEN cents
+                              ELSE 0 END) AS BIGINT) AS first_half,
+                     CAST(sum(CASE WHEN rk > n // 2 THEN cents
+                              ELSE 0 END) AS BIGINT) AS second_half
+              FROM ranked GROUP BY user_id),
+            signs AS (
+              SELECT
+                CAST(sum(CASE WHEN second_half > first_half THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_plus,
+                CAST(sum(CASE WHEN second_half < first_half THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_minus,
+                CAST(sum(CASE WHEN second_half = first_half THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_zero
+              FROM per_user)
+            SELECT n_plus, n_minus, n_zero,
+                   CAST(n_plus - n_minus AS DOUBLE)
+                     / sqrt(CAST(n_plus + n_minus AS DOUBLE)) AS z_stat
+            FROM signs"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
       m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38, m39,
-      m40)
+      m40, m41, m42)
 }

@@ -1085,7 +1085,62 @@ object TextQueries {
             FROM scored s CROSS JOIN tv t
             ORDER BY s.num DESC, s.word LIMIT 10"""))
 
+  /** X248 t22: READABILITY scoring (Coleman–Liau index — chosen over
+    * Flesch precisely because it needs NO syllable counting: letters,
+    * words, and sentences are all exact regex-count integers, so the
+    * index is a pinned three-term IEEE chain per doc with zero
+    * linguistic heuristics to drift cross-engine). The grade-level
+    * number is the classic curriculum/complexity filter for training-
+    * mix construction. Sentence count is floored at 1 (fragments)
+    * IN INTEGERS before any division. Scale: one codegen'd scan pass,
+    * map-side banded rollup — no shuffle carries text.
+    */
+  private val t22 = Q(
+    "t22_readability_cli",
+    (s, dir) => {
+      val letters =
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+      val words =
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long")
+      val sents = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L))
+      val cli = lit(0.0588) *
+        (lit(100.0) * col("letters").cast("double")
+          / col("words").cast("double")) -
+        lit(0.296) * (lit(100.0) * col("sents").cast("double")
+          / col("words").cast("double")) - lit(15.8)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), letters.as("letters"), words.as("words"),
+          sents.as("sents"))
+        .filter(col("words") >= 1L)
+        .withColumn("cli", cli)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS BIGINT) AS letters,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                     AS words,
+                   greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                     AS BIGINT), 1) AS sents,
+                   CAST(0.0588 AS DOUBLE) * (CAST(100.0 AS DOUBLE)
+                       * CAST(length(regexp_replace(text, '[^A-Za-z]', '',
+                           'g')) AS DOUBLE)
+                       / CAST(len(regexp_extract_all(text, '\S+'))
+                           AS DOUBLE))
+                   - CAST(0.296 AS DOUBLE) * (CAST(100.0 AS DOUBLE)
+                       * CAST(greatest(CAST(len(regexp_extract_all(text,
+                           '[.!?]+')) AS BIGINT), 1) AS DOUBLE)
+                       / CAST(len(regexp_extract_all(text, '\S+'))
+                           AS DOUBLE))
+                   - CAST(15.8 AS DOUBLE) AS cli
+            FROM documents
+            WHERE len(regexp_extract_all(text, '\S+')) >= 1
+            ORDER BY doc_id"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21)
+      t16, t17, t18, t19, t20, t21, t22)
 }
