@@ -1256,8 +1256,66 @@ object RelationalQueries {
             FROM o
             ORDER BY col_name"""))
 
+  /** X251 dq10: DETERMINISTIC DATA MASKING — the share-with-vendors
+    * transform (and the complement of dq2's k-anonymity AUDIT: dq2
+    * measures re-identification risk, this APPLIES the protection):
+    * names keep one character + a keyed md5 pseudonym tail (stable →
+    * still joinable across datasets, which is the whole point of
+    * pseudonymization over redaction), balances generalize to
+    * 500-cent bands IN INTEGERS, and the row proves three properties
+    * a masking job must certify — row count preserved, pseudonyms
+    * COLLISION-FREE (distinct count unchanged), and no raw name
+    * substring surviving. Scale: masking is a pure scan-local
+    * projection; the certification aggregate is one pass.
+    */
+  private val dq10 = Q(
+    "dq10_data_masking",
+    (s, dir) => {
+      val masked = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+            .as("bal_cents"))
+        .withColumn("name_masked",
+          concat(substring(col("c_name"), 1, 1), lit("***"),
+            substring(md5(concat(lit("pepper:"), col("c_name"))), 1, 8)))
+        // explicit floor division: `div` truncates toward zero while
+        // DuckDB's `//` floors — they disagree on negative balances
+        .withColumn("bal_band",
+          floor(col("bal_cents") / lit(500.0)).cast("long") * lit(500L))
+      masked.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_name")).as("n_names"),
+          countDistinct(col("name_masked")).as("n_pseudonyms"),
+          sum(when(col("name_masked")
+            .contains(substring(col("c_name"), 2, 6)), 1L).otherwise(0L))
+            .as("n_leaks"),
+          countDistinct(col("bal_band")).as("n_bands"),
+          min("bal_band").as("min_band"), max("bal_band").as("max_band"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH masked AS (
+              SELECT c_custkey, c_name, c_mktsegment,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal_cents,
+                     substring(c_name, 1, 1) || '***' ||
+                       substring(md5('pepper:' || c_name), 1, 8)
+                       AS name_masked,
+                     CAST(floor(CAST(floor(c_acctbal * 100 + 0.5)
+                         AS BIGINT) / 500.0) AS BIGINT) * 500 AS bal_band
+              FROM customer)
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT c_name) AS BIGINT) AS n_names,
+                   CAST(count(DISTINCT name_masked) AS BIGINT)
+                     AS n_pseudonyms,
+                   CAST(sum(CASE WHEN contains(name_masked,
+                       substring(c_name, 2, 6)) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_leaks,
+                   CAST(count(DISTINCT bal_band) AS BIGINT) AS n_bands,
+                   min(bal_band) AS min_band, max(bal_band) AS max_band
+            FROM masked GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
       p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6, dq7, dq8,
-      dq9)
+      dq9, dq10)
 }

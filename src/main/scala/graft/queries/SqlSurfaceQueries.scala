@@ -267,5 +267,37 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(groupAllSql) },
     Some(groupAllSql))
 
-  def all: Seq[Q] = Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8)
+  /** X250: named WINDOW clause (SQL:2003) as the NINTH shared-string
+    * SQL-surface row — one window definition referenced by FOUR
+    * functions, the de-duplication every analyst query over windows
+    * wants (and the text where a drifted copy-pasted frame hides
+    * bugs). Mixed function classes over the same named window: rank
+    * (integer), lag (offset), and a framed BIGINT running sum; all
+    * measures exact integers. Scale: the named window is sugar — one
+    * sort per distinct (partition, order, frame), exactly as if
+    * written out. */
+  private val namedWinSql = """
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(rank() OVER w AS BIGINT) AS rk,
+           lag(o_orderkey, 1) OVER w AS prev_order,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             OVER wf AS BIGINT) AS run_cents,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+             AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           wf AS (PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, rk, o_orderkey"""
+
+  private val sql9 = Q(
+    "sql9_named_window",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(namedWinSql) },
+    Some(namedWinSql))
+
+  def all: Seq[Q] =
+    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9)
 }

@@ -1146,7 +1146,38 @@ object WindowQueries {
             FROM rolled WHERE k = 8
             ORDER BY user_id, x"""))
 
+  /** X249 w35: PERCENT_RANK + CUME_DIST — the two relative-position
+    * window functions completing the rank family (w12 ntile, w13
+    * rank/dense_rank, w14 first/last/nth): both are RATIOS OF INTEGERS
+    * — (rank−1)/(n−1) and (#peers ≤ x)/n — evaluated as one pinned
+    * division each, so they hash-exact wherever the underlying rank
+    * does. Ties matter and are proven: tied cents share a rank (and a
+    * cume_dist counting ALL peers ≤), which integer ranks make
+    * unambiguous. Single-member groups pin percent_rank to 0.0 by
+    * definition. Scale: one user-keyed shuffle, both functions share
+    * the same sort.
+    */
+  private val w35 = Q(
+    "w35_percent_rank_cume",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("cents")
+      Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          percent_rank().over(wOrd).as("pct_rank"),
+          cume_dist().over(wOrd).as("cume"))
+        .orderBy("user_id", "cents", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(round(value * 100) AS BIGINT))
+            ORDER BY user_id, cents, event_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33, w34)
+      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33, w34, w35)
 }
