@@ -721,5 +721,81 @@ object SimilarityQueries {
       s"$base$steps $out ORDER BY rank"
     })
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
+  /** X253 s11: METRIC SENSITIVITY scoreboard — does the retrieval
+    * ranking change between RAW DOT PRODUCT and COSINE for the same
+    * queries? (The question behind every "should we normalize the
+    * embeddings" design review: if corpus norms vary, dot favors long
+    * vectors and the two top-k sets diverge; measuring the divergence
+    * on YOUR corpus is the decision input.) Per query: top-1 under
+    * each metric, agreement flag, and |top-3 ∩ top-3| — all exact
+    * integers off the two (rounded-score, id)-tiebroken rankings, so
+    * the scoreboard hash-matches even though the scores are floats.
+    * Scale: same broadcast-query/one-corpus-pass shape as s1; both
+    * rankings share the single scored frame.
+    */
+  private val s11 = Q(
+    "s11_metric_sensitivity",
+    (s, dir) => {
+      val e = corpus(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val scored = broadcast(q).crossJoin(e)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dotp", round(dot(col("qv"), col("v")), 4))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("dotp"), col("cosine"))
+      val wd = Window.partitionBy("query_id")
+        .orderBy(col("dotp").desc, col("neighbor_id"))
+      val wc = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored
+        .withColumn("rd", row_number().over(wd))
+        .withColumn("rc", row_number().over(wc))
+        .groupBy("query_id")
+        .agg(
+          min(when(col("rd") === 1, col("neighbor_id"))).as("top1_dot"),
+          min(when(col("rc") === 1, col("neighbor_id"))).as("top1_cos"),
+          sum(when(col("rd") <= 3 && col("rc") <= 3, 1L).otherwise(0L))
+            .as("top3_overlap"))
+        .withColumn("top1_same",
+          when(col("top1_dot") === col("top1_cos"), 1L).otherwise(0L))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, $duckVec AS v, label FROM embeddings),
+             n AS (
+               SELECT vec_id, v, $duckNorm AS nrm FROM e),
+             q AS (
+               SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+               WHERE vec_id < 10),
+             scored AS (
+               SELECT q.query_id, n.vec_id AS neighbor_id,
+                      round(${duckDot.format("qv", "v")}, 4) AS dotp,
+                      round(${duckDot.format("qv", "v")} / (qn * nrm), 4)
+                        AS cosine
+               FROM q CROSS JOIN n WHERE n.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, dotp, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dotp DESC, neighbor_id) AS rd,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rc
+               FROM scored)
+             SELECT query_id,
+                    min(CASE WHEN rd = 1 THEN neighbor_id END)
+                      AS top1_dot,
+                    min(CASE WHEN rc = 1 THEN neighbor_id END)
+                      AS top1_cos,
+                    CAST(sum(CASE WHEN rd <= 3 AND rc <= 3 THEN 1
+                             ELSE 0 END) AS BIGINT) AS top3_overlap,
+                    CASE WHEN min(CASE WHEN rd = 1 THEN neighbor_id END)
+                           = min(CASE WHEN rc = 1 THEN neighbor_id END)
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                      AS top1_same
+             FROM ranked GROUP BY query_id ORDER BY query_id"""))
+
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
 }

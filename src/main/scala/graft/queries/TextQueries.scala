@@ -1140,7 +1140,60 @@ object TextQueries {
             WHERE len(regexp_extract_all(text, '\S+')) >= 1
             ORDER BY doc_id"""))
 
+  /** X252 t23: KWIC CONCORDANCE (keyword-in-context — the corpus-
+    * linguistics view behind every "show me how this term is used"
+    * tool, and the context-window extraction step of targeted corpus
+    * audits): every occurrence of the keyword with its ±3-token
+    * context, by position. Pure integer/string ops: positions from
+    * posexplode, context via 1-based slice arithmetic (clamped in
+    * INTEGERS at both document edges — the empty-left-context first
+    * token is proven, not special-cased). Scale: one codegen'd scan,
+    * occurrence rows ∝ term frequency (never the corpus), total order
+    * (doc_id, position).
+    */
+  private val t23 = Q(
+    "t23_kwic_concordance",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), x => x =!= "")
+            .as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos0", "tok")))
+        .filter(col("tok") === "merge")
+        .withColumn("p1", col("pos0") + 1)
+      base.select(col("doc_id"), col("p1").cast("long").as("pos"),
+        array_join(slice(col("toks"),
+          greatest(lit(1), col("p1") - 3),
+          least(lit(3), col("p1") - 1)), " ").as("left_ctx"),
+        col("tok").as("keyword"),
+        array_join(slice(col("toks"), col("p1") + 1,
+          least(lit(3), size(col("toks")) - col("p1"))), " ")
+          .as("right_ctx"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH sets AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                       x -> x <> '') AS toks
+              FROM documents),
+            hits AS (
+              SELECT doc_id, toks, unnest(
+                list_filter(list_transform(range(1, len(toks) + 1),
+                  i -> CASE WHEN toks[i] = 'merge' THEN i END),
+                  x -> x IS NOT NULL)) AS p1
+              FROM sets)
+            SELECT doc_id, CAST(p1 AS BIGINT) AS pos,
+                   coalesce(array_to_string(
+                     toks[greatest(1, p1 - 3):p1 - 1], ' '), '')
+                     AS left_ctx,
+                   'merge' AS keyword,
+                   coalesce(array_to_string(
+                     toks[p1 + 1:least(len(toks), p1 + 3)], ' '), '')
+                     AS right_ctx
+            FROM hits ORDER BY doc_id, pos"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22)
+      t16, t17, t18, t19, t20, t21, t22, t23)
 }
