@@ -843,5 +843,63 @@ object GraphQueries {
             SELECT * FROM top_hubs
             ORDER BY role, node"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10)
+  /** X256 g11: DEGREE-DISTRIBUTION histogram of the co-purchase graph
+    * in power-of-two bands — the first profile anyone pulls on a new
+    * graph (is it power-law? near-regular? does orientation pruning
+    * have any skew to exploit? — exactly the question the g3-g6
+    * kernels answered by hand, now a queryable row). Banding is a
+    * fixed integer CASE chain (NO log2: not cross-engine
+    * bit-deterministic), everything else exact integers. Scale: the
+    * degree aggregate is the only data-sized step; the histogram is
+    * ≤64 cells forever.
+    */
+  private val g11 = Q(
+    "g11_degree_histogram",
+    (s, dir) => {
+      val e0 = coEdges(s, dir)
+      val deg = degrees(e0)
+      val band = when(col("deg") < 2L, 1L)
+        .when(col("deg") < 4L, 2L)
+        .when(col("deg") < 8L, 4L)
+        .when(col("deg") < 16L, 8L)
+        .when(col("deg") < 32L, 16L)
+        .when(col("deg") < 64L, 32L)
+        .when(col("deg") < 128L, 64L)
+        .when(col("deg") < 256L, 128L)
+        .otherwise(256L)
+      deg.withColumn("band_lo", band)
+        .groupBy("band_lo")
+        .agg(count(lit(1)).as("n_nodes"),
+          min("deg").as("min_deg"), max("deg").as("max_deg"),
+          sum("deg").as("deg_sum"))
+        .orderBy("band_lo")
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                      SELECT p1 AS node FROM e0
+                      UNION ALL
+                      SELECT p2 AS node FROM e0)
+                    GROUP BY node),
+            banded AS (
+              SELECT deg,
+                     CASE WHEN deg < 2 THEN 1
+                          WHEN deg < 4 THEN 2
+                          WHEN deg < 8 THEN 4
+                          WHEN deg < 16 THEN 8
+                          WHEN deg < 32 THEN 16
+                          WHEN deg < 64 THEN 32
+                          WHEN deg < 128 THEN 64
+                          WHEN deg < 256 THEN 128
+                          ELSE 256 END AS band_lo
+              FROM deg)
+            SELECT CAST(band_lo AS BIGINT) AS band_lo,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   min(deg) AS min_deg, max(deg) AS max_deg,
+                   CAST(sum(deg) AS BIGINT) AS deg_sum
+            FROM banded GROUP BY band_lo ORDER BY band_lo"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
 }

@@ -3224,9 +3224,119 @@ object MlQueries {
                      / sqrt(CAST(n_plus + n_minus AS DOUBLE)) AS z_stat
             FROM signs"""))
 
+  /** X254 m43: PAIRWISE CONTRASTS after ANOVA (the Tukey-HSD-shaped
+    * follow-up — WHICH groups differ, reported as Δmean ± pooled SE
+    * per pair; the critical value is a table lookup, not engine work —
+    * the m37/m39 convention). Per-pair Δmean is a pinned two-division
+    * chain over exact BIGINT (n_g, S_g); the POOLED within-group
+    * variance reuses m40's fixed-order device — the Σ S_g²/n_g term is
+    * a 5-term left-assoc chain over pivoted columns, broadcast back
+    * against the 10 pair rows. Scale: one map-side aggregate + a
+    * k²-row join — group-domain-sized, not data-sized.
+    */
+  private val m43 = Q(
+    "m43_pairwise_contrasts",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val perType = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_g"), sum("cents").as("s_g"))
+        .localCheckpoint()
+      def ng(t: String) =
+        sum(when(col("event_type") === t, col("n_g")).otherwise(0L))
+      def sg(t: String) =
+        sum(when(col("event_type") === t, col("s_g")).otherwise(0L))
+      val qAll = ev.agg(sum(col("cents") * col("cents")).as("q_all"))
+      val pooledRow = perType.crossJoin(broadcast(qAll))
+        .groupBy()
+        .agg(ng("click").as("n_cl"), sg("click").as("s_cl"),
+          ng("error").as("n_er"), sg("error").as("s_er"),
+          ng("purchase").as("n_pu"), sg("purchase").as("s_pu"),
+          ng("signup").as("n_si"), sg("signup").as("s_si"),
+          ng("view").as("n_vi"), sg("view").as("s_vi"),
+          min("q_all").as("q_all"))
+      def d(c: String) = col(c).cast("double")
+      val sumSq = d("s_cl") * d("s_cl") / d("n_cl") +
+        d("s_er") * d("s_er") / d("n_er") +
+        d("s_pu") * d("s_pu") / d("n_pu") +
+        d("s_si") * d("s_si") / d("n_si") +
+        d("s_vi") * d("s_vi") / d("n_vi")
+      val nTot = col("n_cl") + col("n_er") + col("n_pu") +
+        col("n_si") + col("n_vi")
+      val pooled = pooledRow.select(
+        ((d("q_all") - sumSq) / (nTot.cast("double") - lit(5.0)))
+          .as("sp2"))
+      val a = perType.select(col("event_type").as("type_a"),
+        col("n_g").as("n_a"), col("s_g").as("s_a"))
+      val b = perType.select(col("event_type").as("type_b"),
+        col("n_g").as("n_b"), col("s_g").as("s_b"))
+      a.join(b, col("type_a") < col("type_b"))
+        .crossJoin(broadcast(pooled))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          (col("s_a").cast("double") / col("n_a").cast("double")
+            - col("s_b").cast("double") / col("n_b").cast("double"))
+            .as("diff_mean"),
+          sqrt(col("sp2") * (lit(1.0) / col("n_a").cast("double")
+            + lit(1.0) / col("n_b").cast("double"))).as("se_diff"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            per_type AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(cents) AS BIGINT) AS s_g
+              FROM ev GROUP BY event_type),
+            pooled AS (
+              SELECT ((SELECT CAST(sum(cents * cents) AS DOUBLE) FROM ev)
+                  - (CAST(max(CASE WHEN event_type = 'click' THEN s_g END)
+                       AS DOUBLE)
+                     * CAST(max(CASE WHEN event_type = 'click' THEN s_g
+                         END) AS DOUBLE)
+                     / CAST(max(CASE WHEN event_type = 'click' THEN n_g
+                         END) AS DOUBLE)
+                   + CAST(max(CASE WHEN event_type = 'error' THEN s_g END)
+                       AS DOUBLE)
+                     * CAST(max(CASE WHEN event_type = 'error' THEN s_g
+                         END) AS DOUBLE)
+                     / CAST(max(CASE WHEN event_type = 'error' THEN n_g
+                         END) AS DOUBLE)
+                   + CAST(max(CASE WHEN event_type = 'purchase' THEN s_g
+                         END) AS DOUBLE)
+                     * CAST(max(CASE WHEN event_type = 'purchase' THEN s_g
+                         END) AS DOUBLE)
+                     / CAST(max(CASE WHEN event_type = 'purchase' THEN n_g
+                         END) AS DOUBLE)
+                   + CAST(max(CASE WHEN event_type = 'signup' THEN s_g
+                         END) AS DOUBLE)
+                     * CAST(max(CASE WHEN event_type = 'signup' THEN s_g
+                         END) AS DOUBLE)
+                     / CAST(max(CASE WHEN event_type = 'signup' THEN n_g
+                         END) AS DOUBLE)
+                   + CAST(max(CASE WHEN event_type = 'view' THEN s_g END)
+                       AS DOUBLE)
+                     * CAST(max(CASE WHEN event_type = 'view' THEN s_g
+                         END) AS DOUBLE)
+                     / CAST(max(CASE WHEN event_type = 'view' THEN n_g
+                         END) AS DOUBLE)))
+                / (CAST(sum(n_g) AS DOUBLE) - 5.0) AS sp2
+              FROM per_type)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.n_g AS n_a, b.n_g AS n_b,
+                   CAST(a.s_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+                     - CAST(b.s_g AS DOUBLE) / CAST(b.n_g AS DOUBLE)
+                     AS diff_mean,
+                   sqrt(p.sp2 * (1.0 / CAST(a.n_g AS DOUBLE)
+                     + 1.0 / CAST(b.n_g AS DOUBLE))) AS se_diff
+            FROM per_type a
+            JOIN per_type b ON a.event_type < b.event_type
+            CROSS JOIN pooled p
+            ORDER BY type_a, type_b"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
       m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38, m39,
-      m40, m41, m42)
+      m40, m41, m42, m43)
 }

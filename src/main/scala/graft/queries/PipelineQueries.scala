@@ -1134,7 +1134,89 @@ object PipelineQueries {
             CROSS JOIN g CROSS JOIN ov
             ORDER BY epoch"""))
 
+  /** X255 pl10: DATASET CARD — the per-source datasheet a corpus ships
+    * with (the "Datasheets for Datasets" practice): size, token mass,
+    * mean length, dominant language + its share, and the exact-dup
+    * rate inside the source — the five numbers a consumer checks
+    * before mixing a source in. Everything is exact integers plus one
+    * pinned division per ratio; dominant language by integer argmax
+    * under a total order. Scale: one doc-level scan aggregate + a
+    * (source × lang)-sized argmax — card cost is catalog-sized, not
+    * corpus-sized.
+    */
+  private val pl10 = Q(
+    "pl10_dataset_card",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("n_tok",
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long"))
+        .withColumn("fp", md5(col("text")))
+      val bySource = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum("n_chars").as("n_chars_total"),
+          countDistinct("fp").as("n_unique_texts"))
+      val byLang = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_lang"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_lang").desc, col("lang"))
+      val topLang = byLang
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("n_lang").as("n_top_lang"))
+      bySource.join(topLang, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tokens"),
+          (col("n_chars_total").cast("double")
+            / col("n_docs").cast("double")).as("mean_chars"),
+          col("top_lang"),
+          (col("n_top_lang").cast("double") / col("n_docs").cast("double"))
+            .as("top_lang_share"),
+          (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"),
+          ((col("n_docs") - col("n_unique_texts")).cast("double")
+            / col("n_docs").cast("double")).as("dup_rate"))
+        .orderBy("source")
+    },
+    Some("""WITH docs AS (
+              SELECT source, lang, n_chars,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tok,
+                     md5(text) AS fp
+              FROM documents),
+            by_source AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                     CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+                     CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_texts
+              FROM docs GROUP BY source),
+            by_lang AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS n_lang
+              FROM docs GROUP BY source, lang),
+            top_lang AS (
+              SELECT source, lang AS top_lang, n_lang AS n_top_lang
+              FROM (SELECT source, lang, n_lang,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY n_lang DESC, lang) AS rn
+                    FROM by_lang)
+              WHERE rn = 1)
+            SELECT s.source, s.n_docs, s.n_tokens,
+                   CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+                     AS mean_tokens,
+                   CAST(s.n_chars_total AS DOUBLE)
+                     / CAST(s.n_docs AS DOUBLE) AS mean_chars,
+                   t.top_lang,
+                   CAST(t.n_top_lang AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+                     AS top_lang_share,
+                   s.n_docs - s.n_unique_texts AS n_exact_dups,
+                   CAST(s.n_docs - s.n_unique_texts AS DOUBLE)
+                     / CAST(s.n_docs AS DOUBLE) AS dup_rate
+            FROM by_source s JOIN top_lang t USING (source)
+            ORDER BY s.source"""))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9)
+      pl7, pl8, pl9, pl10)
 }
