@@ -146,4 +146,38 @@ class PropertySpec extends AnyFunSuite {
         .forall(_ == bias)
     })
   }
+
+  // ---- j17 band-join bucket-explode law -------------------------------
+  // The j17 registry row replaces the |Δcents| ≤ δ theta join with an
+  // equi-join on δ-width buckets (probe explodes to b−1, b, b+1). This
+  // property proves the rewrite is LOSSLESS and DUPLICATE-FREE for
+  // arbitrary probe/candidate multisets: any pair within δ differs by
+  // at most one bucket (coverage), a candidate owns exactly one bucket
+  // (exactly-once), and the post-join filter removes the rest.
+
+  test("band join: bucket-explode pairs == brute-force |Δ|<=δ pairs, " +
+      "each exactly once") {
+    val delta = 10L
+    val cents = Gen.choose(0L, 300L)
+    val g = Gen.zip(
+      Gen.listOf(cents), // probe cents
+      Gen.listOf(cents)) // candidate cents
+    check(Prop.forAll(g) { case (probes, cands) =>
+      val byBucket = cands.zipWithIndex
+        .groupBy { case (c, _) => Math.floorDiv(c, delta) }
+      val bucketPairs = probes.zipWithIndex.flatMap { case (p, pi) =>
+        val b = Math.floorDiv(p, delta)
+        Seq(b - 1, b, b + 1)
+          .flatMap(k => byBucket.getOrElse(k, Nil))
+          .collect { case (c, ci) if math.abs(p - c) <= delta =>
+            (pi, ci) }
+      }.sorted
+      val brutePairs = (for {
+        (p, pi) <- probes.zipWithIndex
+        (c, ci) <- cands.zipWithIndex
+        if math.abs(p - c) <= delta
+      } yield (pi, ci)).sorted
+      bucketPairs == brutePairs
+    })
+  }
 }
