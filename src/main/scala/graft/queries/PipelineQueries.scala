@@ -1216,7 +1216,170 @@ object PipelineQueries {
             FROM by_source s JOIN top_lang t USING (source)
             ORDER BY s.source"""))
 
+  /** X257 mm8: IMAGE RESIZE (nearest-neighbor, REAL pixels through the
+    * REAL PNG codec) — the downscale step every vision-data pipeline
+    * runs before feature extraction, completing the mm family's
+    * decode → header → pixels → RESIZE chain. Each doc's deterministic
+    * grayscale image (the mm5 fixture) is PNG-encoded, DECODED back,
+    * and resized to ⌈w/2⌉×⌈h/2⌉ with the exact integer source mapping
+    * sx = (x·w) div w2 — and because the fixture pixels are a known
+    * function of the text bytes, the ORACLE recomputes the resized
+    * plane arithmetically, so the kernel (not just its plumbing) is
+    * hash-verified. The order-sensitive weighted checksum Σ(i+1)·pᵢ
+    * catches transposed/flipped outputs a plain sum would miss.
+    * Scale: encode/decode/resize all scan-local in one mapPartitions;
+    * nothing but (doc_id, stats) ever shuffles.
+    */
+  private val mm8 = Q(
+    "mm8_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.PngCodec
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("raw"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          def at(b: Array[Byte], i: Int): Int =
+            if (i < b.length) b(i) & 0xff else 0
+          it.map { case (id, raw) =>
+            val w = at(raw, 0) % 8 + 4
+            val h = at(raw, 1) % 6 + 3
+            val px = Array.tabulate(w * h)(i => at(raw, i).toByte)
+            val g = PngCodec.decodeGray(PngCodec.encodeGray(w, h, px))
+            val w2 = math.max(g.width / 2, 1)
+            val h2 = math.max(g.height / 2, 1)
+            var sum = 0L; var wsum = 0L
+            var i = 0
+            while (i < w2 * h2) {
+              val y = i / w2; val x = i % w2
+              val sy = y * g.height / h2; val sx = x * g.width / w2
+              val v = g.pixels(sy * g.width + sx) & 0xff
+              sum += v; wsum += (i + 1).toLong * v
+              i += 1
+            }
+            (id, g.width, g.height, w2, h2, (w2 * h2).toLong, sum, wsum)
+          }
+        }
+        .toDF("doc_id", "width", "height", "out_w", "out_h",
+          "n_resized", "sum_resized", "weighted_checksum")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, text,
+                     ascii(substr(text, 1, 1)) % 8 + 4 AS w,
+                     ascii(substr(text, 2, 1)) % 6 + 3 AS h
+              FROM documents),
+            d2 AS (
+              SELECT doc_id, text, w, h,
+                     greatest(w // 2, 1) AS w2,
+                     greatest(h // 2, 1) AS h2
+              FROM dims),
+            rs AS (
+              SELECT doc_id, w, h, w2, h2,
+                     list_transform(range(0, w2 * h2),
+                       i -> ascii(substr(text,
+                         CAST(((i // w2) * h // h2) * w
+                           + (i % w2) * w // w2 + 1 AS INT), 1)))
+                       AS ps
+              FROM d2),
+            wsum AS (
+              SELECT doc_id, w, h, w2, h2, ps,
+                     list_sum(list_transform(range(0, w2 * h2),
+                       i -> (i + 1) * ps[CAST(i + 1 AS INT)])) AS wcs
+              FROM rs)
+            SELECT doc_id, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(w2 AS INT) AS out_w, CAST(h2 AS INT) AS out_h,
+                   CAST(w2 * h2 AS BIGINT) AS n_resized,
+                   CAST(list_sum(ps) AS BIGINT) AS sum_resized,
+                   CAST(wcs AS BIGINT) AS weighted_checksum
+            FROM wsum ORDER BY doc_id"""))
+
+  /** X258 mm9: AUDIO FRAME-ENERGY extraction (framewise Σx² + hottest-
+    * frame argmax through the REAL WAV codec) — the feature-extraction
+    * step after mm6's decode: every audio pipeline frames the signal
+    * before anything else (VAD, loudness normalization, segment
+    * selection all read frame energies). Each doc's deterministic PCM
+    * fixture is WAV-encoded, DECODED back, framed at 8 samples/frame
+    * (partial tail frame kept — its shorter length is part of the
+    * contract), per-frame energy Σx² exact BIGINT, hottest frame by
+    * (energy desc, index) argmax. The oracle recomputes every frame
+    * arithmetically from the fixture bytes, so the framing kernel is
+    * hash-verified end-to-end. Scale: frame loops are scan-local; only
+    * (doc_id, per-frame stats) rows shuffle — bounded by n/8 per doc.
+    */
+  private val mm9 = Q(
+    "mm9_audio_frame_energy",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.WavCodec
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("raw"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          def at(b: Array[Byte], i: Int): Int =
+            if (i < b.length) b(i) & 0xff else 0
+          it.map { case (id, raw) =>
+            val n = at(raw, 0) % 17 + 16
+            val pcm = Array.tabulate(n)(i =>
+              ((at(raw, i) - 80) * 256).toShort)
+            val w = WavCodec.decode(WavCodec.encodePcm16Mono(8000, pcm))
+            val nFrames = (w.samples.length + 7) / 8
+            var bestIdx = 0L; var bestE = -1L; var total = 0L
+            var f = 0
+            while (f < nFrames) {
+              var e = 0L
+              var i = f * 8
+              val end = math.min(i + 8, w.samples.length)
+              while (i < end) {
+                val v = w.samples(i).toLong; e += v * v; i += 1
+              }
+              total += e
+              if (e > bestE) { bestE = e; bestIdx = f.toLong }
+              f += 1
+            }
+            (id, w.samples.length, nFrames.toLong, total, bestIdx, bestE)
+          }
+        }
+        .toDF("doc_id", "n_samples", "n_frames", "total_energy",
+          "peak_frame", "peak_energy")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text,
+                     ascii(substr(text, 1, 1)) % 17 + 16 AS n
+              FROM documents),
+            sm AS (
+              SELECT doc_id, n,
+                     list_transform(range(0, n), i ->
+                       CAST((ascii(substr(text, CAST(i + 1 AS INT), 1))
+                         - 80) * 256 AS BIGINT)) AS ss
+              FROM d),
+            frames AS (
+              SELECT doc_id, n, unnest(range(0, (n + 7) // 8)) AS f, ss
+              FROM sm),
+            fe AS (
+              SELECT doc_id, n, f,
+                     CAST(list_sum(list_transform(
+                       range(CAST(f * 8 AS INT),
+                             CAST(least(f * 8 + 8, n) AS INT)),
+                       i -> ss[CAST(i + 1 AS INT)]
+                            * ss[CAST(i + 1 AS INT)])) AS BIGINT) AS e
+              FROM frames),
+            ranked AS (
+              SELECT doc_id, n, f, e,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY e DESC, f) AS rn
+              FROM fe)
+            SELECT doc_id, CAST(min(n) AS INT) AS n_samples,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(sum(e) AS BIGINT) AS total_energy,
+                   CAST(min(CASE WHEN rn = 1 THEN f END) AS BIGINT)
+                     AS peak_frame,
+                   min(CASE WHEN rn = 1 THEN e END) AS peak_energy
+            FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9, pl10)
+      pl7, pl8, pl9, pl10, mm8, mm9)
 }
