@@ -1314,8 +1314,91 @@ object RelationalQueries {
                    min(bal_band) AS min_band, max(bal_band) AS max_band
             FROM masked GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** X259 p19: POINT-IN-TIME JOIN (feature-store correctness): every
+    * order joined to the dimension version valid AT ITS OWN DATE — the
+    * leakage-proof enrichment rule training pipelines must enforce
+    * (using today's balance for a 1994 order is exactly the
+    * target-leakage p15 audits for). Versions are p12's SCD2 output
+    * (v1 effective 1995-01-01 for everyone, v2 1997-01-01 for the
+    * updated keys); the join is the j15 NO-JOIN device: tag versions
+    * and facts into ONE union, forward-fill version attributes over
+    * one (key, date, tag)-sorted window — orders BEFORE any version
+    * get NULL (feature-not-yet-available is the CORRECT answer, and
+    * the row reports it, not hides it). Null sort keys are pinned via
+    * coalesce(-1) because Spark asc = NULLS FIRST while DuckDB asc =
+    * NULLS LAST. Scale: one custkey shuffle; versions ride the same
+    * sort as facts — no interval join, no per-fact probe.
+    */
+  private val p19 = Q(
+    "p19_point_in_time_join",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+      val upd = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          (col("acctbal") + lit(100.0)).as("new_acctbal"))
+      val versions = base
+        .select(col("c_custkey").as("k"), lit("1995-01-01").as("d"),
+          col("acctbal").as("bal"))
+        .unionByName(upd.select(col("c_custkey").as("k"),
+          lit("1997-01-01").as("d"), col("new_acctbal").as("bal")))
+        .withColumn("tag", lit(0))
+        .withColumn("ok", lit(null).cast("long"))
+      val facts = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .as("d"),
+          lit(null).cast("double").as("bal"), lit(1).as("tag"),
+          col("o_orderkey").as("ok"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("d"), col("tag"), coalesce(col("ok"), lit(-1L)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      versions.unionByName(facts)
+        .withColumn("bal_asof", last(col("bal"), ignoreNulls = true).over(w))
+        .withColumn("version_from",
+          last(when(col("tag") === 0, col("d")), ignoreNulls = true)
+            .over(w))
+        .filter(col("tag") === 1)
+        .select(col("ok").as("o_orderkey"), col("k").as("c_custkey"),
+          col("d").as("order_date"), col("bal_asof"),
+          coalesce(col("version_from"), lit("none")).as("version_from"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH base AS (
+              SELECT c_custkey, c_acctbal AS acctbal FROM customer),
+            upd AS (
+              SELECT c_custkey, acctbal + 100.0 AS new_acctbal
+              FROM base WHERE c_custkey % 7 = 0),
+            tagged AS (
+              SELECT c_custkey AS k, '1995-01-01' AS d, acctbal AS bal,
+                     0 AS tag, CAST(NULL AS BIGINT) AS ok
+              FROM base
+              UNION ALL
+              SELECT c_custkey, '1997-01-01', new_acctbal, 0,
+                     CAST(NULL AS BIGINT)
+              FROM upd
+              UNION ALL
+              SELECT o_custkey,
+                     strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
+                     CAST(NULL AS DOUBLE), 1, o_orderkey
+              FROM orders),
+            ff AS (
+              SELECT k, d, tag, ok,
+                     last_value(bal IGNORE NULLS) OVER w AS bal_asof,
+                     last_value(CASE WHEN tag = 0 THEN d END IGNORE NULLS)
+                       OVER w AS version_from
+              FROM tagged
+              WINDOW w AS (PARTITION BY k
+                           ORDER BY d, tag, coalesce(ok, -1)
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW))
+            SELECT ok AS o_orderkey, k AS c_custkey, d AS order_date,
+                   bal_asof, coalesce(version_from, 'none')
+                     AS version_from
+            FROM ff WHERE tag = 1 ORDER BY o_orderkey"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
       p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6, dq7, dq8,
-      dq9, dq10)
+      dq9, dq10, p19)
 }

@@ -298,6 +298,15 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(namedWinSql) },
     Some(namedWinSql))
 
+  // Probed and REJECTED this round: WITH RECURSIVE ... UNION (dedup /
+  // cycle-safe fixpoint recursion). Spark 4.1.2 raises
+  // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — only UNION ALL recursion
+  // (sql1) exists on the Spark side, so the cycle-terminating variant
+  // cannot be a shared-string row yet. The library covers the same
+  // capability Spark-first instead: ops/ConnectedComponents (pointer-
+  // jumping fixpoint, d9/g8) and the frontier BFS loops (g2/g9) are
+  // the engine-native cycle-safe closures.
+
   def all: Seq[Q] =
     Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9)
 }
