@@ -1492,7 +1492,50 @@ object DedupQueries {
              GROUP BY cluster HAVING count(*) >= 2
              ORDER BY cluster"""))
 
+  /** X262 d22: DUP-CLUSTER SIZE DISTRIBUTION — the one-line shape
+    * report a dedup run ships (are duplicates isolated pairs, or is
+    * there a monster template cluster eating the corpus?): the d9
+    * component labels rolled into a per-size histogram plus the docs
+    * REMOVED at each size (size − 1 survivors-policy cost) — the two
+    * numbers that turn a dedup pass into a capacity decision. All
+    * exact integers; the histogram is cluster-count-sized. Scale: the
+    * only data-sized work is the CC labeling it reuses; the rollup is
+    * two tiny aggregates.
+    */
+  private val d22 = Q(
+    "d22_cluster_size_histogram",
+    (s, dir) => {
+      val labels = ccLabels(s, dir)
+      labels.groupBy("cluster")
+        .agg(count(lit(1)).as("size"))
+        .groupBy("size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("size").as("n_docs"),
+          sum(col("size") - lit(1L)).as("n_removed"))
+        .orderBy("size")
+    },
+    Some(s"""WITH RECURSIVE $duckLshPairCtes,
+             hedges AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL
+               SELECT doc_b, doc_a FROM pairs),
+             reach(src, dst) AS (
+               SELECT DISTINCT src, src FROM hedges
+               UNION
+               SELECT r.src, e.dst FROM reach r
+               JOIN hedges e ON r.dst = e.src),
+             comp AS (
+               SELECT src AS doc_id, min(dst) AS cluster
+               FROM reach GROUP BY 1),
+             sizes AS (
+               SELECT cluster, CAST(count(*) AS BIGINT) AS size
+               FROM comp GROUP BY 1)
+             SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+                    CAST(sum(size) AS BIGINT) AS n_docs,
+                    CAST(sum(size - 1) AS BIGINT) AS n_removed
+             FROM sizes GROUP BY size ORDER BY size"""))
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21)
+      d16, d17, d18, d19, d20, d21, d22)
 }

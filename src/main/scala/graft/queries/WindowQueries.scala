@@ -1177,7 +1177,67 @@ object WindowQueries {
                          ORDER BY CAST(round(value * 100) AS BIGINT))
             ORDER BY user_id, cents, event_id"""))
 
+  /** X261 w36: CONDITIONAL TAIL EXPECTATION (expected shortfall /
+    * CVaR-style): per user, the mean of the TOP-decile spends — where
+    * w31 trims the tail away and w32 flags it, this row AVERAGES it,
+    * the risk number capacity planning and abuse detection read
+    * ("when this user spikes, how big is a spike on average?"). Tail
+    * membership is a DISCRETE rank cutoff (rank > n − ⌈n/10⌉ over the
+    * (cents, event_id) total order — ⌈n/10⌉ members exactly, no
+    * interpolation), the tail sum is exact BIGINT, and the two means
+    * are single divisions. Scale: one user-keyed shuffle shared by
+    * the rank pass and the aggregate.
+    */
+  private val w36 = Q(
+    "w36_tail_expectation",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("cents", "event_id")
+      val wAll = Window.partitionBy("user_id")
+      Tables.load(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("k", expr("(n + 9) div 10"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), min("k").as("tail_n"),
+          sum("cents").as("sum_cents"),
+          sum(when(col("rk") > col("n") - col("k"), col("cents"))
+            .otherwise(0L)).as("tail_sum"))
+        .select(col("user_id"), col("n"), col("tail_n"),
+          (col("sum_cents").cast("double") / col("n").cast("double"))
+            .as("mean_cents"),
+          (col("tail_sum").cast("double") / col("tail_n").cast("double"))
+            .as("tail_mean_cents"),
+          ((col("tail_sum").cast("double") / col("tail_n").cast("double"))
+            / (col("sum_cents").cast("double") / col("n").cast("double")))
+            .as("tail_ratio"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id ORDER BY
+                       CAST(round(value * 100) AS BIGINT), event_id)
+                       AS rk,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            base AS (
+              SELECT user_id, cents, rk, n, (n + 9) // 10 AS k
+              FROM ranked)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(k) AS BIGINT) AS tail_n,
+                   CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS mean_cents,
+                   CAST(sum(CASE WHEN rk > n - k THEN cents ELSE 0 END)
+                       AS DOUBLE) / CAST(min(k) AS DOUBLE)
+                     AS tail_mean_cents,
+                   (CAST(sum(CASE WHEN rk > n - k THEN cents ELSE 0 END)
+                       AS DOUBLE) / CAST(min(k) AS DOUBLE))
+                   / (CAST(sum(cents) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) AS tail_ratio
+            FROM base GROUP BY user_id ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33, w34, w35)
+      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33, w34, w35, w36)
 }
