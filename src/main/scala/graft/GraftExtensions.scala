@@ -4,13 +4,17 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Session extension installing graft's native Catalyst functions.
-  * Wire up with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+/** Session extension installing graft's native Catalyst functions and
+  * optimizer rules. Wire up with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * on the session builder — the public injection point, no internal
   * registry APIs. Currently registers:
   *
   *  - `graft_dot(a, b)`: codegen'd double-array dot product
   *    ([[graft.functions.DotProduct]]).
+  *  - [[graft.plans.BandJoinRewrite]]: rewrites `abs(l − r) <= δ`
+  *    inner-join conditions into bucket-explode equi-joins, so the
+  *    naive band-join predicate never executes as a nested loop.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot"),
       (children: Seq[Expression]) =>
         graft.functions.DotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

@@ -718,7 +718,60 @@ object JoinQueries {
               ON abs(p.probe_cents - c.cand_cents) <= 10
             GROUP BY p.probe_key ORDER BY p.probe_key"""))
 
+  /** X263 j18: the j17 band join written NAIVELY — the join condition
+    * is the raw theta predicate `abs(probe − cand) ≤ 10` — executed
+    * through [[graft.plans.BandJoinRewrite]], the injected optimizer
+    * rule that turns it into the bucket-explode equi-join
+    * automatically. This is the custom-Rule[LogicalPlan] showcase: the
+    * USER writes the predicate they mean, the OPTIMIZER supplies the
+    * scalable plan, and the oracle (DuckDB executing the same naive
+    * join) hash-proves the rewrite changed the plan and nothing else.
+    * PlanSpec pins no-nested-loop; the PropertySpec band-join law is
+    * the rewrite's correctness proof for arbitrary inputs.
+    */
+  private val j18 = Q(
+    "j18_band_join_auto",
+    (s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+        .withColumn("cents",
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"))
+      val probe = parts.filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("probe_key"),
+          col("cents").as("probe_cents"))
+      val cand = parts.filter(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey").as("cand_key"),
+          col("cents").as("cand_cents"))
+      probe.join(cand,
+          abs(col("probe_cents") - col("cand_cents")) <= lit(10L))
+        .groupBy("probe_key")
+        .agg(min("probe_cents").as("probe_cents"),
+          count(lit(1)).as("n_matches"),
+          min("cand_cents").as("min_match_cents"),
+          max("cand_cents").as("max_match_cents"),
+          sum("cand_key").as("match_key_sum"))
+        .orderBy("probe_key")
+    },
+    Some("""WITH parts AS (
+              SELECT p_partkey, p_brand,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM part),
+            probe AS (
+              SELECT p_partkey AS probe_key, cents AS probe_cents
+              FROM parts WHERE p_brand = 'Brand#1'),
+            cand AS (
+              SELECT p_partkey AS cand_key, cents AS cand_cents
+              FROM parts WHERE p_brand <> 'Brand#1')
+            SELECT p.probe_key, min(p.probe_cents) AS probe_cents,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   min(c.cand_cents) AS min_match_cents,
+                   max(c.cand_cents) AS max_match_cents,
+                   CAST(sum(c.cand_key) AS BIGINT) AS match_key_sum
+            FROM probe p JOIN cand c
+              ON abs(p.probe_cents - c.cand_cents) <= 10
+            GROUP BY p.probe_key ORDER BY p.probe_key"""))
+
   def all: Seq[Q] =
     Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13, j14,
-      j15, j16, j17)
+      j15, j16, j17, j18)
 }

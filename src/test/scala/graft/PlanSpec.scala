@@ -427,6 +427,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 1, s"expected 1 shuffle, got $n\n" + p.take(3000))
   }
 
+  test("j18 naive band-join predicate is rewritten by BandJoinRewrite: " +
+      "explode + equi-join, no nested loop") {
+    val p = plan("j18_band_join_auto")
+    // the injected optimizer rule must have replaced the theta join —
+    // a BroadcastNestedLoopJoin/CartesianProduct here means the naive
+    // predicate executed as an O(n·m) compare-everything join
+    assert(!p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("__graft_band_bkt"), p.take(3000))
+    assert(p.contains("Generate explode"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("t21 TV distance: the full-vocabulary aggregate is map-side " +
       "combined and the totals join back as a broadcast") {
     val p = plan("t21_corpus_tv_distance")

@@ -238,7 +238,10 @@ object ScaleProbe {
       val rows = fn(spark, dir).count()
       println(f"BAND  x$m%-2d bucket-equi rows=$rows%-7d " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
-      // naive theta join: same semantics, no bucket key
+      // naive theta join: same semantics, no bucket key. Written as
+      // `< 11` so BandJoinRewrite (which matches only the bare
+      // `abs(…) <= δ` shape) does NOT fire — this arm must measure the
+      // un-rewritten nested-loop plan the rule exists to prevent.
       val p2 = graft.ops.Tables.load(spark, dir, "part")
         .withColumn("cents",
           floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"))
@@ -247,7 +250,7 @@ object ScaleProbe {
       val cand = p2.filter(col("p_brand") =!= "Brand#1")
         .select(col("p_partkey").as("ck"), col("cents").as("cc"))
       val naive = probe.join(cand,
-          abs(col("pc") - col("cc")) <= 10L)
+          abs(col("pc") - col("cc")) < 11L)
         .groupBy("pk").agg(count(lit(1)).as("n"))
       naive.count() // warm
       t0 = System.nanoTime()
