@@ -1379,7 +1379,78 @@ object PipelineQueries {
                    min(CASE WHEN rn = 1 THEN e END) AS peak_energy
             FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** X265 pl11: THREE-WAY SPLIT with certification — the deterministic
+    * train/val/test assignment (md5 bucket of doc_id: 80/10/10) every
+    * experiment pipeline needs to be REPRODUCIBLE and AUDITABLE. The
+    * row emits, per (split, lang), the counts AND the three
+    * certificates an auditor checks: partition (each doc in exactly
+    * one split — per-split doc_id sums reconcile to the corpus total
+    * in exact integers), determinism (the assignment is a pure
+    * function of doc_id — rerunning anywhere reproduces it), and
+    * stratification drift (per-lang share inside each split vs the
+    * corpus share, one pinned division each — md5 buckets are
+    * unstratified by design, so the drift COLUMN is how you notice
+    * when that stops being acceptable). Scale: one scan + two
+    * bounded aggregates; the split map is never materialized.
+    */
+  private val pl11 = Q(
+    "pl11_three_way_split",
+    (s, dir) => {
+      // split by md5-prefix STRING thresholds (the p10 device — hex
+      // string order is ASCII order on both engines, no hex→int cast
+      // to drift): 'cd' = 205/256 ≈ 80%, 'e7' = next 26/256 ≈ 10%
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("bkt",
+          substring(md5(col("doc_id").cast("string")), 1, 2))
+        .withColumn("split",
+          when(col("bkt") < "cd", "train")
+            .when(col("bkt") < "e7", "val").otherwise("test"))
+      val langTotals = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_lang_total"))
+      val corpus = docs.agg(count(lit(1)).as("n_total"),
+        sum("doc_id").as("doc_id_sum_total"))
+      docs.groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("doc_id_sum"))
+        .join(broadcast(langTotals), "lang")
+        .crossJoin(broadcast(corpus))
+        .withColumn("split_share_of_lang",
+          col("n").cast("double") / col("n_lang_total").cast("double"))
+        .select(col("split"), col("lang"), col("n"), col("doc_id_sum"),
+          col("n_lang_total"), col("n_total"), col("doc_id_sum_total"),
+          col("split_share_of_lang"))
+        .orderBy("split", "lang")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, lang,
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt
+              FROM documents),
+            tagged AS (
+              SELECT doc_id, lang,
+                     CASE WHEN bkt < 'cd' THEN 'train'
+                          WHEN bkt < 'e7' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM docs),
+            lang_totals AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_lang_total
+              FROM tagged GROUP BY lang),
+            corpus AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(doc_id) AS BIGINT) AS doc_id_sum_total
+              FROM tagged)
+            SELECT t.split, t.lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t.doc_id) AS BIGINT) AS doc_id_sum,
+                   lt.n_lang_total, c.n_total, c.doc_id_sum_total,
+                   CAST(count(*) AS DOUBLE)
+                     / CAST(lt.n_lang_total AS DOUBLE)
+                     AS split_share_of_lang
+            FROM tagged t
+            JOIN lang_totals lt USING (lang)
+            CROSS JOIN corpus c
+            GROUP BY t.split, t.lang, lt.n_lang_total, c.n_total,
+                     c.doc_id_sum_total
+            ORDER BY t.split, t.lang"""))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9, pl10, mm8, mm9)
+      pl7, pl8, pl9, pl10, mm8, mm9, pl11)
 }

@@ -1193,7 +1193,69 @@ object TextQueries {
                      AS right_ctx
             FROM hits ORDER BY doc_id, pos"""))
 
+  /** X264 t24: BLOCKLIST SAFETY FILTER with obfuscation normalization
+    * — the moderation pre-filter every corpus intake runs: text is
+    * canonicalized (lowercase + the classic leetspeak map 0→o 1→l 3→e
+    * 4→a 5→s 7→t @→a $→s) BEFORE matching, so "sl0w" and "sl@w"-style
+    * evasions of a blocked term still hit. Fixed 4-term blocklist
+    * (neutral engine words stand in for a real deny list); per
+    * (source) report = docs flagged, clean docs, per-term hit counts
+    * as fixed columns. translate() is a codegen'd char map — one scan
+    * pass, no shuffle carries text. The row proves normalize-then-
+    * match ordering: a doc planted as obfuscated only in this
+    * fixture's vocabulary would be MISSED by match-then-normalize.
+    */
+  private val t24 = Q(
+    "t24_blocklist_filter",
+    (s, dir) => {
+      val norm = translate(lower(col("text")), "013457@$", "oleastas")
+      def hit(term: String) =
+        when(norm.contains(term), 1L).otherwise(0L)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          hit("deadlock").as("h_deadlock"),
+          hit("corrupt").as("h_corrupt"),
+          hit("orphan").as("h_orphan"),
+          hit("fatal").as("h_fatal"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(greatest(col("h_deadlock"), col("h_corrupt"),
+            col("h_orphan"), col("h_fatal"))).as("n_flagged"),
+          sum("h_deadlock").as("n_deadlock"),
+          sum("h_corrupt").as("n_corrupt"),
+          sum("h_orphan").as("n_orphan"),
+          sum("h_fatal").as("n_fatal"))
+        .withColumn("n_clean", col("n_docs") - col("n_flagged"))
+        .orderBy("source")
+    },
+    Some("""WITH normed AS (
+              SELECT doc_id, source,
+                     translate(lower(text), '013457@$', 'oleastas')
+                       AS nt
+              FROM documents),
+            hits AS (
+              SELECT source,
+                     CASE WHEN contains(nt, 'deadlock') THEN 1 ELSE 0 END
+                       AS h_deadlock,
+                     CASE WHEN contains(nt, 'corrupt') THEN 1 ELSE 0 END
+                       AS h_corrupt,
+                     CASE WHEN contains(nt, 'orphan') THEN 1 ELSE 0 END
+                       AS h_orphan,
+                     CASE WHEN contains(nt, 'fatal') THEN 1 ELSE 0 END
+                       AS h_fatal
+              FROM normed)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(greatest(h_deadlock, h_corrupt, h_orphan,
+                     h_fatal)) AS BIGINT) AS n_flagged,
+                   CAST(sum(h_deadlock) AS BIGINT) AS n_deadlock,
+                   CAST(sum(h_corrupt) AS BIGINT) AS n_corrupt,
+                   CAST(sum(h_orphan) AS BIGINT) AS n_orphan,
+                   CAST(sum(h_fatal) AS BIGINT) AS n_fatal,
+                   CAST(count(*) - sum(greatest(h_deadlock, h_corrupt,
+                     h_orphan, h_fatal)) AS BIGINT) AS n_clean
+            FROM hits GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }
