@@ -1255,7 +1255,61 @@ object TextQueries {
                      h_orphan, h_fatal)) AS BIGINT) AS n_clean
             FROM hits GROUP BY source ORDER BY source"""))
 
+  /** X266 t25: CANARY-STRING contamination scan — the substring-level
+    * complement of d12's fingerprint decontamination: benchmark
+    * answers, secret markers, and eval prompts leak as VERBATIM
+    * SUBSTRINGS inside larger documents, which doc-level fingerprints
+    * never see. Six fixed canaries (some present in this corpus, some
+    * absent — both branches proven) scanned with codegen'd contains();
+    * per canary: docs hit, first hit (min doc_id), hit mass. At real
+    * scale the per-pattern contains() chain becomes one Aho–Corasick
+    * automaton pass (documented trade: N patterns in one scan vs N
+    * codegen'd scans — same shuffle shape, both scan-local). Absent
+    * canaries REPORT a zero row rather than vanishing (left join
+    * against the literal canary table).
+    */
+  private val t25 = Q(
+    "t25_canary_scan",
+    (s, dir) => {
+      import s.implicits._
+      val canaries = Seq("slow hash join", "deadlock", "xyzzy-canary-1",
+        "customer batch", "plugh-canary-2", "scan")
+        .toDF("canary")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+      val hits = docs.crossJoin(broadcast(canaries))
+        .filter(col("lt").contains(col("canary")))
+        .groupBy("canary")
+        .agg(count(lit(1)).as("n_docs_hit"),
+          min("doc_id").as("first_hit_doc"),
+          sum("doc_id").as("hit_doc_id_sum"))
+      canaries.join(hits, Seq("canary"), "left")
+        .select(col("canary"),
+          coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+          coalesce(col("first_hit_doc"), lit(-1L)).as("first_hit_doc"),
+          coalesce(col("hit_doc_id_sum"), lit(0L)).as("hit_doc_id_sum"))
+        .orderBy("canary")
+    },
+    Some("""WITH canaries AS (
+              SELECT unnest(['slow hash join', 'deadlock',
+                'xyzzy-canary-1', 'customer batch', 'plugh-canary-2',
+                'scan']) AS canary),
+            hits AS (
+              SELECT c.canary,
+                     CAST(count(*) AS BIGINT) AS n_docs_hit,
+                     CAST(min(d.doc_id) AS BIGINT) AS first_hit_doc,
+                     CAST(sum(d.doc_id) AS BIGINT) AS hit_doc_id_sum
+              FROM canaries c
+              JOIN documents d ON contains(lower(d.text), c.canary)
+              GROUP BY c.canary)
+            SELECT c.canary,
+                   coalesce(h.n_docs_hit, 0) AS n_docs_hit,
+                   coalesce(h.first_hit_doc, -1) AS first_hit_doc,
+                   coalesce(h.hit_doc_id_sum, 0) AS hit_doc_id_sum
+            FROM canaries c LEFT JOIN hits h USING (canary)
+            ORDER BY c.canary"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }
