@@ -3334,9 +3334,73 @@ object MlQueries {
             CROSS JOIN pooled p
             ORDER BY type_a, type_b"""))
 
+  /** X268 m44: DESIGN-MATRIX CONDITIONING audit — the numeric-health
+    * check before trusting any regression fit (m11/m20 ridge exists
+    * PRECISELY because ill-conditioned XᵀX amplifies noise; this row
+    * measures the conditioning those fits depend on). For the 2-feature
+    * design (spend cents, event hour) the raw-moment Gram entries
+    * a=Σx₁², b=Σx₁x₂, c=Σx₂² are exact BIGINT; the 2×2 eigenvalues
+    * come from the closed quadratic λ = ((a+c) ± √((a−c)²+4b²))/2 as a
+    * pinned IEEE chain (the discriminant exceeds 2^63 so the CHAIN
+    * computes in doubles FROM the exact integers — correctly-rounded
+    * ops on identical inputs, the m39 convention), and the condition
+    * number is one final division. A 3-integer reduce at any scale.
+    */
+  private val m44 = Q(
+    "m44_condition_number",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("x1", round(col("value") * 100).cast("long"))
+        .withColumn("x2", hour(col("ts")).cast("long"))
+      val gram = ev.agg(count(lit(1)).as("n"),
+        sum(col("x1") * col("x1")).as("a"),
+        sum(col("x1") * col("x2")).as("b"),
+        sum(col("x2") * col("x2")).as("c"))
+      val ad = col("a").cast("double"); val bd = col("b").cast("double")
+      val cd = col("c").cast("double")
+      val disc = sqrt((ad - cd) * (ad - cd) + lit(4.0) * bd * bd)
+      val lmax = ((ad + cd) + disc) / lit(2.0)
+      val lmin = ((ad + cd) - disc) / lit(2.0)
+      gram.select(col("n"), col("a"), col("b"), col("c"),
+        lmax.as("lambda_max"), lmin.as("lambda_min"),
+        (lmax / lmin).as("condition_number"))
+    },
+    Some("""WITH ev AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS x1,
+                     CAST(hour(ts) AS BIGINT) AS x2
+              FROM events),
+            gram AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x1 * x1) AS BIGINT) AS a,
+                     CAST(sum(x1 * x2) AS BIGINT) AS b,
+                     CAST(sum(x2 * x2) AS BIGINT) AS c
+              FROM ev)
+            SELECT n, a, b, c,
+                   ((CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     + sqrt((CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+                         * (CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+                       + 4.0 * CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
+                   / 2.0 AS lambda_max,
+                   ((CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     - sqrt((CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+                         * (CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+                       + 4.0 * CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
+                   / 2.0 AS lambda_min,
+                   (((CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     + sqrt((CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+                         * (CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+                       + 4.0 * CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
+                   / 2.0)
+                   / (((CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     - sqrt((CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+                         * (CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+                       + 4.0 * CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
+                   / 2.0) AS condition_number
+            FROM gram"""))
+
   def all: Seq[Q] =
     Seq(m1, m1b, m1c, m1d, m2, m3, m5, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
       m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38, m39,
-      m40, m41, m42, m43)
+      m40, m41, m42, m43, m44)
 }

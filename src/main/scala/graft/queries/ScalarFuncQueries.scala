@@ -217,5 +217,55 @@ object ScalarFuncQueries {
             FROM orders WHERE o_custkey <= 100
             ORDER BY o_orderkey"""))
 
-  def all: Seq[Q] = Seq(strings, dates, math, arrays, maps, bitwise)
+  /** X267: HIGHER-ORDER FUNCTION surface (lambda forms: filter /
+    * aggregate-fold / exists / forall / zip_with) over per-order cents
+    * lists — completing the function matrix beyond f_array's
+    * transform/slice. All lambda bodies are integer arithmetic so
+    * every result is exact (the fold is a BIGINT sum; zip_with(qs,
+    * reverse(qs), +)[1] = min+max). PERF CONTRACT, documented and
+    * deliberate: HOF lambdas evaluate INTERPRETED, outside codegen
+    * (the measured d6 lesson — ~40× vs a JVM loop), so this row is
+    * the SURFACE proof; hot kernels in this repo use typed
+    * mapPartitions instead (DedupQueries.shingled, the g3 wedge
+    * kernel). A row proving the API exists AND a codebase that avoids
+    * it on hot paths is the honest pairing.
+    */
+  private val hofs = Q(
+    "f_hof_funcs",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("cents"))).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).as("n_items"),
+          size(filter(col("qs"), x => x > lit(2500000L))).as("n_big"),
+          aggregate(col("qs"), lit(0L), (acc, x) => acc + x)
+            .as("fold_sum"),
+          exists(col("qs"), x => x % lit(100L) === lit(0L))
+            .cast("int").as("has_round_price"),
+          forall(col("qs"), x => x > lit(90000L)).cast("int")
+            .as("all_over_900"),
+          element_at(zip_with(col("qs"), reverse(col("qs")),
+            (a, b) => a + b), 1).as("min_plus_max"))
+        .orderBy("l_orderkey")
+    },
+    Some("""WITH base AS (
+              SELECT l_orderkey,
+                     list_sort(list(CAST(floor(l_extendedprice * 100
+                       + 0.5) AS BIGINT))) AS qs
+              FROM lineitem GROUP BY 1)
+            SELECT l_orderkey,
+                   len(qs) AS n_items,
+                   len(list_filter(qs, x -> x > 2500000)) AS n_big,
+                   CAST(list_sum(qs) AS BIGINT) AS fold_sum,
+                   CAST(len(list_filter(qs, x -> x % 100 = 0)) > 0
+                     AS INT) AS has_round_price,
+                   CAST(len(list_filter(qs, x -> x <= 90000)) = 0
+                     AS INT) AS all_over_900,
+                   qs[1] + qs[-1] AS min_plus_max
+            FROM base ORDER BY l_orderkey"""))
+
+  def all: Seq[Q] = Seq(strings, dates, math, arrays, maps, bitwise, hofs)
 }
