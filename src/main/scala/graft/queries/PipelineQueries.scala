@@ -1450,7 +1450,197 @@ object PipelineQueries {
                      c.doc_id_sum_total
             ORDER BY t.split, t.lang"""))
 
+  /** MM10 (X271, beyond the reference): REAL GIF ROUND TRIP — the
+    * fourth real media codec row (PNG mm5, WAV mm6, BMP mm7), and the
+    * first COMPRESSED one: per-doc indexed images (8-entry fixed
+    * palette, indices from the doc's bytes) are encoded to actual
+    * GIF87a bytes through [[graft.ops.GifCodec]]'s real variable-width
+    * LZW (clear/EOI codes, LSB-first packing, width growth) and
+    * decoded BACK by the full parser; the emitted stats come from the
+    * DECODED indices mapped through the palette, so one wrong LZW
+    * code-width bump or sub-block boundary anywhere shifts a channel
+    * sum and fails the driver hash against the oracle's pre-codec
+    * ground truth. GifCodecSpec additionally proves both directions
+    * against the JDK ImageIO GIF plugin (including 12-bit-code +
+    * table-full streams). compressed_len is NOT emitted — LZW output
+    * length is honest wire truth but has no cross-engine oracle; the
+    * decode round trip is what certifies it. Scan-local typed
+    * mapPartitions — no shuffle until the final orderBy.
+    */
+  private val mm10 = Q(
+    "mm10_gif_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.GifCodec
+      // Fixed 8-color palette; integer channel formulas the oracle
+      // replays: (36i, 255-31i, 17i+4) for i in 0..7.
+      val pal = Array.tabulate(24) { j =>
+        val i = j / 3
+        (j % 3 match {
+          case 0 => 36 * i
+          case 1 => 255 - 31 * i
+          case _ => 17 * i + 4
+        }).toByte
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("raw"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          def at(b: Array[Byte], i: Int): Int =
+            if (i < b.length) b(i) & 0xff else 0
+          it.map { case (id, raw) =>
+            val w = at(raw, 0) % 5 + 2
+            val h = at(raw, 1) % 4 + 2
+            val idx = Array.tabulate(w * h)(i => (at(raw, i) % 8).toByte)
+            val img = GifCodec.decode(GifCodec.encode(w, h, pal, idx))
+            var sr = 0L; var sg = 0L; var sb = 0L; var n0 = 0L
+            var k = 0
+            while (k < img.width * img.height) {
+              val p = 3 * (img.indices(k) & 0xff)
+              sr += img.palette(p) & 0xff
+              sg += img.palette(p + 1) & 0xff
+              sb += img.palette(p + 2) & 0xff
+              if (img.indices(k) == 0) n0 += 1
+              k += 1
+            }
+            (id, img.width, img.height, sr, sg, sb, n0)
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+          "n_bg_px")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, text,
+                     ascii(substr(text, 1, 1)) % 5 + 2 AS width,
+                     ascii(substr(text, 2, 1)) % 4 + 2 AS height
+              FROM documents),
+            px AS (
+              SELECT doc_id, width, height,
+                     list_transform(range(0, width * height),
+                       i -> ascii(substr(text, CAST(i + 1 AS INT), 1)) % 8)
+                       AS idx
+              FROM dims)
+            SELECT doc_id, CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST(list_sum(list_transform(idx, i -> 36 * i))
+                     AS BIGINT) AS sum_r,
+                   CAST(list_sum(list_transform(idx, i -> 255 - 31 * i))
+                     AS BIGINT) AS sum_g,
+                   CAST(list_sum(list_transform(idx, i -> 17 * i + 4))
+                     AS BIGINT) AS sum_b,
+                   CAST(len(list_filter(idx, i -> i = 0)) AS BIGINT)
+                     AS n_bg_px
+            FROM px ORDER BY doc_id"""))
+
+  /** X272 pl12: FILTER-FUNNEL ablation report — the C4/Gopher-style
+    * deliverable for a corpus cleaning pipeline: four quality gates
+    * (min length, single-token repetition, blocklist phrases, language)
+    * applied in a FIXED order with first-rule-wins attribution, emitted
+    * as the per-stage funnel (n_in → n_killed → n_out). This is the
+    * table a data lead reads to decide which rule to tune; the kill
+    * counts are additive by construction (each doc killed exactly once)
+    * so n_out chains exactly. All gates are integer/boolean: token
+    * stats ride one explode + two-level groupBy (the max-share gate
+    * compares 4·max_cnt ≥ n_ws by cross-multiplication, never a ratio);
+    * phrase gates are codegen'd contains(). One row per stage via
+    * stack(); the cumulative n_in/n_out window runs over 4 rows on the
+    * driver-side-sized result. Scale: one corpus scan + one
+    * doc-key shuffle for token stats; everything after the single
+    * aggregate row is constant-size.
+    */
+  private val pl12 = Q(
+    "pl12_filter_funnel",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tokStats = docs
+        .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+          lit("\\S+"), lit(0))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_ws"), max("c").as("max_tok"))
+      val flags = docs.join(tokStats, "doc_id").select(
+        when(col("n_ws") < 20, 1).otherwise(0).as("f1"),
+        when(col("max_tok") * 4 >= col("n_ws"), 1).otherwise(0).as("f2"),
+        when(lower(col("text")).contains("slow scan") ||
+          lower(col("text")).contains("big merge"), 1).otherwise(0)
+          .as("f3"),
+        when(col("lang") =!= "en", 1).otherwise(0).as("f4"))
+      val kills = flags.agg(
+        count(lit(1)).as("total"),
+        sum("f1").as("k1"),
+        sum(when(col("f1") === 0 && col("f2") === 1, 1).otherwise(0))
+          .as("k2"),
+        sum(when(col("f1") === 0 && col("f2") === 0 && col("f3") === 1, 1)
+          .otherwise(0)).as("k3"),
+        sum(when(col("f1") === 0 && col("f2") === 0 && col("f3") === 0 &&
+          col("f4") === 1, 1).otherwise(0)).as("k4"))
+      val w = Window.orderBy("stage")
+      kills
+        .selectExpr("""stack(4,
+            1L, 'min_length', k1,
+            2L, 'repetition', k2,
+            3L, 'blocklist',  k3,
+            4L, 'language',   k4) AS (stage, rule, n_killed)""",
+          "total")
+        .withColumn("n_in", col("total") - coalesce(sum("n_killed")
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_out", col("total") - sum("n_killed")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("stage"), col("rule"), col("n_in"), col("n_killed"),
+          col("n_out"))
+        .orderBy("stage")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents),
+            tokstats AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ws,
+                     CAST(max(c) AS BIGINT) AS max_tok
+              FROM (SELECT doc_id, tok, count(*) AS c
+                    FROM toks GROUP BY doc_id, tok)
+              GROUP BY doc_id),
+            flags AS (
+              SELECT CASE WHEN t.n_ws < 20 THEN 1 ELSE 0 END AS f1,
+                     CASE WHEN t.max_tok * 4 >= t.n_ws THEN 1 ELSE 0 END
+                       AS f2,
+                     CASE WHEN contains(lower(d.text), 'slow scan')
+                            OR contains(lower(d.text), 'big merge')
+                          THEN 1 ELSE 0 END AS f3,
+                     CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END AS f4
+              FROM documents d JOIN tokstats t USING (doc_id)),
+            kills AS (
+              SELECT CAST(count(*) AS BIGINT) AS total,
+                     CAST(sum(f1) AS BIGINT) AS k1,
+                     CAST(sum(CASE WHEN f1 = 0 AND f2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+                     CAST(sum(CASE WHEN f1 = 0 AND f2 = 0 AND f3 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+                     CAST(sum(CASE WHEN f1 = 0 AND f2 = 0 AND f3 = 0
+                       AND f4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+              FROM flags),
+            funnel AS (
+              SELECT s.stage, s.rule,
+                     CASE s.stage WHEN 1 THEN k.k1 WHEN 2 THEN k.k2
+                                  WHEN 3 THEN k.k3 ELSE k.k4 END
+                       AS n_killed,
+                     k.total
+              FROM (SELECT * FROM (VALUES
+                      (1, 'min_length'), (2, 'repetition'),
+                      (3, 'blocklist'), (4, 'language'))
+                      AS v(stage, rule)) s
+              CROSS JOIN kills k)
+            SELECT CAST(stage AS BIGINT) AS stage, rule,
+                   CAST(total - coalesce(sum(n_killed) OVER (ORDER BY stage
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_in,
+                   n_killed,
+                   CAST(total - sum(n_killed) OVER (ORDER BY stage
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_out
+            FROM funnel ORDER BY stage"""))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9, pl10, mm8, mm9, pl11)
+      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, pl12)
 }

@@ -298,6 +298,33 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(namedWinSql) },
     Some(namedWinSql))
 
+  /** X270: UNPIVOT clause + ORDER BY ALL as the TENTH shared-string
+    * SQL-surface row: the identical ANSI text parses and runs on both
+    * engines — SQL-standard `UNPIVOT (val FOR name IN (...))` (Spark
+    * 3.4+/DuckDB both accept it) over three BIGINT-exact order metrics,
+    * totally ordered by the engines' shared `ORDER BY ALL` shorthand
+    * (order by every output column left-to-right), so the row proves
+    * BOTH surfaces at once. a7 proves wide→long through the DataFrame
+    * `unpivot` API; this row proves the SQL clause itself. Scale:
+    * UNPIVOT is a zero-shuffle row-local explode (3 rows out per row
+    * in); the only exchange is the final global sort.
+    */
+  private val unpivotSql = """
+    SELECT o_orderkey, metric, val
+    FROM (SELECT o_orderkey,
+                 CAST(o_custkey AS BIGINT) AS m_custkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS m_cents,
+                 CAST(year(o_orderdate) AS BIGINT) AS m_year
+          FROM orders) base
+    UNPIVOT (val FOR metric IN (m_custkey, m_cents, m_year))
+    ORDER BY ALL"""
+
+  private val sql10 = Q(
+    "sql10_unpivot_clause",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(unpivotSql) },
+    Some(unpivotSql))
+
   // Probed and REJECTED this round: WITH RECURSIVE ... UNION (dedup /
   // cycle-safe fixpoint recursion). Spark 4.1.2 raises
   // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — only UNION ALL recursion
@@ -308,5 +335,5 @@ object SqlSurfaceQueries {
   // the engine-native cycle-safe closures.
 
   def all: Seq[Q] =
-    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9)
+    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9, sql10)
 }

@@ -1309,7 +1309,72 @@ object TextQueries {
             FROM canaries c LEFT JOIN hits h USING (canary)
             ORDER BY c.canary"""))
 
+  /** X269 t26: RARITY-RANK quality filter — an integer-exact surrogate
+    * for perplexity-based filtering (the production pattern: score docs
+    * with a cheap LM, drop the tail). A real LM score is a chained
+    * float log-sum whose cross-engine hash is fragile; ranking tokens
+    * by corpus frequency and scoring a doc by its MEAN TOKEN RANK is
+    * monotone-equivalent for a unigram model (rank = order statistic of
+    * -log p) and stays in BIGINT end-to-end. A doc is `rare_heavy` when
+    * its mean rank exceeds the corpus mean rank — compared by integer
+    * cross-multiplication (rank_sum·Σn > Σrank_sum·n), the playbook's
+    * never-divide-at-a-gate rule. At 100 TB the products need
+    * DECIMAL(38,0) (rank_sum ~1e10 × Σn ~1e13 overflows int64); at test
+    * SF they fit int64 and the BIGINT spelling keeps the hash simple.
+    * Scale: the rank table is VOCAB-sized (Heaps' law: ~1M tokens at
+    * 100 TB), so the unpartitioned dense_rank window sorts the
+    * vocabulary, not the corpus, and the per-token join broadcasts.
+    */
+  private val t26 = Q(
+    "t26_rarity_rank_filter",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"),
+            lit(0))).as("tok"))
+      val ranked = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", dense_rank()
+          .over(Window.orderBy(col("cnt").desc, col("tok")))
+          .cast("long"))
+      val perDoc = toks.join(broadcast(ranked), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("rnk").as("rank_sum"))
+      val tot = perDoc.agg(sum("n_toks").as("tn"),
+        sum("rank_sum").as("trs"))
+      perDoc.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_toks"), col("rank_sum"),
+          when(col("rank_sum") * col("tn") > col("trs") * col("n_toks"),
+            lit(1L)).otherwise(lit(0L)).as("rare_heavy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       AS tok
+              FROM documents),
+            counts AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY tok),
+            ranked AS (
+              SELECT tok, CAST(dense_rank()
+                OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+              FROM counts),
+            per_doc AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                     CAST(sum(r.rnk) AS BIGINT) AS rank_sum
+              FROM toks t JOIN ranked r ON t.tok = r.tok
+              GROUP BY t.doc_id),
+            tot AS (
+              SELECT CAST(sum(n_toks) AS BIGINT) AS tn,
+                     CAST(sum(rank_sum) AS BIGINT) AS trs
+              FROM per_doc)
+            SELECT d.doc_id, d.n_toks, d.rank_sum,
+                   CAST(CASE WHEN d.rank_sum * t.tn > t.trs * d.n_toks
+                     THEN 1 ELSE 0 END AS BIGINT) AS rare_heavy
+            FROM per_doc d CROSS JOIN tot t
+            ORDER BY d.doc_id"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }
