@@ -332,5 +332,80 @@ object SketchQueries {
                      AS rel_err
             FROM rk GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4, sk5)
+  /** X274 sk6: KMV MERGEABILITY — the property that makes sketches
+    * distributed-at-all: the bottom-k hash set of a UNION equals the
+    * bottom-k of the union of the per-partition bottom-k sets, so
+    * partial sketches combine WITHOUT revisiting raw data (the
+    * sketch-algebra contract every 1000-executor count-distinct rides
+    * on). Proven exactly, in integers: per-event-type KMV sketches
+    * (bottom-64 md5-derived BIGINT hashes — sk5's device) are merged
+    * sketch-to-sketch and the k-th minimum of the merge is compared
+    * 1:1 against the k-th minimum computed directly over all types;
+    * `merge_law_ok` is the integer equality of the two k-th minima
+    * (and of the resulting estimates, by construction). Scale: the
+    * merge input is (#partitions × k) rows — constant per partition —
+    * exactly how a real combiner tree aggregates; nothing rescans the
+    * raw table.
+    */
+  private val sk6 = Q(
+    "sk6_kmv_merge",
+    (s, dir) => {
+      val hashes = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id")).distinct()
+        .withColumn("h",
+          conv(substring(md5(concat(lit("e:"),
+            col("event_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      // Per-type bottom-64 sketches (the partials).
+      val perType = hashes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy("h")))
+        .filter(col("rk") <= 64)
+      // Merge: union the partial sketches, dedupe hashes, re-rank.
+      val merged = perType.select(col("h")).distinct()
+        .withColumn("rk", row_number().over(Window.orderBy("h")))
+        .filter(col("rk") === 64).select(col("h").as("merged_hk"))
+      // Direct: bottom-64 over the full distinct-hash set.
+      val direct = hashes.select(col("h")).distinct()
+        .withColumn("rk", row_number().over(Window.orderBy("h")))
+        .filter(col("rk") === 64).select(col("h").as("direct_hk"))
+      val nTypes = perType.agg(
+        countDistinct(col("event_type")).as("n_partial_sketches"))
+      merged.crossJoin(direct).crossJoin(nTypes)
+        .select(col("n_partial_sketches"), col("merged_hk"),
+          col("direct_hk"),
+          when(col("merged_hk") === col("direct_hk"), 1L).otherwise(0L)
+            .as("merge_law_ok"),
+          (lit(63.0) * lit(1152921504606846976L).cast("double")
+            / col("merged_hk").cast("double")).as("estimate"))
+    },
+    Some("""WITH hashes AS (
+              SELECT DISTINCT event_type,
+                ('0x' || substr(md5('e:' || CAST(event_id AS VARCHAR)),
+                  1, 15))::BIGINT AS h
+              FROM events),
+            per_type AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY h) AS rk
+              FROM hashes),
+            partials AS (
+              SELECT event_type, h FROM per_type WHERE rk <= 64),
+            merged AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rk
+              FROM (SELECT DISTINCT h FROM partials)),
+            direct AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rk
+              FROM (SELECT DISTINCT h FROM hashes))
+            SELECT (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                      FROM partials) AS n_partial_sketches,
+                   m.h AS merged_hk,
+                   d.h AS direct_hk,
+                   CAST(CASE WHEN m.h = d.h THEN 1 ELSE 0 END AS BIGINT)
+                     AS merge_law_ok,
+                   63.0 * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(m.h AS DOUBLE) AS estimate
+            FROM (SELECT h FROM merged WHERE rk = 64) m
+            CROSS JOIN (SELECT h FROM direct WHERE rk = 64) d"""))
+
+  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4, sk5, sk6)
 }
