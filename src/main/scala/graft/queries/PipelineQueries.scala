@@ -1640,7 +1640,121 @@ object PipelineQueries {
                      AS BIGINT) AS n_out
             FROM funnel ORDER BY stage"""))
 
+  /** X275 pl13: WATER-FILLING token-budget allocation — the
+    * capacity-planning op behind corpus mixing: given a global token
+    * budget (here 90% of the corpus), allocate each source an equal
+    * water level EXCEPT sources whose capacity is below the level,
+    * which contribute everything they have (capped) while their slack
+    * redistributes to the rest. Solved in closed form, all integers:
+    * sort sources by capacity, prefix-sum, and pick the unique cut k
+    * where level L_k = (B − P_k) div (n − k) satisfies c_k ≤ L_k <
+    * c_{k+1}; the division remainder goes +1 to the first `rem`
+    * uncapped sources in (cap, source) order, so sum(allocated) == B
+    * EXACTLY (the alloc_total certificate column) with no float and no
+    * iteration. Scale: capacities are one corpus scan; everything
+    * after is source-cardinality-sized (the sort window orders
+    * #sources rows, not docs).
+    */
+  private val pl13 = Q(
+    "pl13_water_filling_budget",
+    (s, dir) => {
+      val caps = Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(regexp_extract_all(col("text"), lit("\\S+"),
+          lit(0)))).cast("long").as("cap"))
+      val tot = caps.agg(count(lit(1)).cast("long").as("n"),
+        expr("(9 * sum(cap)) div 10").cast("long").as("b"))
+      val w = Window.orderBy("cap", "source")
+      val ordered = caps
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("pref", sum("cap").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      val ks = ordered.select((col("rn") - 1).as("k"))
+      val kinfo = ks.crossJoin(broadcast(tot))
+        .join(broadcast(ordered.select(col("rn").as("rn_a"),
+          col("pref").as("pref_a"), col("cap").as("cap_a"))),
+          col("rn_a") === col("k"), "left")
+        .join(broadcast(ordered.select(col("rn").as("rn_b"),
+          col("cap").as("cap_b"))),
+          col("rn_b") === col("k") + 1, "left")
+        .select(col("k"), col("b"), col("n"),
+          coalesce(col("pref_a"), lit(0L)).as("p_k"),
+          coalesce(col("cap_a"), lit(0L)).as("c_k"),
+          coalesce(col("cap_b"), lit(Long.MaxValue)).as("c_k1"))
+      val lev = kinfo
+        .withColumn("lvl", expr("(b - p_k) div (n - k)"))
+        .withColumn("rem", (col("b") - col("p_k")) % (col("n") - col("k")))
+      val chosen = lev
+        .filter(col("c_k") <= col("lvl") && col("lvl") < col("c_k1"))
+        .orderBy("k").limit(1)
+        .select(col("k"), col("b"), col("lvl"), col("rem"))
+      val alloc = ordered.crossJoin(broadcast(chosen))
+        .withColumn("allocated",
+          when(col("rn") <= col("k"), col("cap"))
+            .otherwise(col("lvl") +
+              when(col("rn") - col("k") <= col("rem"), 1L).otherwise(0L))
+            .cast("long"))
+      alloc
+        .select(col("source"), col("cap"), col("allocated"),
+          when(col("rn") <= col("k"), 1L).otherwise(0L).as("capped"),
+          col("b").as("budget"),
+          sum("allocated").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).cast("long").as("alloc_total"))
+        .orderBy("source")
+    },
+    Some("""WITH caps AS (
+              SELECT source,
+                     CAST(sum(len(regexp_extract_all(text, '\S+')))
+                       AS BIGINT) AS cap
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST((9 * sum(cap)) // 10 AS BIGINT) AS b
+              FROM caps),
+            ordered AS (
+              SELECT source, cap,
+                     CAST(row_number() OVER (ORDER BY cap, source)
+                       AS BIGINT) AS rn,
+                     CAST(sum(cap) OVER (ORDER BY cap, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS pref
+              FROM caps),
+            ks AS (SELECT rn - 1 AS k FROM ordered),
+            kinfo AS (
+              SELECT ks.k, t.b, t.n,
+                     coalesce(ok.pref, 0) AS p_k,
+                     coalesce(ok.cap, 0) AS c_k,
+                     coalesce(ok1.cap, 9223372036854775807) AS c_k1
+              FROM ks CROSS JOIN tot t
+              LEFT JOIN ordered ok ON ok.rn = ks.k
+              LEFT JOIN ordered ok1 ON ok1.rn = ks.k + 1),
+            lev AS (
+              SELECT k, b, n, c_k, c_k1,
+                     (b - p_k) // (n - k) AS lvl,
+                     (b - p_k) % (n - k) AS rem
+              FROM kinfo),
+            chosen AS (
+              SELECT k, b, lvl, rem FROM lev
+              WHERE c_k <= lvl AND lvl < c_k1
+              ORDER BY k LIMIT 1)
+            SELECT o.source, o.cap,
+                   CAST(CASE WHEN o.rn <= c.k THEN o.cap
+                        ELSE c.lvl + CASE WHEN o.rn - c.k <= c.rem
+                                     THEN 1 ELSE 0 END
+                   END AS BIGINT) AS allocated,
+                   CAST(CASE WHEN o.rn <= c.k THEN 1 ELSE 0 END
+                     AS BIGINT) AS capped,
+                   c.b AS budget,
+                   CAST(sum(CASE WHEN o.rn <= c.k THEN o.cap
+                        ELSE c.lvl + CASE WHEN o.rn - c.k <= c.rem
+                                     THEN 1 ELSE 0 END
+                   END) OVER () AS BIGINT) AS alloc_total
+            FROM ordered o CROSS JOIN chosen c
+            ORDER BY o.source"""))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, pl12)
+      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, pl12, pl13)
 }

@@ -632,6 +632,127 @@ object SourceQueries {
             FROM documents WHERE doc_id % 89 <> 0
             GROUP BY 1 ORDER BY 1"""))
 
+  /** S15 (X276, beyond the reference): FIXED-WIDTH text roundtrip —
+    * the mainframe/COBOL-copybook interchange format that has no Spark
+    * connector and never will: every record is a fixed-length line,
+    * fields live at byte offsets (space-LPAD for numerics so negative
+    * account balances keep their sign where a zero-pad would corrupt
+    * it, space-RPAD for names). Encoded with codegen'd lpad/rpad/
+    * concat into a `.text` sink, read back as lines and decoded by
+    * pure substring/trim/cast at the copybook offsets (1-10 key,
+    * 11-35 name, 36-40 nationkey, 41-55 signed cents); the decoded
+    * rows must hash-match DuckDB reading the ORIGINAL parquet, so one
+    * wrong offset or eaten sign fails the gate. Scale: both directions
+    * are row-local single-pass string ops — a fixed-width estate reads
+    * at full scan parallelism, no shuffle until the final sort.
+    */
+  private val s15 = Q(
+    "src15_fixed_width_roundtrip",
+    (s, dir) => {
+      val out = tmpDir("supplier_fixedwidth_s15")
+      Tables.load(s, dir, "supplier")
+        .select(concat(
+          lpad(col("s_suppkey").cast("string"), 10, " "),
+          rpad(col("s_name"), 25, " "),
+          lpad(col("s_nationkey").cast("string"), 5, " "),
+          lpad(expr("cast(floor(s_acctbal * 100 + 0.5) as bigint)")
+            .cast("string"), 15, " ")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(
+          trim(substring(col("value"), 1, 10)).cast("bigint")
+            .as("s_suppkey"),
+          rtrim(substring(col("value"), 11, 25)).as("s_name"),
+          trim(substring(col("value"), 36, 5)).cast("bigint")
+            .as("s_nationkey"),
+          trim(substring(col("value"), 41, 15)).cast("bigint")
+            .as("acctbal_cents"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name,
+                   CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+                     AS acctbal_cents
+            FROM supplier ORDER BY s_suppkey"""))
+
+  /** S16 (X277, beyond the reference): BINARY-FILE media ingestion —
+    * the real multimodal ingest path at 100 TB: media lands as FILES,
+    * and Spark's built-in `binaryFile` source turns a directory into
+    * (path, length, content) rows that feed the codec family without
+    * any driver-side file walking. One real 24-bit BMP per document
+    * ([[graft.ops.BmpCodec]], executor-side writes via foreachPartition
+    * — the driver never touches a file), scanned back with
+    * `format("binaryFile")`, doc id recovered FROM THE PATH
+    * (regexp on the file name — the standard layout-as-metadata
+    * device), pixels decoded by the full BMP parser; channel sums must
+    * hash-match DuckDB computing the same integers from the source
+    * text, so the whole files→scan→decode chain is what's verified.
+    * Scale: binaryFile parallelizes by file; decode is scan-local
+    * mapPartitions; nothing shuffles before the final sort.
+    */
+  private val s16 = Q(
+    "src16_binary_media_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.BmpCodec
+      val out = tmpDir("media_bmp_s16")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("raw"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+          it.foreach { case (id, raw) =>
+            def at(i: Int): Int = if (i < raw.length) raw(i) & 0xff else 0
+            val w = at(0) % 3 + 2
+            val h = at(1) % 2 + 2
+            val rgb = Array.tabulate(3 * w * h)(i => at(i).toByte)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$out/doc_$id.bmp"),
+              BmpCodec.encode(w, h, rgb))
+          }
+        }
+      s.read.format("binaryFile").load(out)
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.bmp$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val img = BmpCodec.decode(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var k = 0
+          while (k < img.width * img.height) {
+            sr += img.pixels(3 * k) & 0xff
+            sg += img.pixels(3 * k + 1) & 0xff
+            sb += img.pixels(3 * k + 2) & 0xff
+            k += 1
+          }
+          (id, img.width, img.height, sr, sg, sb)
+        })
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, text,
+                     ascii(substr(text, 1, 1)) % 3 + 2 AS width,
+                     ascii(substr(text, 2, 1)) % 2 + 2 AS height
+              FROM documents WHERE doc_id < 100),
+            px AS (
+              SELECT doc_id, width, height,
+                     list_transform(range(0, width * height * 3),
+                       i -> ascii(substr(text, CAST(i + 1 AS INT), 1)))
+                       AS ps
+              FROM dims)
+            SELECT doc_id, CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST(list_sum(list_transform(range(0, width * height),
+                     k -> ps[CAST(3 * k + 1 AS INT)])) AS BIGINT) AS sum_r,
+                   CAST(list_sum(list_transform(range(0, width * height),
+                     k -> ps[CAST(3 * k + 2 AS INT)])) AS BIGINT) AS sum_g,
+                   CAST(list_sum(list_transform(range(0, width * height),
+                     k -> ps[CAST(3 * k + 3 AS INT)])) AS BIGINT) AS sum_b
+            FROM px ORDER BY doc_id"""))
+
   def all: Seq[Q] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14,
+      s15, s16)
 }
