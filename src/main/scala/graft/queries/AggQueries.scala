@@ -608,7 +608,46 @@ object AggQueries {
             FROM ranked WHERE rn = 1
             ORDER BY c_nationkey"""))
 
+  /** X279 a21: CONDITIONAL/BOOLEAN aggregate surface — count_if and
+    * the SQL:2023 boolean aggregates (bool_and / bool_or and the ANSI
+    * `every` spelling), the idioms data-quality SQL is written in
+    * ("every order this priority has a positive price", "any order
+    * shipped urgent"). All four are single-pass map-side-combinable
+    * aggregates (boolean state merges like MIN/MAX — the cheapest
+    * distributed aggregate there is); results cast to BIGINT for the
+    * cross-engine hash. Completes the aggregate-function matrix next
+    * to a16's deterministic argmin/argmax (max_by/min_by are NOT here:
+    * under ties their pick is engine-dependent, a16's struct-ordering
+    * spelling is the deterministic form).
+    */
+  private val a21 = Q(
+    "a21_conditional_bool_aggs",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("count_if(o_totalprice > 200000)").as("n_big"),
+          expr("cast(bool_and(o_totalprice > 0) as bigint)")
+            .as("all_positive"),
+          expr("cast(bool_or(o_orderstatus = 'P') as bigint)")
+            .as("any_pending"),
+          expr("cast(every(o_custkey >= 0) as bigint)")
+            .as("every_cust_valid"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(count_if(o_totalprice > 200000) AS BIGINT)
+                     AS n_big,
+                   CAST(bool_and(o_totalprice > 0) AS BIGINT)
+                     AS all_positive,
+                   CAST(bool_or(o_orderstatus = 'P') AS BIGINT)
+                     AS any_pending,
+                   CAST(bool_and(o_custkey >= 0) AS BIGINT)
+                     AS every_cust_valid
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   def all: Seq[Q] =
     Seq(a1, a2a3, a4, a5, a6, a7, a8, a9, a10, a11, u2, u3, a12, a13, a14,
-      a15, a16, a17, a18, a19, a20)
+      a15, a16, a17, a18, a19, a20, a21)
 }

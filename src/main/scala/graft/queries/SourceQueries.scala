@@ -752,7 +752,58 @@ object SourceQueries {
                      k -> ps[CAST(3 * k + 3 AS INT)])) AS BIGINT) AS sum_b
             FROM px ORDER BY doc_id"""))
 
+  /** S17 (X278, beyond the reference): COMPRESSION-CODEC matrix —
+    * storage codecs are a first-order 100 TB cost lever (zstd parquet
+    * is the current default answer; gzip CSV is what upstream systems
+    * hand over), and a codec bug corrupts silently if nothing
+    * re-verifies values through the compressed path. The same lineitem
+    * projection is written as zstd parquet AND gzip CSV, each read
+    * back and aggregated to exact integer cents per return flag; both
+    * codec paths must hash-match DuckDB aggregating the ORIGINAL
+    * uncompressed parquet (one output row per codec × flag, the codec
+    * column naming the path proven). Scale: codecs are block-local —
+    * compression changes bytes scanned, never plan shape; the read
+    * side keeps full scan parallelism (zstd parquet stays splittable
+    * by row group; monolithic .gz CSV files do NOT split — the
+    * documented reason gzip estates re-land as parquet first).
+    */
+  private val s17 = Q(
+    "src17_compression_codecs",
+    (s, dir) => {
+      val proj = Tables.load(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+      val pOut = tmpDir("li_parquet_zstd_s17")
+      val cOut = tmpDir("li_csv_gzip_s17")
+      proj.write.mode("overwrite").option("compression", "zstd")
+        .parquet(pOut)
+      proj.write.mode("overwrite").option("compression", "gzip")
+        .option("header", "true").csv(cOut)
+      def agg(df: org.apache.spark.sql.DataFrame, codec: String) =
+        df.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+              .as("cents"))
+          .withColumn("codec", lit(codec))
+      agg(s.read.parquet(pOut), "parquet_zstd")
+        .unionByName(agg(
+          s.read.option("header", "true").option("inferSchema", "true")
+            .csv(cOut), "csv_gzip"))
+        .select("codec", "l_returnflag", "n", "cents")
+        .orderBy("codec", "l_returnflag")
+    },
+    Some("""WITH agg AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT c.codec, a.l_returnflag, a.n, a.cents
+            FROM agg a
+            CROSS JOIN (SELECT unnest(['parquet_zstd', 'csv_gzip'])
+                          AS codec) c
+            ORDER BY c.codec, a.l_returnflag"""))
+
   def all: Seq[Q] =
     Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14,
-      s15, s16)
+      s15, s16, s17)
 }

@@ -448,4 +448,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         || p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("sql10 UNPIVOT plans as a row-local Expand with no shuffle " +
+      "before the final sort") {
+    val p = plan("sql10_unpivot_clause")
+    assert(p.contains("Expand"), p.take(3000))
+    // exactly one exchange: the range partitioning of the global sort
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      p.take(3000))
+  }
+
+  test("t26 rarity-rank: the vocab-sized rank table joins back as a " +
+      "broadcast, never reshuffling the token stream") {
+    val p = plan("t26_rarity_rank_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("pl13 water-filling: the source-cardinality allocation tables " +
+      "cross back as broadcasts (no full-table exchange after the " +
+      "capacity scan)") {
+    val p = plan("pl13_water_filling_budget")
+    assert(p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("src16 binaryFile ingest scans a binary file relation (the " +
+      "media files feed the plan as rows, no driver-side file walk)") {
+    val p = plan("src16_binary_media_ingest")
+    assert(p.toLowerCase.contains("binaryfile"), p.take(3000))
+  }
 }
