@@ -1528,7 +1528,8 @@ object EventQueries {
     "e16_stream_checkpoint_resume", "e17_watermark_late_drop",
     "e18_stream_fmgws_equiv", "e19_stream_stream_join",
     "e20_stream_dedup_equiv", "e21_stream_static_enrich",
-    "e23_stream_rate_limit", "e24_stream_stream_left_outer")
+    "e23_stream_rate_limit", "e24_stream_stream_left_outer",
+    "e37_file_sink_txn_log")
 
   /** E34 (X213, beyond the reference): TIME-TO-CONVERT distribution —
     * per user, latency from the FIRST view to the first purchase
@@ -1699,9 +1700,78 @@ object EventQueries {
                      AS concentration
             FROM ranked GROUP BY event_type ORDER BY event_type"""))
 
+  /** X280 e37: NATIVE FILE-SINK transaction log — the production
+    * parquet sink's exactly-once story, which is NOT the files
+    * themselves but the `_spark_metadata` commit log beside them: only
+    * files recorded by a committed batch are part of the dataset.
+    * Proven from both sides: (a) resume — the stream (file source →
+    * projection → `writeStream.format("parquet")`, Append) runs to
+    * completion on half the events, stops, and restarts from the same
+    * checkpoint after the second half lands, so the sink accumulates
+    * each row exactly once across two separately-committed batches;
+    * (b) orphan exclusion — a VALID duplicate parquet file (a rewrite
+    * of half0, exactly what a killed task leaves behind) is dropped
+    * into the sink directory BYPASSING the log, and the read-back —
+    * which goes through `_spark_metadata` — must exclude it: if the
+    * log were ignored, every half0 row would count twice and the hash
+    * against the whole-table batch oracle breaks. e15/e16 prove
+    * foreachBatch idempotence and source offsets; this row proves the
+    * built-in sink's own commit protocol, the one a 100 TB pipeline
+    * actually lands files with.
+    */
+  private val e37 = Q(
+    "e37_file_sink_txn_log",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_fsink_${streamRun.incrementAndGet()}"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val inDir = s"$base/in"; val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      fs.mkdirs(new Path(inDir))
+      val proj = Seq("event_id", "user_id", "event_type", "value")
+      val ev = Tables.load(s, dir, "events").select(proj.map(col): _*)
+      def stage(half: DataFrame, name: String, into: String): Unit = {
+        val tmp = s"$base/stage_$name"
+        half.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$into/$name.parquet"))
+      }
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(ev.schema).parquet(inDir)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val half0 = ev.filter(col("event_id") % 2 === 0)
+      stage(half0, "half0", inDir)
+      runOnce() // batch 0 commits half0 into the sink's metadata log
+      stage(ev.filter(col("event_id") % 2 =!= 0), "half1", inDir)
+      runOnce() // resume: batch 1 appends only half1
+      // Simulate a failed task's leftover: a VALID duplicate data file
+      // in the sink dir that no batch ever committed.
+      stage(half0, "orphan_uncommitted", outDir)
+      require(fs.exists(new Path(s"$outDir/_spark_metadata")),
+        "file sink wrote no _spark_metadata commit log")
+      // Read THROUGH the sink (Spark detects _spark_metadata and lists
+      // from the log, not the directory) — the orphan must not count.
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31, e32, e33, e34, e35, e36)
+      e29, e30, e31, e32, e33, e34, e35, e36, e37)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }

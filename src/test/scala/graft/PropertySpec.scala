@@ -180,4 +180,38 @@ class PropertySpec extends AnyFunSuite {
       bucketPairs == brutePairs
     })
   }
+
+  // ---- GifCodec LZW round trip ---------------------------------------
+  // GifCodecSpec proves fixed cases against ImageIO; this property
+  // proves encode∘decode = id for ARBITRARY palettes, dimensions, and
+  // index streams — any width-schedule or KwKwK slip shows up as a
+  // shrunk counterexample, not a lucky pass.
+  test("GifCodec: encode -> decode is the identity for any indexed image") {
+    import graft.ops.GifCodec
+    val images: Gen[(Int, Int, Int, Long)] = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      nColors <- Gen.choose(2, 256)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (w, h, nColors, seed)
+    check(Prop.forAll(images) { case (w, h, nColors, seed) =>
+      // deterministic pseudo-random palette + indices from the seed
+      // (splitmix-style mix keeps the generator pure and shrinkable)
+      var s = seed
+      def next(): Long = {
+        s += 0x9e3779b97f4a7c15L
+        var z = s
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val pal = Array.fill(3 * nColors)((next() & 0xff).toByte)
+      val idx = Array.fill(w * h)(
+        (java.lang.Long.remainderUnsigned(next(), nColors)).toByte)
+      val img = GifCodec.decode(GifCodec.encode(w, h, pal, idx))
+      img.width == w && img.height == h &&
+        img.indices.sameElements(idx) &&
+        img.palette.take(3 * nColors).sameElements(pal)
+    })
+  }
 }

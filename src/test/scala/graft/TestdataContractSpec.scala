@@ -113,6 +113,27 @@ class TestdataContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       "label" -> one(IntegerType)))
   }
 
+  test("documents text is printable ASCII and long enough for the " +
+      "byte-indexed media rows") {
+    // The mm* codec rows and src16 derive pixels/samples from
+    // `substr(text, i, 1)` on the DuckDB side and `text.cast("binary")`
+    // bytes on the Spark side — those agree ONLY while text is
+    // single-byte (printable ASCII), and the rows index up to byte 36
+    // (mm7: 3·w·h ≤ 36). If a regeneration ships multi-byte text or
+    // shorter documents, fail HERE with the reason, not as 7 scattered
+    // hash mismatches.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bad = docs.filter(!col("text").rlike("^[\\x20-\\x7e]*$")).count()
+    assert(bad == 0,
+      s"$bad documents contain non-printable-ASCII text; the byte-indexed" +
+        " media rows (mm5-mm10, src16) assume 1 char == 1 byte")
+    val short = docs.filter(length(col("text")) < 36).count()
+    assert(short == 0,
+      s"$short documents are shorter than 36 chars; media rows index" +
+        " up to byte 36")
+  }
+
   test("Tables.load normalizes events.ts to TimestampType") {
     val dt = graft.ops.Tables.load(spark, sfDir, "events")
       .schema("ts").dataType
