@@ -88,6 +88,29 @@ object PngCodec {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** Encode row-major interleaved 8-bit RGB pixels as a complete valid
+    * truecolor PNG (color type 2, filter type 0 scanlines) — the plot
+    * sink's output format ([[PlotSink]]). Same chunk/CRC/zlib path as
+    * [[encodeGray]]; PlotSinkSpec proves the output against the JDK
+    * ImageIO reader pixel-for-pixel.
+    */
+  def encodeRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == 3 * width * height,
+      s"need 3*width*height=${3 * width * height} bytes, got ${rgb.length}")
+    val stride = 3 * width
+    val raw = new Array[Byte](height * (stride + 1))
+    var r = 0
+    while (r < height) {
+      // raw(r * (stride+1)) is already 0 = filter type None
+      System.arraycopy(rgb, r * stride, raw, r * (stride + 1) + 1, stride)
+      r += 1
+    }
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, adaptive, no interlace
+    signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflate(raw)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** Decoded grayscale image: row-major pixel bytes. */
   final case class Gray(width: Int, height: Int, pixels: Array[Byte])
 

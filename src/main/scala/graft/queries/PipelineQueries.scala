@@ -1754,7 +1754,67 @@ object PipelineQueries {
             FROM ordered o CROSS JOIN chosen c
             ORDER BY o.source"""))
 
+  /** PLT1 — reference S4, the LAST inventory gap, closed: the plot
+    * sink (covid_simulator.py:298-319,535-538,630-651 renders
+    * per-location time-series line charts to PNG files). Here the
+    * per-event-type daily-count series are rasterized by
+    * [[graft.ops.PlotSink]] (integer Bresenham polylines, axis frame,
+    * fixed palette — no plotting library) into REAL truecolor PNGs via
+    * [[graft.ops.PngCodec.encodeRgb]], written executor-side one file
+    * per group (`mapGroups` — the driver rasterizes nothing, which is
+    * what makes a chart-per-location sink embarrassingly parallel at
+    * 100 TB). Rasterization has no SQL oracle, so like sk1 this row is
+    * rows-only BY NATURE; the real proof is PlotSinkSpec (ImageIO
+    * parses the bytes, per-pixel agreement, byte determinism, axis and
+    * palette structure) plus this row's in-flight facts: the written
+    * file length, the ImageIO-parsed dimensions of the bytes read BACK
+    * from disk, and the series pixel count.
+    */
+  private val plt1 = Q(
+    "plt1_timeseries_png_sink",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.PlotSink
+      val outDir = System.getProperty("java.io.tmpdir") + "/graft_plots"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outDir))
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), unix_micros(col("day")).as("day_us"),
+          col("n"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (etype, it) =>
+          val ys = it.toArray.sortBy(_._2).map(_._3.toDouble)
+          val png = PlotSink.lineChart(Seq(etype -> ys))
+          val path = java.nio.file.Paths.get(s"$outDir/$etype.png")
+          java.nio.file.Files.write(path, png)
+          // read BACK from the sink and parse with the independent
+          // reader — the emitted facts are about the file on disk
+          val bytes = java.nio.file.Files.readAllBytes(path)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"sink PNG for $etype unreadable")
+          val c = PlotSink.palette(0)
+          var px = 0L
+          (0 until img.getHeight).foreach { y =>
+            (0 until img.getWidth).foreach { x =>
+              if ((img.getRGB(x, y) & 0xffffff) ==
+                ((c._1 << 16) | (c._2 << 8) | c._3)) px += 1
+            }
+          }
+          (etype, ys.length, bytes.length.toLong,
+            img.getWidth, img.getHeight, px)
+        }
+        .toDF("event_type", "n_days", "png_bytes", "width", "height",
+          "series_px")
+        .orderBy("event_type")
+    },
+    None) // rasterization has no SQL oracle; PlotSinkSpec is the proof
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, pl12, pl13)
+      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, pl12, pl13, plt1)
 }

@@ -1397,8 +1397,77 @@ object RelationalQueries {
                      AS version_from
             FROM ff WHERE tag = 1 ORDER BY o_orderkey"""))
 
+  /** X281 p20: CDC APPLY — the lakehouse changelog-materialization op
+    * (Debezium/Delta-CDF shape): a base snapshot plus an ordered
+    * change stream of upserts and DELETE TOMBSTONES collapses to the
+    * final state by LAST-WRITER-WINS per key under a TOTAL event
+    * order. The three-way branch is fully exercised: keys with no
+    * events keep their base row, keys whose last event is U carry the
+    * event's value, keys whose last event is D vanish (tombstone) —
+    * including tombstones for keys later re-upserted (only the LAST op
+    * matters, which is exactly what makes the apply idempotent and
+    * restartable). Determinism: seq is a total order (date, orderkey);
+    * the per-key pick is rank-1 by seq DESC; money in exact cents.
+    * Scale: one shuffle ranks the changelog per key (map-side
+    * WindowGroupLimit keeps ≤1 row/key crossing), one equi-join
+    * applies it to the base — the same two-exchange envelope as a
+    * groupBy+join, no iteration.
+    */
+  private val p20 = Q(
+    "p20_cdc_apply",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"),
+          expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").as("cents"))
+      val changelog = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01"))
+        .select(col("o_custkey").as("k"),
+          when(col("o_orderkey") % 10 < 2, "D").otherwise("U").as("op"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            .as("ev_cents"),
+          row_number().over(
+            Window.orderBy("o_orderdate", "o_orderkey")).as("seq"))
+      val lastChange = changelog
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("op"), col("ev_cents"))
+      base.join(lastChange, Seq("k"), "left")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k").as("custkey"),
+          when(col("op").isNull, "base").otherwise("updated").as("state"),
+          coalesce(col("ev_cents"), col("cents")).as("cents"))
+        .orderBy("custkey")
+    },
+    Some("""WITH base AS (
+              SELECT c_custkey AS k,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+              FROM customer),
+            changelog AS (
+              SELECT o_custkey AS k,
+                     CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END
+                       AS op,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS ev_cents,
+                     row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                       AS seq
+              FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+            last_change AS (
+              SELECT k, op, ev_cents FROM (
+                SELECT k, op, ev_cents,
+                       row_number() OVER (PARTITION BY k
+                         ORDER BY seq DESC) AS rn
+                FROM changelog) WHERE rn = 1)
+            SELECT b.k AS custkey,
+                   CASE WHEN c.k IS NULL THEN 'base' ELSE 'updated' END
+                     AS state,
+                   coalesce(c.ev_cents, b.cents) AS cents
+            FROM base b LEFT JOIN last_change c ON b.k = c.k
+            WHERE c.op IS NULL OR c.op <> 'D'
+            ORDER BY custkey"""))
+
   def all: Seq[Q] =
     Seq(p1p3, p2p4, p5p6p7, p8, d1d2, u1, o3, p9, p10, p11, dq1, obs1,
       p12, p13, p14, dq2, p15, dq3, dq4, p16, dq5, p17, dq6, dq7, dq8,
-      dq9, dq10, p19)
+      dq9, dq10, p19, p20)
 }
