@@ -3529,8 +3529,124 @@ object MlQueries {
             FROM grp CROSS JOIN fin f
             ORDER BY l_suppkey"""))
 
+  /** X284 m5b: REAL LSTM CELL forward pass — the semantics half of the
+    * M5 gap (weather_pred.py:108-116,283-384 trains a Keras LSTM; m5
+    * substitutes an AR(1) with the same I/O contract): this row
+    * executes the ACTUAL gated recurrence — input/forget/output
+    * sigmoid gates, tanh candidate, c_t = f⊙c + i⊙g, h_t = o⊙tanh(c) —
+    * per supplier over its first 8 quantity observations, hidden size
+    * 2, with FIXED integer-derived weights (eighths: exactly
+    * representable doubles, identical literals in both engines).
+    * TRAINING stays out of scope (no autodiff dependency — documented);
+    * what this proves is that the recurrent cell itself runs
+    * distributed (one typed mapGroups fold per key, the W5/W6/W7
+    * sequential-kernel discipline) and matches a DuckDB recursive-CTE
+    * + LATERAL replay of the IDENTICAL op chain (sigmoid/tanh spelled
+    * via exp() the same way on both sides; the m27 pinned-IEEE-chain
+    * device) at 6 dp. Scale: embarrassingly parallel per key; state is
+    * 4 doubles per group.
+    */
+  private val m5b = Q(
+    "m5b_lstm_forward",
+    (s, dir) => {
+      import s.implicits._
+      // per (unit j, gate k): pre-activation = ((a·x + b·h1) + c·h2) + d
+      // weights in eighths from (j·31 + k·17) — same table in the oracle
+      def w(j: Int, gi: Int): (Double, Double, Double, Double) = {
+        val base = j * 31 + gi * 17
+        (((base * 7) % 9 - 4) / 8.0, ((base * 11) % 9 - 4) / 8.0,
+          ((base * 13) % 9 - 4) / 8.0, ((base * 5) % 9 - 4) / 8.0)
+      }
+      def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+      def tnh(z: Double) = {
+        val e = math.exp(2 * z); (e - 1) / (e + 1)
+      }
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .as[(Long, Long, Int, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (supp, it) =>
+          val xs = it.toArray.sortBy(t => (t._2, t._3, t._4))
+            .take(8).map(_._4 / 50.0)
+          var h1 = 0.0; var h2 = 0.0; var c1 = 0.0; var c2 = 0.0
+          xs.foreach { x =>
+            def gate(j: Int, gi: Int, hA: Double, hB: Double): Double = {
+              val (a, b, c, d) = w(j, gi)
+              ((a * x + b * hA) + c * hB) + d
+            }
+            val i1 = sig(gate(1, 0, h1, h2)); val f1 = sig(gate(1, 1, h1, h2))
+            val g1 = tnh(gate(1, 2, h1, h2)); val o1 = sig(gate(1, 3, h1, h2))
+            val i2 = sig(gate(2, 0, h1, h2)); val f2 = sig(gate(2, 1, h1, h2))
+            val g2 = tnh(gate(2, 2, h1, h2)); val o2 = sig(gate(2, 3, h1, h2))
+            val c1n = (f1 * c1) + (i1 * g1)
+            val c2n = (f2 * c2) + (i2 * g2)
+            h1 = o1 * tnh(c1n); h2 = o2 * tnh(c2n)
+            c1 = c1n; c2 = c2n
+          }
+          (supp, 0.1 + 0.7 * h1 + -0.4 * h2, h1, h2)
+        }
+        .toDF("l_suppkey", "p", "rh1", "rh2")
+        .select(col("l_suppkey"), round(col("p"), 6).as("lstm_pred"),
+          round(col("rh1"), 6).as("h1"), round(col("rh2"), 6).as("h2"))
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH RECURSIVE series AS (
+              SELECT l_suppkey AS g, rn, l_quantity / 50.0 AS x
+              FROM (SELECT l_suppkey, l_quantity,
+                           row_number() OVER (PARTITION BY l_suppkey
+                             ORDER BY l_orderkey, l_linenumber,
+                                      l_quantity) AS rn
+                    FROM lineitem)
+              WHERE rn <= 8),
+            lstm(g, t, h1, h2, c1, c2) AS (
+              SELECT g, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+              FROM (SELECT DISTINCT g FROM series)
+              UNION ALL
+              SELECT s.g, s.t + 1,
+                     gt.o1 * ((exp(2 * cn.c1n) - 1) / (exp(2 * cn.c1n) + 1)),
+                     gt.o2 * ((exp(2 * cn.c2n) - 1) / (exp(2 * cn.c2n) + 1)),
+                     cn.c1n, cn.c2n
+              FROM lstm s
+              JOIN series x ON x.g = s.g AND x.rn = s.t + 1,
+              LATERAL (
+                SELECT 1 / (1 + exp(-(((-0.375 * x.x + 0.5 * s.h1)
+                         + 0.375 * s.h2) + -0.25))) AS i1,
+                       1 / (1 + exp(-(((-0.125 * x.x + 0.25 * s.h1)
+                         + -0.125 * s.h2) + 0.25))) AS f1,
+                       (exp(2 * (((0.125 * x.x + 0.0 * s.h1)
+                          + 0.5 * s.h2) + -0.375)) - 1)
+                         / (exp(2 * (((0.125 * x.x + 0.0 * s.h1)
+                            + 0.5 * s.h2) + -0.375)) + 1) AS g1,
+                       1 / (1 + exp(-(((0.375 * x.x + -0.25 * s.h1)
+                         + 0.0 * s.h2) + 0.125))) AS o1,
+                       1 / (1 + exp(-(((-0.25 * x.x + 0.375 * s.h1)
+                         + 0.125 * s.h2) + 0.0))) AS i2,
+                       1 / (1 + exp(-(((0.0 * x.x + 0.125 * s.h1)
+                         + -0.375 * s.h2) + 0.5))) AS f2,
+                       (exp(2 * (((0.25 * x.x + -0.125 * s.h1)
+                          + 0.25 * s.h2) + -0.125)) - 1)
+                         / (exp(2 * (((0.25 * x.x + -0.125 * s.h1)
+                            + 0.25 * s.h2) + -0.125)) + 1) AS g2,
+                       1 / (1 + exp(-(((0.5 * x.x + -0.375 * s.h1)
+                         + -0.25 * s.h2) + 0.375))) AS o2) gt,
+              LATERAL (
+                SELECT (gt.f1 * s.c1) + (gt.i1 * gt.g1) AS c1n,
+                       (gt.f2 * s.c2) + (gt.i2 * gt.g2) AS c2n) cn
+              WHERE s.t < 8),
+            fin AS (
+              SELECT g, h1, h2,
+                     row_number() OVER (PARTITION BY g ORDER BY t DESC)
+                       AS rk
+              FROM lstm)
+            SELECT g AS l_suppkey,
+                   round(0.1 + 0.7 * h1 + -0.4 * h2, 6) AS lstm_pred,
+                   round(h1, 6) AS h1, round(h2, 6) AS h2
+            FROM fin WHERE rk = 1 ORDER BY g"""))
+
   def all: Seq[Q] =
-    Seq(m1, m1b, m1c, m1d, m2, m2b, m3, m5, m6, m7, m8, m9, m10, m11, m12,
+    Seq(m1, m1b, m1c, m1d, m2, m2b, m3, m5, m5b, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
       m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38, m39,
       m40, m41, m42, m43, m44)
