@@ -483,5 +483,108 @@ object SequentialQueries {
             SELECT user_id, event_id, xh AS xhat, gain, p AS pvar
             FROM rec ORDER BY user_id, event_id"""))
 
-  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20, w21, w27, w29)
+  /** X285 w37: DYNAMIC TIME WARPING distance — the elastic series
+    * similarity measure (alignment-invariant: two series tracing the
+    * same shape at different speeds score close, where Euclidean
+    * distance punishes every phase shift), the classic pre-embedding
+    * tool for time-series clustering/retrieval. Every supplier's
+    * quantity series is DTW-scored against a reference series
+    * (supplier 0) with |a−b| step costs — ALL-INTEGER dynamic
+    * programming, so the distance is exact and the oracle needs no
+    * op-order pinning at all (any correct DP yields the same BIGINT;
+    * the DuckDB replay walks the DP row-major through a recursive CTE
+    * carrying the previous/current rows as LIST columns, the w27 ring
+    * device). Scale: the reference is driver-bounded state (one
+    * 10-long int array, the k-centroids discipline); each group folds
+    * its own O(m·n) table task-locally in one mapGroups pass —
+    * embarrassingly parallel, no shuffle beyond the groupBy.
+    */
+  private val w37 = Q(
+    "w37_dtw_distance",
+    (s, dir) => {
+      import s.implicits._
+      val obs = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("q"))
+        .as[(Long, Long, Int, Long)]
+      // Reference series: supplier 0's first 10 observations — bounded
+      // driver state (10 longs), broadcast into the closure.
+      val ref: Array[Long] = obs.filter(_._1 == 0L).collect()
+        .sortBy(t => (t._2, t._3, t._4)).take(10).map(_._4)
+      obs.groupByKey(_._1)
+        .mapGroups { (supp, it) =>
+          val b = it.toArray.sortBy(t => (t._2, t._3, t._4))
+            .take(10).map(_._4)
+          val m = ref.length; val n = b.length
+          val d = Array.ofDim[Long](m, n)
+          var i = 0
+          while (i < m) {
+            var j = 0
+            while (j < n) {
+              val c = math.abs(ref(i) - b(j))
+              d(i)(j) = c + (
+                if (i == 0 && j == 0) 0L
+                else if (i == 0) d(0)(j - 1)
+                else if (j == 0) d(i - 1)(0)
+                else math.min(d(i - 1)(j),
+                  math.min(d(i)(j - 1), d(i - 1)(j - 1))))
+              j += 1
+            }
+            i += 1
+          }
+          (supp, n.toLong, d(m - 1)(n - 1))
+        }
+        .toDF("l_suppkey", "n_obs", "dtw_dist")
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH RECURSIVE obs AS (
+              SELECT l_suppkey AS g, rn, CAST(l_quantity AS BIGINT) AS q
+              FROM (SELECT l_suppkey, l_quantity,
+                           row_number() OVER (PARTITION BY l_suppkey
+                             ORDER BY l_orderkey, l_linenumber,
+                                      l_quantity) AS rn
+                    FROM lineitem)
+              WHERE rn <= 10),
+            ser AS (
+              SELECT g, list(q ORDER BY rn) AS b,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM obs GROUP BY g),
+            ref AS (SELECT b AS a, n AS m FROM ser WHERE g = 0),
+            dp(g, i, j, prev, cur) AS (
+              SELECT s.g, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                     CAST([] AS BIGINT[]),
+                     [abs(r.a[1] - s.b[1])]
+              FROM ser s, ref r
+              UNION ALL
+              SELECT d.g,
+                     CASE WHEN d.j + 1 >= s.n THEN d.i + 1 ELSE d.i END,
+                     CASE WHEN d.j + 1 >= s.n THEN CAST(0 AS BIGINT)
+                          ELSE d.j + 1 END,
+                     CASE WHEN d.j + 1 >= s.n THEN d.cur ELSE d.prev END,
+                     CASE WHEN d.j + 1 >= s.n
+                          THEN [abs(r.a[CAST(d.i + 2 AS INT)] - s.b[1])
+                                + d.cur[1]]
+                          ELSE list_append(d.cur,
+                            abs(r.a[CAST(d.i + 1 AS INT)]
+                                - s.b[CAST(d.j + 2 AS INT)])
+                            + CASE WHEN d.i = 0
+                                   THEN d.cur[CAST(d.j + 1 AS INT)]
+                                   ELSE least(
+                                     d.prev[CAST(d.j + 2 AS INT)],
+                                     d.prev[CAST(d.j + 1 AS INT)],
+                                     d.cur[CAST(d.j + 1 AS INT)]) END)
+                     END
+              FROM dp d JOIN ser s ON s.g = d.g CROSS JOIN ref r
+              WHERE d.i < r.m - 1 OR d.j < s.n - 1),
+            fin AS (
+              SELECT g, cur,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY i DESC, j DESC) AS rk
+              FROM dp)
+            SELECT f.g AS l_suppkey, s.n AS n_obs,
+                   f.cur[CAST(s.n AS INT)] AS dtw_dist
+            FROM fin f JOIN ser s ON s.g = f.g
+            WHERE f.rk = 1 ORDER BY f.g"""))
+
+  def all: Seq[Q] = Seq(w5, w6, w7, w19, w20, w21, w27, w29, w37)
 }
