@@ -1814,7 +1814,74 @@ object PipelineQueries {
     },
     None) // rasterization has no SQL oracle; PlotSinkSpec is the proof
 
+  /** X283 pl14: MERKLE DATASET FINGERPRINT — content-addressed corpus
+    * versioning (the provenance primitive: "is this EXACTLY the corpus
+    * the model trained on?"): doc fingerprints (t4's canonical md5)
+    * roll up a two-level Merkle tree — page hash = md5 of the page's
+    * fingerprints in doc_id order, source hash = md5 of its page
+    * hashes in page order, corpus hash = md5 of source hashes in
+    * source order. One changed byte in one document flips every hash
+    * up its path. The TWO-LEVEL shape IS the scale design: each
+    * md5'd concatenation is bounded (page = 100 docs; pages-per-source
+    * and sources are catalog-sized), so no executor ever materializes
+    * a corpus-sized string — the same reason git packs trees, not one
+    * blob. Ordered concatenation via sort_array(collect_list(struct))
+    * on bounded groups; both engines concatenate in the identical
+    * (doc_id | page | source) order, so the hashes match exactly.
+    */
+  private val pl14 = Q(
+    "pl14_merkle_fingerprint",
+    (s, dir) => {
+      val fp = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("doc_id div 100").as("page"),
+          graft.ops.Corpus.fingerprint(col("text")).as("fp"))
+      val pages = fp.groupBy("source", "page")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("fp")))),
+            x => x.getField("fp")), "")).as("page_hash"))
+      val src = pages.groupBy("source")
+        .agg(sum("n_docs").as("n_docs"),
+          count(lit(1)).as("n_pages"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("page"), col("page_hash")))),
+            x => x.getField("page_hash")), "")).as("source_hash"))
+      val corpus = src
+        .agg(md5(array_join(transform(
+          sort_array(collect_list(struct(col("source"), col("source_hash")))),
+          x => x.getField("source_hash")), "")).as("corpus_hash"))
+      src.crossJoin(broadcast(corpus))
+        .select("source", "n_docs", "n_pages", "source_hash",
+          "corpus_hash")
+        .orderBy("source")
+    },
+    Some("""WITH fp AS (
+              SELECT source, doc_id, doc_id // 100 AS page,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+                       'g')) AS fp
+              FROM documents),
+            pages AS (
+              SELECT source, page,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     md5(string_agg(fp, '' ORDER BY doc_id)) AS page_hash
+              FROM fp GROUP BY source, page),
+            src AS (
+              SELECT source,
+                     CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                     CAST(count(*) AS BIGINT) AS n_pages,
+                     md5(string_agg(page_hash, '' ORDER BY page))
+                       AS source_hash
+              FROM pages GROUP BY source),
+            corpus AS (
+              SELECT md5(string_agg(source_hash, '' ORDER BY source))
+                       AS corpus_hash
+              FROM src)
+            SELECT s.source, s.n_docs, s.n_pages, s.source_hash,
+                   c.corpus_hash
+            FROM src s CROSS JOIN corpus c ORDER BY s.source"""))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, pl12, pl13, plt1)
+      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, pl12, pl13, plt1, pl14)
 }
