@@ -911,5 +911,83 @@ object GraphQueries {
                    CAST(sum(deg) AS BIGINT) AS deg_sum
             FROM banded GROUP BY band_lo ORDER BY band_lo"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
+  /** X286 g12: MODULARITY of a node partition — the community-quality
+    * metric every clustering pipeline reports (Newman's
+    * Q = Σ_c [e_c/m − (d_c/2m)²]): here the co-purchase graph scored
+    * against the part-BRAND partition, computed EXACTLY in integers by
+    * clearing denominators — Q·4m² = Σ_c (4·m·e_c − d_c²), every term
+    * BIGINT (at sf0.1: 4m·e_c ≈ 5.8e12, well inside int64), with the
+    * one final division emitting the float Q. The measured Q ≈ 0 is
+    * the honest reading: brands are orthogonal to co-purchase
+    * structure — the row proves the METRIC, and a real community
+    * detector would be judged by exactly this number. Scale: two
+    * broadcast-joins tag edge endpoints with communities (community
+    * map is dimension-sized), one degree aggregation — same shuffle
+    * envelope as a groupBy on the edge list.
+    */
+  private val g12 = Q(
+    "g12_modularity",
+    (s, dir) => {
+      val e0 = coEdges(s, dir)
+      val m = e0.count()
+      val comm = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("c"))
+      val dsum = degrees(e0)
+        .join(broadcast(comm), "node")
+        .groupBy("c").agg(sum("deg").as("d_c"))
+      val intra = e0
+        .join(broadcast(comm.select(col("node").as("p1"),
+          col("c").as("c1"))), "p1")
+        .join(broadcast(comm.select(col("node").as("p2"),
+          col("c").as("c2"))), "p2")
+        .filter(col("c1") === col("c2"))
+        .groupBy(col("c1").as("c")).agg(count(lit(1)).as("e_c"))
+      dsum.join(intra, Seq("c"), "left")
+        .select(col("c").as("community"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
+          (lit(4L) * m * coalesce(col("e_c"), lit(0L))
+            - col("d_c") * col("d_c")).as("q_contrib_4m2"),
+          lit(m).as("m_edges"))
+        .withColumn("q_scaled_4m2", sum("q_contrib_4m2").over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing))
+          .cast("long"))
+        .orderBy("community")
+    },
+    Some("""WITH op AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+            edges AS (
+              SELECT DISTINCT a.p AS p1, b.p AS p2
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+            comm AS (SELECT p_partkey AS node, p_brand AS c FROM part),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT p1 AS node FROM edges
+                UNION ALL SELECT p2 AS node FROM edges)
+              GROUP BY node),
+            dsum AS (
+              SELECT cm.c, CAST(sum(d.deg) AS BIGINT) AS d_c
+              FROM deg d JOIN comm cm ON cm.node = d.node GROUP BY cm.c),
+            intra AS (
+              SELECT c1.c, CAST(count(*) AS BIGINT) AS e_c
+              FROM edges e JOIN comm c1 ON c1.node = e.p1
+                           JOIN comm c2 ON c2.node = e.p2
+              WHERE c1.c = c2.c GROUP BY c1.c),
+            per AS (
+              SELECT d.c, coalesce(i.e_c, 0) AS e_c, d.d_c,
+                     4 * (SELECT m FROM m) * coalesce(i.e_c, 0)
+                       - d.d_c * d.d_c AS q_contrib_4m2
+              FROM dsum d LEFT JOIN intra i ON i.c = d.c)
+            SELECT c AS community, e_c, d_c,
+                   CAST(q_contrib_4m2 AS BIGINT) AS q_contrib_4m2,
+                   (SELECT m FROM m) AS m_edges,
+                   CAST(sum(q_contrib_4m2) OVER () AS BIGINT)
+                     AS q_scaled_4m2
+            FROM per ORDER BY community"""))
+
+  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
 }
