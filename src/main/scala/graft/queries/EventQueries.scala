@@ -1529,7 +1529,7 @@ object EventQueries {
     "e18_stream_fmgws_equiv", "e19_stream_stream_join",
     "e20_stream_dedup_equiv", "e21_stream_static_enrich",
     "e23_stream_rate_limit", "e24_stream_stream_left_outer",
-    "e37_file_sink_txn_log")
+    "e37_file_sink_txn_log", "e38_append_window_file_sink")
 
   /** E34 (X213, beyond the reference): TIME-TO-CONVERT distribution —
     * per user, latency from the FIRST view to the first purchase
@@ -1769,9 +1769,89 @@ object EventQueries {
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** X287 e38: APPEND-MODE windowed aggregation through the FILE SINK —
+    * the production pattern for landing finalized hourly aggregates in
+    * storage, and the one append semantics the family didn't yet pin:
+    * in Append mode a window row is written ONCE, only after the
+    * watermark passes its end — so the sink must contain exactly the
+    * finalized windows and NOT the trailing ones still open. Three
+    * time-ordered deliveries (early ⇒ mid ⇒ a sentinel batch holding
+    * only the max-ts rows) drive the watermark so that after the last
+    * micro-batch every window ending ≤ max(ts < max_ts) − 1h is
+    * finalized and emitted, while the tail windows remain withheld
+    * (asserted loudly). The DuckDB oracle recomputes exactly the
+    * finalized-window subset from the batch table; hash equality
+    * proves both the once-only append contract and the watermark
+    * finalization boundary. Complements e17 (update-mode late-DROP)
+    * and e37 (file-sink commit log) with the append-mode WITHHOLD.
+    */
+  private val e38 = Q(
+    "e38_append_window_file_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_append_${streamRun.incrementAndGet()}"
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val inDir = s"$base/in"; val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      fs.mkdirs(new Path(inDir))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val b = ev.agg(min("ts").as("mn"), max("ts").as("mx")).first()
+      val (mn, mx) = (b.getTimestamp(0), b.getTimestamp(1))
+      val tSplit = new java.sql.Timestamp(mn.getTime + 2 * 3600000L)
+      val early = ev.filter(col("ts") < lit(tSplit))
+      val mid = ev.filter(col("ts") >= lit(tSplit) && col("ts") < lit(mx))
+      val sentinel = ev.filter(col("ts") === lit(mx))
+      require(early.count() > 0 && mid.count() > 0 && sentinel.count() > 0,
+        "append-withhold proof is vacuous: need all three deliveries")
+      def stage(half: DataFrame, name: String): Unit = {
+        val tmp = s"$base/stage_$name"
+        half.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$inDir/$name.parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(ev.schema).parquet(inDir)
+        val q = graft.streaming.EventStreams.tumblingCounts(stream)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(early, "a_early"); runOnce()
+      stage(mid, "b_mid"); runOnce()
+      stage(sentinel, "c_sentinel"); runOnce()
+      val sink = s.read.parquet(outDir)
+      // The withhold half of the proof: open tail windows must be absent.
+      val nAll = ev.select(date_trunc("hour", col("ts")), col("event_type"))
+        .distinct().count()
+      val nSink = sink.count()
+      require(nSink > 0 && nSink < nAll,
+        s"append withhold broken: sink has $nSink of $nAll windows " +
+          "(expected a nonempty strict subset)")
+      sink
+        .select(col("event_type"), col("window_start").as("hour_window"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("event_type", "hour_window")
+    },
+    Some("""WITH mx AS (SELECT max(ts) AS mt FROM events),
+                 m2 AS (SELECT max(ts) AS m2 FROM events, mx
+                        WHERE ts < mx.mt)
+            SELECT event_type, date_trunc('hour', ts) AS hour_window,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events, m2
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                    <= m2.m2 - INTERVAL 1 HOUR
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31, e32, e33, e34, e35, e36, e37)
+      e29, e30, e31, e32, e33, e34, e35, e36, e37, e38)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }
