@@ -325,6 +325,48 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(unpivotSql) },
     Some(unpivotSql))
 
+  /** X288: NULL-SEMANTICS conformance as the ELEVENTH shared-string
+    * SQL-surface row — the three-valued-logic corners every migrated
+    * SQL estate silently depends on, probed by the IDENTICAL ANSI text
+    * on both engines: count(*) vs count(col) (NULL-skipping
+    * aggregates), sum/min over a nullable column, `NULL = NULL`
+    * evaluating to UNKNOWN (CASE falls through), the ANSI
+    * `IS [NOT] DISTINCT FROM` spellings (the null-safe comparator j11
+    * proves through the DataFrame `<=>`), NULLIF round-trips and
+    * COALESCE defaults. Every probe lands in a BIGINT column of ONE
+    * summary row, so a single engine divergence on any corner flips
+    * the hash. Zero-shuffle scan + one global aggregate.
+    */
+  private val nullSemSql = """
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS v
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(v) AS BIGINT) AS n_nonnull,
+           CAST(sum(v) AS BIGINT) AS sum_nonnull,
+           CAST(min(v) AS BIGINT) AS min_nonnull,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(sum(CASE WHEN v IS DISTINCT FROM NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_distinct_from_null,
+           CAST(sum(CASE WHEN NULLIF(k % 5, 0) IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nullif_hits,
+           CAST(sum(CASE WHEN coalesce(v, 0) = 0 AND v IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesce_defaults,
+           CAST(CASE WHEN NULL = NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS null_eq_null_is_unknown,
+           CAST(CASE WHEN NULL IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS null_not_distinct_true
+    FROM t"""
+
+  private val sql11 = Q(
+    "sql11_null_semantics",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(nullSemSql) },
+    Some(nullSemSql))
+
   // Probed and REJECTED this round: WITH RECURSIVE ... UNION (dedup /
   // cycle-safe fixpoint recursion). Spark 4.1.2 raises
   // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — only UNION ALL recursion
@@ -335,5 +377,5 @@ object SqlSurfaceQueries {
   // the engine-native cycle-safe closures.
 
   def all: Seq[Q] =
-    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9, sql10)
+    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9, sql10, sql11)
 }
