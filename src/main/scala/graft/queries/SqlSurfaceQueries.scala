@@ -367,6 +367,46 @@ object SqlSurfaceQueries {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(nullSemSql) },
     Some(nullSemSql))
 
+
+  /** X289: TRY_CAST conformance as the TWELFTH shared-string
+    * SQL-surface row — safe ingestion casting (the dirty-feed idiom:
+    * cast what parses, NULL what doesn't, never abort the scan),
+    * probed by the identical ANSI text over four string shapes both
+    * engines agree on: clean integers, trailing-garbage ('<n>x'),
+    * empty strings, and whitespace-padded integers (both engines trim
+    * for numeric casts). Decimal strings are deliberately EXCLUDED —
+    * a documented divergence found while authoring this row: DuckDB
+    * TRY_CAST('1.5' AS BIGINT) ROUNDS to 2 while Spark yields NULL,
+    * so portable safe-cast code must pre-normalize decimals. All
+    * counters BIGINT in one summary row.
+    */
+  private val tryCastSql = """
+    WITH raws AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 4 = 0
+                    THEN CAST(o_orderkey AS VARCHAR(20))
+                  WHEN o_orderkey % 4 = 1
+                    THEN CAST(o_orderkey AS VARCHAR(20)) || 'x'
+                  WHEN o_orderkey % 4 = 2 THEN ''
+                  ELSE '  ' || CAST(o_orderkey AS VARCHAR(20)) || '  '
+             END AS sv
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(TRY_CAST(sv AS BIGINT)) AS BIGINT) AS n_casted,
+           CAST(sum(TRY_CAST(sv AS BIGINT)) AS BIGINT) AS sum_casted,
+           CAST(sum(CASE WHEN TRY_CAST(sv AS BIGINT) IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+           CAST(sum(CASE WHEN sv = '' AND TRY_CAST(sv AS BIGINT) IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_rejected,
+           CAST(sum(CASE WHEN TRY_CAST(sv AS BIGINT) = k
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact
+    FROM raws"""
+
+  private val sql12 = Q(
+    "sql12_try_cast",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(tryCastSql) },
+    Some(tryCastSql))
+
   // Probed and REJECTED this round: WITH RECURSIVE ... UNION (dedup /
   // cycle-safe fixpoint recursion). Spark 4.1.2 raises
   // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — only UNION ALL recursion
@@ -377,5 +417,5 @@ object SqlSurfaceQueries {
   // the engine-native cycle-safe closures.
 
   def all: Seq[Q] =
-    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9, sql10, sql11)
+    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9, sql10, sql11, sql12)
 }
