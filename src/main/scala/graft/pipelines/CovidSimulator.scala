@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.ops.LinAlg
+import graft.ops.MixedLm
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -21,12 +21,12 @@ case class SimOut(state: String, rn: Int, pred_confirmed: Double,
   *     confirmed>0 (W3), lag/diff columns (W1/W2), removed =
   *     death+recovered, R₀ from the first-30 positive increments (A9)
   *     with mean imputation (A10).
-  *  2. [[coefficients]] — the MixedLM substitution (SURVEY §7.3 #1):
-  *     pooled 4-covariate OLS (d_removed ~ Intercept + gov_action +
-  *     TAVG + lag_confirmed) for the fixed effects, plus per-state
-  *     ridge-shrunk random deviations for (Intercept, lag_confirmed),
-  *     emitted in the committed `recover_coefs.csv` column shape, with
-  *     the reference's negative-β mean imputation.
+  *  2. [[coefficients]] — the real mixed model (round 9, closing SURVEY
+  *     §7.3 #1): d_removed ~ Intercept + gov_action + TAVG +
+  *     lag_confirmed with random (Intercept, lag_confirmed) per state,
+  *     fit by REML-EM ([[graft.ops.MixedLm]] — statsmodels MixedLM's
+  *     default flavor), emitted in the committed `recover_coefs.csv`
+  *     column shape, with the reference's negative-β mean imputation.
   *  3. [[simulate]] — the discrete SIR recurrence (W6/M4) per state
   *     driven by the per-state coefficients, with the bias adjustment
   *     (M8: pred_removed -= |mean bias|, clamp at 0).
@@ -91,24 +91,40 @@ object CovidSimulator {
         sum(when(col("confirmed") > 0, 1).otherwise(0)).over(wRun))
       .filter(col("seen") > 0).drop("seen")
       .withColumn("removed", col("death") + col("recovered"))
+      // lag_* columns: the reference INITIALIZES them to 0.0 and its
+      // fill loop starts at t=1 (covid_simulator.py:420-430), so the
+      // first trimmed row keeps lag 0 → coalesce matches exactly...
       .withColumn("lag_confirmed", coalesce(lag("confirmed", 1).over(w), lit(0.0)))
       .withColumn("lag_death", coalesce(lag("death", 1).over(w), lit(0.0)))
       .withColumn("lag_recovered", coalesce(lag("recovered", 1).over(w), lit(0.0)))
       .withColumn("lag_removed", coalesce(lag("removed", 1).over(w), lit(0.0)))
-      .withColumn("d_death", col("death") - col("lag_death"))
-      .withColumn("d_recovered", col("recovered") - col("lag_recovered"))
-      .withColumn("d_removed", col("removed") - col("lag_removed"))
-    // R0 per state from first-30 positive increments of confirmed,
-    // recovered, death: rho = (z1+z2+z3)/(z2+z3), zero-imputed by the
-    // mean of positive R0s (covid_simulator.py:393-446)
-    val rn = trimmed.withColumn("rn", row_number().over(w))
-    val diffs = rn.filter(col("rn") <= 30)
+      // ...but the d_* DIFFS stay 0.0 on that first row (not value−0):
+      // diff against the RAW nullable lag, then coalesce the result.
+      // (Round-9 fix, found by the R_0 replay test: diffing against the
+      // coalesced lag leaked confirmed/removed_first into the first row.)
+      .withColumn("d_death",
+        coalesce(col("death") - lag("death", 1).over(w), lit(0.0)))
+      .withColumn("d_recovered",
+        coalesce(col("recovered") - lag("recovered", 1).over(w), lit(0.0)))
+      .withColumn("d_removed",
+        coalesce(col("removed") - lag("removed", 1).over(w), lit(0.0)))
+    // R0 per state: the reference takes the first 30 rows of the
+    // confirmed>0 SUBSET and sums positive increments of CONSECUTIVE
+    // FILTERED rows, first row excluded (rho_data[0:30], loop s>0 —
+    // covid_simulator.py:393-410). The lag therefore runs over the
+    // filtered frame (not `trimmed`), and null first-row increments
+    // fall to the otherwise(0) branch, excluding them like s>0 does.
+    val diffs = trimmed.filter(col("confirmed") > 0)
+      .withColumn("rrn", row_number().over(w))
+      .filter(col("rrn") <= 30)
+      .withColumn("dcc", col("confirmed") - lag("confirmed", 1).over(w))
+      .withColumn("drr", col("recovered") - lag("recovered", 1).over(w))
+      .withColumn("ddd", col("death") - lag("death", 1).over(w))
       .groupBy("state")
       .agg(
-        sum(when(col("confirmed") - col("lag_confirmed") > 0,
-          col("confirmed") - col("lag_confirmed")).otherwise(0.0)).as("z1"),
-        sum(when(col("d_recovered") > 0, col("d_recovered")).otherwise(0.0)).as("z2"),
-        sum(when(col("d_death") > 0, col("d_death")).otherwise(0.0)).as("z3"))
+        sum(when(col("dcc") > 0, col("dcc")).otherwise(0.0)).as("z1"),
+        sum(when(col("drr") > 0, col("drr")).otherwise(0.0)).as("z2"),
+        sum(when(col("ddd") > 0, col("ddd")).otherwise(0.0)).as("z3"))
       .withColumn("R_0",
         when(col("z2") + col("z3") > 0,
           (col("z1") + col("z2") + col("z3")) / (col("z2") + col("z3")))
@@ -122,68 +138,55 @@ object CovidSimulator {
   }
 
   /** Stage 6 of §3.3 — the per-state coefficient table in the
-    * recover_coefs.csv shape. lambda is the ridge strength of the
-    * random-effect shrinkage toward the pooled fit.
+    * recover_coefs.csv shape, fit by the REML-EM mixed model
+    * ([[graft.ops.MixedLm]]): random (Intercept, lag_confirmed) per
+    * state, exactly the statsmodels `MixedLM(..., exog_re=[Intercept,
+    * lag_confirmed], groups=state).fit()` surface the reference calls
+    * (covid_simulator.py:456-460; `.fit()` defaults to REML). Until
+    * round 9 this was a fixed-λ ridge approximation; the EM fit
+    * estimates the actual variance components, and PipelinesSpec now
+    * value-compares the per-state β against the reference's committed
+    * recover_coefs.csv golden.
+    *
+    * `imputeNegative=false` yields the PRE-imputation table — the shape
+    * the reference commits to recover_coefs.csv (the CSV is written
+    * BEFORE the mean_beta imputation at covid_simulator.py:501-502), so
+    * the golden-parity spec compares against that.
     */
-  def coefficients(feats: DataFrame, lambda: Double = 50.0): DataFrame = {
-    val spark = feats.sparkSession
-    import spark.implicits._
+  def coefficients(feats: DataFrame,
+      imputeNegative: Boolean = true): DataFrame = {
     val xs = Seq("Intercept", "gov_action", "TAVG", "lag_confirmed")
     val train = feats.filter(col("removed") > 0 && col("holdout") === 0)
-      .select((col("state") +: col("d_removed").as("y") +:
+      .select((col("state") +: col("d_removed").cast("double").as("y") +:
         xs.map(c => col(c).cast("double").as(c))): _*)
       .na.drop()
-    // pooled normal equations from one aggregate pass
-    val prods = (for (i <- xs.indices; j <- xs.indices if j >= i)
-      yield sum(col(xs(i)) * col(xs(j))).as(s"xx_${i}_$j")) ++
-      xs.indices.map(i => sum(col(xs(i)) * col("y")).as(s"xy_$i"))
-    val g = train.agg(prods.head, prods.tail: _*).first()
-    val a = Array.tabulate(4, 4)((i, j) =>
-      g.getAs[Double](s"xx_${math.min(i, j)}_${math.max(i, j)}"))
-    val b = Array.tabulate(4)(i => g.getAs[Double](s"xy_$i"))
-    // tiny trace-scaled ridge keeps the solve defined when a covariate
-    // is constant in the window (e.g. gov_action with post-threshold
-    // data, TAVG when weather is absent)
-    val eps = 1e-8 * (0 until 4).map(i => a(i)(i)).max.max(1.0)
-    (0 until 4).foreach(i => a(i)(i) += eps)
-    val beta = LinAlg.solve(a, b) // fixed effects
-    // per-state shrunk deviations for (Intercept, lag_confirmed) on
-    // the fixed-effect residuals: u_s = (Z'Z + lambda I)^-1 Z' r
-    val resid = train.withColumn("r",
-      col("y") - xs.zipWithIndex.map { case (c, i) => col(c) * lit(beta(i)) }
-        .reduce(_ + _))
-    // per-state 2×2 solves run DISTRIBUTED: the sufficient statistics
-    // are one state-keyed aggregate shuffle, and the ridge solve is a
-    // per-row typed map on the executors — no group-cardinality data
-    // ever reaches the driver (only the p²-sized pooled fit above does)
-    val rows = resid.groupBy("state").agg(
-        count(lit(1)).cast("double").as("n"),
-        sum("lag_confirmed").as("sz"),
-        sum(col("lag_confirmed") * col("lag_confirmed")).as("szz"),
-        sum("r").as("sr"),
-        sum(col("lag_confirmed") * col("r")).as("szr"))
-      .as[(String, Double, Double, Double, Double, Double)]
-      .map { case (state, n, sz, szz, sr, szr) =>
-        val u = LinAlg.solve(
-          Array(Array(n + lambda, sz), Array(sz, szz + lambda)),
-          Array(sr, szr))
-        (state, "Intercept", u(0), u(1))
-      }
-    val rc = rows.toDF("state", "coef_name", "coef_value", "re_lag_confirmed")
+    // ONE observation-level pass → group stats; EM iterates over the
+    // state-cardinality frame only (driver holds β, Ψ, σ² — p²+q²
+    // scalars, never per-state data)
+    val stats = MixedLm.groupStats(train, "state", "y", xs).persist()
+    val fit = MixedLm.fitEm(stats, p = 4, zIdx = Seq(0, 3))
+    val beta = fit.beta
+    val rc = MixedLm.blups(stats, fit, p = 4, zIdx = Seq(0, 3))
+      .select(col("g").as("state"), lit("Intercept").as("coef_name"),
+        col("b0").as("coef_value"), col("b1").as("re_lag_confirmed"))
       .withColumn("fe_Intercept", lit(beta(0)))
       .withColumn("Intercept", col("fe_Intercept") + col("coef_value"))
       .withColumn("lag_confirmed", lit(beta(3)) + col("re_lag_confirmed"))
       .withColumn("gov_action", lit(beta(1)))
       .withColumn("TAVG", lit(beta(2)))
     // negative-beta mean imputation (covid_simulator.py:501-502)
-    val mb = rc.filter(col("lag_confirmed") > 0)
-      .agg(avg("lag_confirmed").as("mean_beta"))
-    rc.crossJoin(broadcast(mb))
-      .withColumn("lag_confirmed",
-        when(col("lag_confirmed") < 0, col("mean_beta"))
-          .otherwise(col("lag_confirmed")))
-      .select("state", "coef_name", "coef_value", "re_lag_confirmed",
-        "fe_Intercept", "Intercept", "lag_confirmed", "gov_action", "TAVG")
+    val out =
+      if (!imputeNegative) rc
+      else {
+        val mb = rc.filter(col("lag_confirmed") > 0)
+          .agg(avg("lag_confirmed").as("mean_beta"))
+        rc.crossJoin(broadcast(mb))
+          .withColumn("lag_confirmed",
+            when(col("lag_confirmed") < 0, col("mean_beta"))
+              .otherwise(col("lag_confirmed")))
+      }
+    out.select("state", "coef_name", "coef_value", "re_lag_confirmed",
+      "fe_Intercept", "Intercept", "lag_confirmed", "gov_action", "TAVG")
   }
 
   /** Stages 10-11 of §3.3 (covid_simulator.py:599-627) — the causal

@@ -20,11 +20,15 @@ object SqlSurfaceQueries {
     * binary tree (node = s_suppkey+1, parent = floor(node/2), root 1);
     * the recursion walks every node up to the root and rolls up depth,
     * ancestor count, ancestor-key sum (BIGINT-exact) and ancestor
-    * account-balance sum (DECIMAL-exact, ONE final cast) — the
-    * bill-of-materials / management-chain pattern.
+    * account-balance sum in exact integer cents — the bill-of-materials /
+    * management-chain pattern. (Cents, not DECIMAL(18,2): the values
+    * hash-matched either way, but Spark's parquet DECIMAL surfaces as
+    * decimal.Decimal while DuckDB fetchdf yields float64, and the
+    * driver's hash distinguishes the dtypes — same gotcha as dq7/X155,
+    * same fix: money stays BIGINT end to end.)
     *
     * Determinism: integer tree arithmetic (FLOOR of IEEE division of
-    * <2^53 ints is cross-engine exact), BIGINT/DECIMAL sums only.
+    * <2^53 ints is cross-engine exact), BIGINT sums only.
     * Scale: Spark executes each recursive step as one self-join pass
     * over the frontier; depth is log2(N) (~27 rounds at 100M suppliers),
     * and each round shuffles only (node, anc) pairs — the same bounded-
@@ -43,9 +47,10 @@ object SqlSurfaceQueries {
            max(u.depth) AS depth,
            CAST(count(*) AS BIGINT) AS n_ancestors,
            CAST(sum(u.anc) AS BIGINT) AS anc_key_sum,
-           CAST(sum(a.bal) AS DECIMAL(18,2)) AS anc_bal_sum
+           CAST(sum(a.bal_cents) AS BIGINT) AS anc_bal_cents
     FROM up u
-    JOIN (SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+    JOIN (SELECT s_suppkey,
+                 CAST(round(CAST(s_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS bal_cents
           FROM supplier) a
       ON u.anc - 1 = a.s_suppkey
     GROUP BY u.suppkey ORDER BY u.suppkey"""

@@ -65,8 +65,11 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.filter(col("R_0") <= 0).count() == 0)
   }
 
+  // ONE REML-EM fit shared by the shape/simulate/intervention tests
+  private lazy val coefsShared = CovidSimulator.coefficients(feats).cache()
+
   test("coefficient table matches the committed recover_coefs.csv golden shape") {
-    val coefs = CovidSimulator.coefficients(feats)
+    val coefs = coefsShared
     val golden = spark.read.option("header", true).option("inferSchema", true)
       .csv(s"$refDir/data/simulation_data/recover_coefs.csv")
     // same column contract (minus the pandas index column)
@@ -86,15 +89,103 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(coefs.filter(col("lag_confirmed") < 0).count() == 0)
   }
 
+  /** VALUE-level golden parity (round-9 ask): join our per-state β
+    * (lag_confirmed, PRE-imputation — the committed recover_coefs.csv is
+    * written at covid_simulator.py:497 BEFORE the mean_beta imputation
+    * at :501-502) against the reference's committed numbers on the 50
+    * shared US states.
+    *
+    * Expected residual discrepancy, explained: the golden was produced
+    * by the reference's GLOBAL MixedLM run — 188 groups (138 countries +
+    * 50 US states) with REAL GHCN TAVG — while the committed inputs only
+    * let us refit the 49-state pop_dataset slice with TAVG≡0. The
+    * per-state β of a mixed model is data-dominated wherever a state has
+    * many observations, so the two fits agree closely there; the gap
+    * concentrates in LOW-DATA states (AK/WY/ND), whose BLUPs shrink
+    * toward different pooled means (our US-only fe_lag≈0.0100 vs the
+    * global fe_lag≈0.0494) under different fitted Ψ. Measured with the
+    * REML-EM fit: median |Δβ| = 0.0078, p90 ≈ 0.03, max = 0.067 (AK) on
+    * 48 shared states — asserted below with headroom. The FIXED effects
+    * cannot match (global-vs-US pooling; fe_Intercept 29.65 global vs
+    * ≈0.51 US-only) and are deliberately not asserted.
+    */
+  test("per-state beta matches the committed recover_coefs.csv golden values") {
+    import spark.implicits._
+    val mine = CovidSimulator.coefficients(feats, imputeNegative = false)
+      .select(col("state"), col("lag_confirmed").as("beta_mine"))
+    val golden = spark.read.option("header", true).option("inferSchema", true)
+      .csv(s"$refDir/data/simulation_data/recover_coefs.csv")
+      .select(col("state"), col("lag_confirmed").cast("double").as("beta_gold"))
+    val diffs = mine.join(golden, "state")
+      .select(col("state"), abs(col("beta_mine") - col("beta_gold")).as("d"))
+      .as[(String, Double)].collect().sortBy(_._2)
+    assert(diffs.length >= 45, s"only ${diffs.length} shared states")
+    val median = diffs(diffs.length / 2)._2
+    val worst = diffs.last
+    assert(median < 0.02, s"median |beta diff| $median vs golden")
+    assert(worst._2 < 0.10, s"worst state ${worst._1} |beta diff| ${worst._2}")
+    assert(diffs.count(_._2 > 0.05) <= 3,
+      s"too many outlier states: ${diffs.filter(_._2 > 0.05).mkString(", ")}")
+  }
+
+  /** R₀ is model-free arithmetic (covid_simulator.py:393-410) but is not
+    * part of any committed reference artifact (input_data.csv lives under
+    * the uncommitted output/ tree) — so the strongest available check is
+    * an INDEPENDENT replay: a straight-line Scala fold over the collected
+    * pop_dataset rows (49 states × ≤60 days — bounded test-side collect)
+    * implementing the reference's exact loop semantics (trim to first
+    * confirmed≠0, first 30 confirmed>0 rows, positive-increment sums,
+    * rho=(z1+z2+z3)/(z2+z3), zero→mean-of-positives imputation), compared
+    * against the distributed window/agg computation in features().
+    */
+  test("R_0 matches an independent straight-line replay of the reference loop") {
+    import spark.implicits._
+    val raw = CovidSimulator.loadPopDataset(spark)
+      .select(col("province_state"), col("date"), col("confirmed"),
+        col("recovered"), col("death"))
+      .as[(String, Int, Double, Double, Double)].collect()
+    val perState = raw.groupBy(_._1).flatMap { case (st, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val from = sorted.indexWhere(_._3 != 0.0)
+      if (from < 0) None
+      else {
+        val dat = sorted.drop(from)
+        val rho30 = dat.filter(_._3 > 0).take(30)
+        var z1 = 0.0; var z2 = 0.0; var z3 = 0.0
+        for (s <- 1 until rho30.length) {
+          val dc = rho30(s)._3 - rho30(s - 1)._3
+          val dr = rho30(s)._4 - rho30(s - 1)._4
+          val dd = rho30(s)._5 - rho30(s - 1)._5
+          if (dc > 0) z1 += dc
+          if (dr > 0) z2 += dr
+          if (dd > 0) z3 += dd
+        }
+        val rho = if (z2 + z3 > 0) (z1 + z2 + z3) / (z2 + z3) else 0.0
+        Some(s"United States-$st" -> rho)
+      }
+    }.toMap
+    val pos = perState.values.filter(_ > 0)
+    val mu = pos.sum / pos.size
+    val expected = perState.map { case (k, v) => k -> (if (v == 0) mu else v) }
+    val got = feats.select(col("state"), col("R_0"))
+      .distinct().as[(String, Double)].collect().toMap
+    assert(got.keySet == expected.keySet,
+      s"state sets differ: ${got.keySet.diff(expected.keySet).take(3)} / " +
+        s"${expected.keySet.diff(got.keySet).take(3)}")
+    val bad = expected.filter { case (st, e) =>
+      math.abs(got(st) - e) > 1e-9 * (1.0 + math.abs(e)) }
+    assert(bad.isEmpty, s"R_0 mismatch: ${bad.take(3)}")
+  }
+
   test("simulation output is clamped and covers every fitted state") {
-    val coefs = CovidSimulator.coefficients(feats)
+    val coefs = coefsShared
     val sim = CovidSimulator.simulate(feats, coefs)
     assert(sim.filter(col("pred_removed") < 0).count() == 0)
     assert(sim.select("state").distinct().count() == coefs.count())
   }
 
   test("intervention comparison diverges only where gov_action was zeroed") {
-    val coefs = CovidSimulator.coefficients(feats)
+    val coefs = coefsShared
     val cmp = CovidSimulator.compareIntervention(feats, coefs)
     assert(cmp.count() > 0)
     // zeroing gov_action must change some predictions...
