@@ -183,6 +183,10 @@ object GifCodec {
     var palette: Array[Byte] = Array.emptyByteArray
     if ((lsdPacked & 0x80) != 0) {
       val n = 1 << ((lsdPacked & 7) + 1)
+      // copyOfRange silently zero-pads past EOF, which would decode a
+      // truncated file with a black palette — fail loudly instead
+      require(pos + 3 * n <= bytes.length,
+        s"truncated GIF global color table ($n entries at $pos)")
       palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
       pos += 3 * n
     }
@@ -200,6 +204,8 @@ object GifCodec {
           val interlaced = (packed & 0x40) != 0
           if ((packed & 0x80) != 0) {
             val n = 1 << ((packed & 7) + 1)
+            require(pos + 3 * n <= bytes.length,
+              s"truncated GIF local color table ($n entries at $pos)")
             palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
             pos += 3 * n
           }

@@ -54,4 +54,79 @@ object Integrators {
     }
     out.toIndexedSeq
   }
+
+  /** Steps taken by the last [[sirAdaptive]] call on this thread —
+    * diagnostic only (the spec uses it to show the controller actually
+    * adapts: few steps on smooth days, many where the field is stiff).
+    */
+  val lastAdaptiveSteps = new ThreadLocal[Int] { override def initialValue = 0 }
+
+  /** ADAPTIVE integration (round 9, closing the odeint parity gap): the
+    * reference integrates with scipy's odeint — LSODA, adaptive step
+    * (covid_simulator.py:150) — while sirRk4 takes one fixed daily
+    * step. This kernel adds step-doubling error control on the same RK4
+    * stage function: advance [t, t+1) by one h-step AND two h/2-steps,
+    * estimate the local error from the 15-fold Richardson gap of the
+    * 4th-order pair, accept when err ≤ atol + rtol·|y|, and grow/shrink
+    * h by the standard 5th-root controller (0.9 safety, clamped ×5/÷10
+    * like odeint's). Accepted values use local extrapolation
+    * (y₂ + (y₂−y₁)/15 — 5th-order, the "RK45" half of step-doubling),
+    * so the accepted trajectory is one order better than its error
+    * estimate. The covariate z is still piecewise-constant per day,
+    * matching how the reference feeds z1 into odeint one day at a time.
+    *
+    * Purpose: ground truth for the fixed-step kernel. IntegratorsSpec
+    * drives both over real per-state parameter sets and quantifies the
+    * daily-h truncation error; on stiff parameterizations (large
+    * alpha·N) the fixed step visibly diverges and THIS kernel is the
+    * one to trust. Runs task-locally inside flatMapGroups like sirRk4 —
+    * adaptivity changes per-task CPU, not the distribution plan.
+    */
+  def sirAdaptive(confirmed0: Double, removed0: Double, n0: Double,
+      alpha: Double, beta: Double, z1: IndexedSeq[Double],
+      rtol: Double = 1e-8, atol: Double = 1e-8)
+      : IndexedSeq[(Double, Double, Double)] = {
+    val out = Array.ofDim[(Double, Double, Double)](z1.length)
+    var c = confirmed0; var r = removed0; var s = n0
+    var steps = 0
+    var t = 0
+    while (t < z1.length) {
+      if (t > 0) {
+        val z = z1(t)
+        var remaining = 1.0
+        var h = math.min(1.0, remaining)
+        var guard = 0
+        while (remaining > 1e-12 && guard < 100000) {
+          if (h > remaining) h = remaining
+          val (c1, r1, s1) = rk4Step(c, r, s, alpha, beta, z, h)
+          val (ch, rh, sh) = rk4Step(c, r, s, alpha, beta, z, h / 2)
+          val (c2, r2, s2) = rk4Step(ch, rh, sh, alpha, beta, z, h / 2)
+          def comp(a: Double, b: Double, y: Double): Double =
+            math.abs(a - b) / 15.0 / (atol + rtol * math.abs(y))
+          val err = math.max(comp(c1, c2, c2),
+            math.max(comp(r1, r2, r2), comp(s1, s2, s2)))
+          if (err <= 1.0) {
+            // accept with 5th-order local extrapolation
+            c = c2 + (c2 - c1) / 15.0
+            r = r2 + (r2 - r1) / 15.0
+            s = s2 + (s2 - s1) / 15.0
+            remaining -= h
+            steps += 1
+          }
+          val factor =
+            if (err <= 1e-30) 5.0
+            else math.min(5.0, math.max(0.1, 0.9 * math.pow(err, -0.2)))
+          h = h * factor
+          guard += 1
+        }
+        require(remaining <= 1e-12,
+          s"adaptive step controller failed to advance at day $t (h=$h)")
+        c = math.max(0.0, c); r = math.max(0.0, r); s = math.max(0.0, s)
+      }
+      out(t) = (c, r, s)
+      t += 1
+    }
+    lastAdaptiveSteps.set(steps)
+    out.toIndexedSeq
+  }
 }

@@ -1834,6 +1834,27 @@ object EventQueries {
       require(nSink > 0 && nSink < nAll,
         s"append withhold broken: sink has $nSink of $nAll windows " +
           "(expected a nonempty strict subset)")
+      // The oracle assumes the ONE-BATCH-LAG cut: the sentinel batch
+      // emits with the PRE-batch watermark, (second-highest ts) − 1h,
+      // and no post-data eviction batch runs under AvailableNow. That
+      // assumption is data-dependent (an hour-aligned window end
+      // between the two candidate cuts would flip it), so assert it
+      // EXPLICITLY against the sink — a divergence fails here with a
+      // named cause instead of surfacing as an opaque hash mismatch.
+      val tsMax = ev.agg(max(col("ts"))).first().getTimestamp(0)
+      val ts2nd = ev.filter(col("ts") < lit(tsMax))
+        .agg(max(col("ts"))).first().getTimestamp(0)
+      val nExpected = ev
+        .filter(date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")
+          <= lit(ts2nd) - expr("INTERVAL 1 HOUR"))
+        .select(date_trunc("hour", col("ts")), col("event_type"))
+        .distinct().count()
+      require(nSink == nExpected,
+        s"e38 watermark-cut assumption broke: sink finalized $nSink " +
+          s"windows but the one-batch-lag cut (2nd-max ts $ts2nd − 1h) " +
+          s"predicts $nExpected — Spark ran an extra eviction batch or " +
+          "the testdata's final hour moved a window end across the cut; " +
+          "re-derive the oracle boundary for this dataset")
       sink
         .select(col("event_type"), col("window_start").as("hour_window"),
           col("n"), round(col("sum_value"), 4).as("sum_value"))

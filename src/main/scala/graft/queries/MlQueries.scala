@@ -3529,6 +3529,155 @@ object MlQueries {
             FROM grp CROSS JOIN fin f
             ORDER BY l_suppkey"""))
 
+  /** X290 m2c: REML EM variance components — closes the documented m2b
+    * delta to statsmodels MixedLM's DEFAULT fit (covid_simulator.py:459
+    * `.fit()` is REML, not ML). Same random-intercept model and EM
+    * shape as m2b, plus the Laird–Lange–Stram REML correction: the
+    * fixed effect is profiled by GLS each iteration
+    * (μ̂ = Σwᵢȳᵢ/Σwᵢ, wᵢ = nᵢ/(σ²+nᵢτ²)) and its uncertainty
+    * C = Var(μ̂) = 1/Σwᵢ propagates into every E-step second moment:
+    * E[bᵢ²] gains dᵢ²C and the residual expectation gains nᵢ(1−dᵢ)²C
+    * (dᵢ = nᵢτ²/(σ²+nᵢτ²) is ∂b̂ᵢ/∂μ up to sign). At the fixpoint τ²/σ²
+    * carry the degrees-of-freedom correction ML lacks — MixedLmSpec
+    * proves the same update chain hits the exact (MSB−MSW)/n balanced-
+    * ANOVA closed form, and the general-(p,q) form drives the simulator
+    * pipeline (ops/MixedLm + PipelinesSpec golden parity). Determinism:
+    * identical scalar chains replayed by the DuckDB recursive CTE
+    * below; 4/6-dp rounding absorbs float-sum order drift (the m2-
+    * proven tolerance). Scale: per-iteration work is TWO aggregates
+    * over the group-cardinality stats frame; driver holds 4 scalars.
+    */
+  private val m2c = Q(
+    "m2c_reml_mixed_effects",
+    (s, dir) => {
+      val grp = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("g"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          (sum(col("l_extendedprice") / 1000.0) / count(lit(1)))
+            .as("ybar"),
+          (sum(col("l_extendedprice") * col("l_extendedprice")
+            / 1000000.0)
+            - sum(col("l_extendedprice") / 1000.0)
+              * sum(col("l_extendedprice") / 1000.0) / count(lit(1)))
+            .as("ssw"))
+        .persist()
+      val t = grp.agg(count(lit(1)).cast("double").as("m"),
+        sum("n").as("nn"),
+        (sum(col("n") * col("ybar")) / sum("n")).as("mu0"),
+        sum("ssw").as("sswTot")).first()
+      val (m, nn, sswTot) =
+        (t.getAs[Double]("m"), t.getAs[Double]("nn"),
+          t.getAs[Double]("sswTot"))
+      var mu = t.getAs[Double]("mu0")
+      var tau = grp.agg(sum((col("ybar") - mu) * (col("ybar") - mu)))
+        .first().getDouble(0) / m
+      var sig = sswTot / nn
+      var c = 0.0
+      (1 to 5).foreach { _ =>
+        // pass A: GLS mean + its variance under the current (τ², σ²)
+        val s1 = grp.agg(
+          (sum(col("n") * col("ybar") / (lit(sig) + col("n") * tau))
+            / sum(col("n") / (lit(sig) + col("n") * tau))).as("mu2"),
+          (lit(1.0) / sum(col("n") / (lit(sig) + col("n") * tau)))
+            .as("c2")).first()
+        val mu2 = s1.getAs[Double]("mu2")
+        val c2 = s1.getAs[Double]("c2")
+        // pass B: M-steps with the REML traces d²C and n(1−d)²C
+        def d = (col("n") * tau / (lit(sig) + col("n") * tau))
+        def bhat = (d * (col("ybar") - mu2))
+        def vpost = (lit(tau) * sig / (lit(sig) + col("n") * tau))
+        val r2 = grp.agg(
+          (sum(bhat * bhat + vpost + d * d * c2) / m).as("tau2"),
+          ((sum(col("n") * ((col("ybar") - mu2 - bhat)
+            * (col("ybar") - mu2 - bhat) + vpost
+            + (lit(1.0) - d) * (lit(1.0) - d) * c2)) + sswTot) / nn)
+            .as("sig2")).first()
+        mu = mu2; c = c2
+        tau = r2.getAs[Double]("tau2")
+        sig = r2.getAs[Double]("sig2")
+      }
+      val out = grp
+        .select(col("g").as("l_suppkey"),
+          round(lit(mu) + col("n") * tau * (col("ybar") - mu)
+            / (lit(sig) + col("n") * tau), 4).as("blup_intercept"),
+          round(col("n") * tau / (lit(sig) + col("n") * tau), 4)
+            .as("shrink_w"),
+          round(lit(mu), 4).as("mu"),
+          round(lit(tau), 6).as("tau2"),
+          round(lit(sig), 6).as("sigma2"),
+          round(lit(c), 8).as("var_mu"))
+        .orderBy("l_suppkey")
+      grp.unpersist()
+      out
+    },
+    Some("""WITH RECURSIVE grp AS (
+              SELECT l_suppkey AS g, CAST(count(*) AS DOUBLE) AS n,
+                     sum(l_extendedprice / 1000.0) / count(*) AS ybar,
+                     sum(l_extendedprice * l_extendedprice / 1000000.0)
+                       - sum(l_extendedprice / 1000.0)
+                         * sum(l_extendedprice / 1000.0) / count(*)
+                       AS ssw
+              FROM lineitem GROUP BY 1),
+            tot AS (
+              SELECT CAST(count(*) AS DOUBLE) AS m, sum(n) AS nn,
+                     sum(n * ybar) / sum(n) AS mu0,
+                     sum(ssw) AS ssw_tot
+              FROM grp),
+            init AS (
+              SELECT 0 AS k, mu0 AS mu,
+                     (SELECT sum((ybar - t.mu0) * (ybar - t.mu0))
+                        FROM grp) / m AS tau,
+                     ssw_tot / nn AS sig,
+                     CAST(0.0 AS DOUBLE) AS c
+              FROM tot t),
+            em(k, mu, tau, sig, c) AS (
+              SELECT k, mu, tau, sig, c FROM init
+              UNION ALL
+              SELECT e.k + 1, s1.mu2, s2.tau2, s2.sig2, s1.c2
+              FROM em e,
+              LATERAL (
+                SELECT sum(n * ybar / (e.sig + n * e.tau))
+                         / sum(n / (e.sig + n * e.tau)) AS mu2,
+                       CAST(1.0 AS DOUBLE)
+                         / sum(n / (e.sig + n * e.tau)) AS c2
+                FROM grp) s1,
+              LATERAL (
+                SELECT sum((n * e.tau / (e.sig + n * e.tau)
+                            * (ybar - s1.mu2))
+                           * (n * e.tau / (e.sig + n * e.tau)
+                            * (ybar - s1.mu2))
+                           + e.tau * e.sig / (e.sig + n * e.tau)
+                           + (n * e.tau / (e.sig + n * e.tau))
+                             * (n * e.tau / (e.sig + n * e.tau)) * s1.c2)
+                         / (SELECT m FROM tot) AS tau2,
+                       ((SELECT ssw_tot FROM tot)
+                        + sum(n * ((ybar - s1.mu2
+                                    - n * e.tau / (e.sig + n * e.tau)
+                                      * (ybar - s1.mu2))
+                                   * (ybar - s1.mu2
+                                      - n * e.tau / (e.sig + n * e.tau)
+                                        * (ybar - s1.mu2))
+                                   + e.tau * e.sig / (e.sig + n * e.tau)
+                                   + (CAST(1.0 AS DOUBLE)
+                                      - n * e.tau / (e.sig + n * e.tau))
+                                     * (CAST(1.0 AS DOUBLE)
+                                        - n * e.tau / (e.sig + n * e.tau))
+                                     * s1.c2)))
+                         / (SELECT nn FROM tot) AS sig2
+                FROM grp) s2
+              WHERE e.k < 5),
+            fin AS (SELECT mu, tau, sig, c FROM em WHERE k = 5)
+            SELECT g AS l_suppkey,
+                   round(f.mu + n * f.tau * (ybar - f.mu)
+                     / (f.sig + n * f.tau), 4) AS blup_intercept,
+                   round(n * f.tau / (f.sig + n * f.tau), 4) AS shrink_w,
+                   round(f.mu, 4) AS mu,
+                   round(f.tau, 6) AS tau2,
+                   round(f.sig, 6) AS sigma2,
+                   round(f.c, 8) AS var_mu
+            FROM grp CROSS JOIN fin f
+            ORDER BY l_suppkey"""))
+
   /** X284 m5b: REAL LSTM CELL forward pass — the semantics half of the
     * M5 gap (weather_pred.py:108-116,283-384 trains a Keras LSTM; m5
     * substitutes an AR(1) with the same I/O contract): this row
@@ -3646,7 +3795,7 @@ object MlQueries {
             FROM fin WHERE rk = 1 ORDER BY g"""))
 
   def all: Seq[Q] =
-    Seq(m1, m1b, m1c, m1d, m2, m2b, m3, m5, m5b, m6, m7, m8, m9, m10, m11, m12,
+    Seq(m1, m1b, m1c, m1d, m2, m2b, m2c, m3, m5, m5b, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
       m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38, m39,
       m40, m41, m42, m43, m44)

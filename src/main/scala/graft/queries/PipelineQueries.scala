@@ -1788,7 +1788,14 @@ object PipelineQueries {
         .groupByKey(_._1)
         .mapGroups { (etype, it) =>
           val ys = it.toArray.sortBy(_._2).map(_._3.toDouble)
-          val png = PlotSink.lineChart(Seq(etype -> ys))
+          // lineChart needs ≥2 points per series; a regenerated events
+          // table with a single distinct day for some event_type must
+          // degrade to a flat 2-point segment, not abort the query
+          val ysPlot =
+            if (ys.length >= 2) ys
+            else Array(ys.headOption.getOrElse(0.0),
+              ys.headOption.getOrElse(0.0))
+          val png = PlotSink.lineChart(Seq(etype -> ysPlot))
           val path = java.nio.file.Paths.get(s"$outDir/$etype.png")
           java.nio.file.Files.write(path, png)
           // read BACK from the sink and parse with the independent

@@ -511,6 +511,12 @@ object SequentialQueries {
       // driver state (10 longs), broadcast into the closure.
       val ref: Array[Long] = obs.filter(_._1 == 0L).collect()
         .sortBy(t => (t._2, t._3, t._4)).take(10).map(_._4)
+      // loud-fail if a testdata regeneration switches to 1-based
+      // supplier keys: an empty ref would otherwise surface as an
+      // opaque ArrayIndexOutOfBounds in the DP while the oracle
+      // silently returns zero rows (TestdataContractSpec pins this too)
+      require(ref.nonEmpty,
+        "w37 reference series empty: lineitem has no l_suppkey = 0")
       obs.groupByKey(_._1)
         .mapGroups { (supp, it) =>
           val b = it.toArray.sortBy(t => (t._2, t._3, t._4))

@@ -453,9 +453,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "before the final sort") {
     val p = plan("sql10_unpivot_clause")
     assert(p.contains("Expand"), p.take(3000))
-    // exactly one exchange: the range partitioning of the global sort
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
-      p.take(3000))
+    // exactly one SHUFFLE exchange: the range partitioning of the
+    // global sort. Count whole-operator occurrences — a bare substring
+    // count would also match inside "BroadcastExchange"/AQE wrappers
+    // and mislead if a broadcast ever enters this plan.
+    assert("(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).size == 1, p.take(3000))
   }
 
   test("t26 rarity-rank: the vocab-sized rank table joins back as a " +

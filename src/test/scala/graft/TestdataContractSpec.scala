@@ -95,6 +95,17 @@ class TestdataContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       "l_shipdate" -> tsLike))
   }
 
+  test("lineitem keys are 0-based: supplier 0 exists (w37's reference series)") {
+    // w37_dtw_distance anchors its DTW reference on l_suppkey = 0; a
+    // regeneration switching to the 1-based TPC-H key convention would
+    // empty that series (w37 now also loud-fails at runtime, but this
+    // pins the invariant at the contract layer with a named cause)
+    val n = graft.ops.Tables.load(spark, sfDir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_suppkey") === 0L)
+      .count()
+    assert(n > 0, "lineitem has no l_suppkey = 0 rows — keys went 1-based?")
+  }
+
   test("events matches contract in any shipped ts encoding") {
     assertSchema("events", Seq(
       "event_id" -> one(LongType), "ts" -> eventsTsLike,
