@@ -734,12 +734,20 @@ object DedupQueries {
     * pairs straddling a cell boundary are missed, the same contract as
     * LSH bucketing). Same 0.45 cosine threshold as d6, so the two
     * outputs are directly comparable.
+    *
+    * Round 9: k is SIZE-AWARE (KMeansOps.adaptiveK — corpus/500 cells,
+    * floor 4), the broadcastEdgeLimit-style fix for the cliff the
+    * `semantic` ScaleProbe measured: fixed k=4 made Σ|cell|² quadratic
+    * in corpus (64× at 8× corpus, 0.36→4.22 s) while scaled k holds it
+    * linear (0.37→0.69 s, ~95 % pair recall). Both engines derive the
+    * same k from the same count, and at the driver's test scales this
+    * is exactly k=4, so the oracle replay is unchanged.
     */
   private val d11 = Q(
     "d11_semantic_dedup",
     (s, dir) => {
       def dot(a: Column, b: Column): Column = graft.ops.LinAlg.dot(a, b)
-      val cent = KMeansOps.centroids(s, dir, KMeansOps.iters)
+      val cent = KMeansOps.centroids(s, dir, KMeansOps.iters, kk = 0)
       // e feeds both self-join sides; persist so the scan + k-literal
       // argmin assignment + norm run once (same pattern as d6's e)
       val e = KMeansOps.loadV(s, dir)
@@ -757,7 +765,7 @@ object DedupQueries {
         .select("cell", "vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     },
-    Some(KMeansOps.duckCtes(KMeansOps.iters) + s""",
+    Some(KMeansOps.duckCtes(KMeansOps.iters, KMeansOps.adaptiveKSql) + s""",
          |n AS (
          |  SELECT vec_id, v,
          |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm

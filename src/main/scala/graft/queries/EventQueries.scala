@@ -1777,13 +1777,21 @@ object EventQueries {
     * finalized windows and NOT the trailing ones still open. Three
     * time-ordered deliveries (early ⇒ mid ⇒ a sentinel batch holding
     * only the max-ts rows) drive the watermark so that after the last
-    * micro-batch every window ending ≤ max(ts < max_ts) − 1h is
-    * finalized and emitted, while the tail windows remain withheld
-    * (asserted loudly). The DuckDB oracle recomputes exactly the
-    * finalized-window subset from the batch table; hash equality
-    * proves both the once-only append contract and the watermark
-    * finalization boundary. Complements e17 (update-mode late-DROP)
-    * and e37 (file-sink commit log) with the append-mode WITHHOLD.
+    * run every window ending ≤ max(ts) − 1h is finalized and emitted,
+    * while the open tail remains withheld (asserted loudly). The cut is
+    * max-based, NOT one-batch-lagged: Trigger.AvailableNow runs a final
+    * state-eviction batch after the watermark advances past the last
+    * data — round-9 finding, caught by the explicit boundary assertion
+    * below on the sf0.001 dataset, where the sink held exactly one more
+    * window (866) than the lagged cut predicted (865); the r8 oracle's
+    * second-max formula only matched sf0.01 because the two cuts happen
+    * to coincide there (no hour-aligned window end falls between them —
+    * precisely the advisor-flagged ambiguity). The DuckDB oracle
+    * recomputes exactly the finalized-window subset from the batch
+    * table; hash equality proves both the once-only append contract and
+    * the watermark finalization boundary. Complements e17 (update-mode
+    * late-DROP) and e37 (file-sink commit log) with the append-mode
+    * WITHHOLD.
     */
   private val e38 = Q(
     "e38_append_window_file_sink",
@@ -1834,40 +1842,35 @@ object EventQueries {
       require(nSink > 0 && nSink < nAll,
         s"append withhold broken: sink has $nSink of $nAll windows " +
           "(expected a nonempty strict subset)")
-      // The oracle assumes the ONE-BATCH-LAG cut: the sentinel batch
-      // emits with the PRE-batch watermark, (second-highest ts) − 1h,
-      // and no post-data eviction batch runs under AvailableNow. That
-      // assumption is data-dependent (an hour-aligned window end
-      // between the two candidate cuts would flip it), so assert it
-      // EXPLICITLY against the sink — a divergence fails here with a
-      // named cause instead of surfacing as an opaque hash mismatch.
+      // Assert the finalization cut EXPLICITLY against the sink so a
+      // divergence fails here with a named cause, never as an opaque
+      // hash mismatch. The cut is max(ts) − 1h: AvailableNow runs a
+      // final eviction batch after the watermark advances past the
+      // last data (verified empirically — sf0.001 finalizes one window
+      // MORE than a one-batch-lag cut would, sf0.01 coincides).
       val tsMax = ev.agg(max(col("ts"))).first().getTimestamp(0)
-      val ts2nd = ev.filter(col("ts") < lit(tsMax))
-        .agg(max(col("ts"))).first().getTimestamp(0)
       val nExpected = ev
         .filter(date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")
-          <= lit(ts2nd) - expr("INTERVAL 1 HOUR"))
+          <= lit(tsMax) - expr("INTERVAL 1 HOUR"))
         .select(date_trunc("hour", col("ts")), col("event_type"))
         .distinct().count()
       require(nSink == nExpected,
         s"e38 watermark-cut assumption broke: sink finalized $nSink " +
-          s"windows but the one-batch-lag cut (2nd-max ts $ts2nd − 1h) " +
-          s"predicts $nExpected — Spark ran an extra eviction batch or " +
-          "the testdata's final hour moved a window end across the cut; " +
-          "re-derive the oracle boundary for this dataset")
+          s"windows but the max-ts cut ($tsMax − 1h) predicts " +
+          s"$nExpected — AvailableNow's final eviction batch did not " +
+          "run (or ran twice); re-derive the oracle boundary for this " +
+          "dataset")
       sink
         .select(col("event_type"), col("window_start").as("hour_window"),
           col("n"), round(col("sum_value"), 4).as("sum_value"))
         .orderBy("event_type", "hour_window")
     },
-    Some("""WITH mx AS (SELECT max(ts) AS mt FROM events),
-                 m2 AS (SELECT max(ts) AS m2 FROM events, mx
-                        WHERE ts < mx.mt)
+    Some("""WITH mx AS (SELECT max(ts) AS mt FROM events)
             SELECT event_type, date_trunc('hour', ts) AS hour_window,
                    count(*) AS n, round(sum(value), 4) AS sum_value
-            FROM events, m2
+            FROM events, mx
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
-                    <= m2.m2 - INTERVAL 1 HOUR
+                    <= mx.mt - INTERVAL 1 HOUR
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   def all: Seq[Q] =

@@ -42,6 +42,25 @@ object KMeansOps {
   val iters = 4
   val dim = 64
 
+  /** Size-aware cell count for the blocked-pairs consumers (d11): the
+    * Σ|cell|² enumeration cost is quadratic in cell population, so k
+    * must GROW with the corpus to keep cells bounded at ~targetCell
+    * vectors. Round-9 ScaleProbe `semantic` mode measured the cliff and
+    * the fix: fixed k=4 grows Σ|cell|² 64× (0.36→4.22 s) from 1× to 8×
+    * corpus, scaled k grows it 8× (0.37→0.69 s — flat) at ~95 % of the
+    * fixed-k pair recall. At the driver's test scales (≤2000 vectors)
+    * this yields exactly the oracle-pinned k=4, so hashes are
+    * unchanged; the oracle derives the same k from the same count
+    * ([[adaptiveKSql]]). Consumers whose cost is LINEAR in corpus per
+    * cell (s5's probe-side top-k, m10's convergence trace) keep the
+    * pinned k.
+    */
+  val targetCell = 500
+  def adaptiveK(n: Long): Int =
+    math.max(k, math.ceil(n / targetCell.toDouble).toInt)
+  val adaptiveKSql: String =
+    s"SELECT GREATEST($k, CAST(ceil(count(*) / $targetCell.0) AS INT)) FROM e"
+
   private def dot(a: Column, b: Column): Column =
     graft.ops.LinAlg.dot(a, b)
 
@@ -63,17 +82,22 @@ object KMeansOps {
         lit(cl).as("cluster"))
     }: _*)).getField("cluster")
 
-  /** Seed centroids: the vectors with vec_id < k (fixed, engine-neutral). */
-  def seeds(e: DataFrame): Seq[(Int, Seq[Double])] =
-    e.filter(col("vec_id") < k)
+  /** Seed centroids: the vectors with vec_id < kk (fixed,
+    * engine-neutral). kk defaults to the oracle-pinned k; ScaleProbe's
+    * semantic mode passes a corpus-scaled kk (cells of bounded size —
+    * the production posture; the registry rows stay at the pinned k
+    * so their DuckDB replays are untouched).
+    */
+  def seeds(e: DataFrame, kk: Int = k): Seq[(Int, Seq[Double])] =
+    e.filter(col("vec_id") < kk)
       .select(col("vec_id").cast("int"), col("v"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
 
   /** Run `n` Lloyd iterations; e must have (vec_id, v). */
-  def lloyd(e: DataFrame, n: Int): Seq[LloydIter] = {
-    var cent = seeds(e)
+  def lloyd(e: DataFrame, n: Int, kk: Int = k): Seq[LloydIter] = {
+    var cent = seeds(e, kk)
     (1 to n).map { it =>
       val assigned = e.withColumn("cluster", assignExpr(cent))
       val sizes = assigned.groupBy("cluster").count()
@@ -103,11 +127,17 @@ object KMeansOps {
     }
   }
 
-  /** Convenience: just the converged centroids after `n` iterations. */
-  def centroids(s: SparkSession, dir: String, n: Int): Seq[(Int, Seq[Double])] = {
+  /** Convenience: just the converged centroids after `n` iterations.
+    * kk < 0 (default) = oracle-pinned k; kk = 0 = size-aware
+    * [[adaptiveK]] of the corpus count; kk > 0 = explicit. */
+  def centroids(s: SparkSession, dir: String, n: Int,
+      kk: Int = -1): Seq[(Int, Seq[Double])] = {
     val e = loadV(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    try lloyd(e, n).last.cent
-    finally e.unpersist()
+    try {
+      val useK =
+        if (kk > 0) kk else if (kk == 0) adaptiveK(e.count()) else k
+      lloyd(e, n, useK).last.cent
+    } finally e.unpersist()
   }
 
   // ---- DuckDB oracle side ----------------------------------------
@@ -124,13 +154,13 @@ object KMeansOps {
     * centroids, z$i = cluster sizes, s$i = (iter, cluster, n_members,
     * shift). Compose with a final SELECT over s* or a search over c$n.
     */
-  def duckCtes(n: Int): String = {
+  def duckCtes(n: Int, kExpr: String = k.toString): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
               |  SELECT vec_id, $duckVec AS v FROM embeddings),
               |c0 AS (
               |  SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e
-              |  WHERE vec_id < $k)""".stripMargin
+              |  WHERE vec_id < ($kExpr))""".stripMargin
     for (i <- 1 to n) {
       sb ++= s""",
                 |a$i AS (

@@ -3794,8 +3794,269 @@ object MlQueries {
                    round(h1, 6) AS h1, round(h2, 6) AS h2
             FROM fin WHERE rk = 1 ORDER BY g"""))
 
+  /** X291 m5c: LSTM TRAINING — one full BPTT gradient step, closing
+    * the last declared out-of-scope capability (weather_pred.py:283-384
+    * trains with Keras adam; m5b proved the forward cell, this row
+    * proves the BACKWARD pass): per supplier, m5b's exact forward
+    * recurrence (2 units, 8 steps, the same eighth-valued weights) is
+    * replayed storing per-step states, the loss
+    * L = (h1_T−1/4)² + (h2_T+1/4)² is differentiated through time —
+    * dz_gate = upstream · gate′ at each step, cell/hidden derivatives
+    * propagated t→t−1 through the forget gates and the recurrent
+    * weight matrix — and the input-weight/bias gradients of all four
+    * unit-1 gates are accumulated over time plus an SGD step
+    * (η = 1/16) on the i1 input weight. Hash-proven against a DuckDB
+    * replay: the backward recursion is a second recursive CTE walking
+    * t = T..1 carrying (dh1, dh2, dc1, dc2), re-deriving each step's
+    * gates from the forward CTE's stored states via the identical
+    * LATERAL chains; gradients are 6-dp-rounded sums over the per-step
+    * dz emissions (the only order-free float sums — everything
+    * sequential matches bit-for-bit, the m5b/m27 pinned-IEEE-chain
+    * device). Full training = this step in a driver loop (the m1/IRLS
+    * discipline); adam's moment bookkeeping is 8 more scalars per
+    * weight — bookkeeping, not semantics. Scale: one typed mapGroups
+    * per key, state is O(T·units) doubles per group, embarrassingly
+    * parallel — gradient ACCUMULATION across groups would be one
+    * treeAggregate of 32 doubles (the batch-training shape).
+    */
+  private val m5c = Q(
+    "m5c_lstm_bptt",
+    (s, dir) => {
+      import s.implicits._
+      def w(j: Int, gi: Int): (Double, Double, Double, Double) = {
+        val base = j * 31 + gi * 17
+        (((base * 7) % 9 - 4) / 8.0, ((base * 11) % 9 - 4) / 8.0,
+          ((base * 13) % 9 - 4) / 8.0, ((base * 5) % 9 - 4) / 8.0)
+      }
+      def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+      def tnh(z: Double) = { val e = math.exp(2 * z); (e - 1) / (e + 1) }
+      // recurrent (b) and h2 (c) weights per gate, order i,f,g,o
+      val bw1 = Array(w(1, 0)._2, w(1, 1)._2, w(1, 2)._2, w(1, 3)._2)
+      val cw1 = Array(w(1, 0)._3, w(1, 1)._3, w(1, 2)._3, w(1, 3)._3)
+      val bw2 = Array(w(2, 0)._2, w(2, 1)._2, w(2, 2)._2, w(2, 3)._2)
+      val cw2 = Array(w(2, 0)._3, w(2, 1)._3, w(2, 2)._3, w(2, 3)._3)
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .as[(Long, Long, Int, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (supp, it) =>
+          val xs = it.toArray.sortBy(t => (t._2, t._3, t._4))
+            .take(8).map(_._4 / 50.0)
+          val tM = xs.length
+          // forward, storing per-step states (1-indexed; slot 0 = init)
+          val h1 = new Array[Double](tM + 1); val h2 = new Array[Double](tM + 1)
+          val c1 = new Array[Double](tM + 1); val c2 = new Array[Double](tM + 1)
+          val gi1 = new Array[Double](tM + 1); val gf1 = new Array[Double](tM + 1)
+          val gg1 = new Array[Double](tM + 1); val go1 = new Array[Double](tM + 1)
+          val gi2 = new Array[Double](tM + 1); val gf2 = new Array[Double](tM + 1)
+          val gg2 = new Array[Double](tM + 1); val go2 = new Array[Double](tM + 1)
+          var t = 1
+          while (t <= tM) {
+            val x = xs(t - 1)
+            def gate(j: Int, gi: Int): Double = {
+              val (a, b, c, d) = w(j, gi)
+              ((a * x + b * h1(t - 1)) + c * h2(t - 1)) + d
+            }
+            gi1(t) = sig(gate(1, 0)); gf1(t) = sig(gate(1, 1))
+            gg1(t) = tnh(gate(1, 2)); go1(t) = sig(gate(1, 3))
+            gi2(t) = sig(gate(2, 0)); gf2(t) = sig(gate(2, 1))
+            gg2(t) = tnh(gate(2, 2)); go2(t) = sig(gate(2, 3))
+            c1(t) = (gf1(t) * c1(t - 1)) + (gi1(t) * gg1(t))
+            c2(t) = (gf2(t) * c2(t - 1)) + (gi2(t) * gg2(t))
+            h1(t) = go1(t) * tnh(c1(t)); h2(t) = go2(t) * tnh(c2(t))
+            t += 1
+          }
+          val loss = (h1(tM) - 0.25) * (h1(tM) - 0.25) +
+            (h2(tM) + 0.25) * (h2(tM) + 0.25)
+          // backward through time
+          var dh1 = 2 * (h1(tM) - 0.25); var dh2 = 2 * (h2(tM) + 0.25)
+          var dc1 = 0.0; var dc2 = 0.0
+          var gaI1 = 0.0; var gdI1 = 0.0; var gaF1 = 0.0; var gdF1 = 0.0
+          var gaG1 = 0.0; var gdG1 = 0.0; var gaO1 = 0.0; var gdO1 = 0.0
+          t = tM
+          while (t >= 1) {
+            val tc1 = tnh(c1(t)); val tc2 = tnh(c2(t))
+            val dzO1 = (dh1 * tc1) * (go1(t) * (1 - go1(t)))
+            dc1 = dc1 + (dh1 * go1(t)) * (1 - tc1 * tc1)
+            val dzI1 = (dc1 * gg1(t)) * (gi1(t) * (1 - gi1(t)))
+            val dzF1 = (dc1 * c1(t - 1)) * (gf1(t) * (1 - gf1(t)))
+            val dzG1 = (dc1 * gi1(t)) * (1 - gg1(t) * gg1(t))
+            val dzO2 = (dh2 * tc2) * (go2(t) * (1 - go2(t)))
+            dc2 = dc2 + (dh2 * go2(t)) * (1 - tc2 * tc2)
+            val dzI2 = (dc2 * gg2(t)) * (gi2(t) * (1 - gi2(t)))
+            val dzF2 = (dc2 * c2(t - 1)) * (gf2(t) * (1 - gf2(t)))
+            val dzG2 = (dc2 * gi2(t)) * (1 - gg2(t) * gg2(t))
+            val x = xs(t - 1)
+            gaI1 += dzI1 * x; gdI1 += dzI1
+            gaF1 += dzF1 * x; gdF1 += dzF1
+            gaG1 += dzG1 * x; gdG1 += dzG1
+            gaO1 += dzO1 * x; gdO1 += dzO1
+            dh1 = dzI1 * bw1(0) + dzF1 * bw1(1) + dzG1 * bw1(2) +
+              dzO1 * bw1(3) + dzI2 * bw2(0) + dzF2 * bw2(1) +
+              dzG2 * bw2(2) + dzO2 * bw2(3)
+            dh2 = dzI1 * cw1(0) + dzF1 * cw1(1) + dzG1 * cw1(2) +
+              dzO1 * cw1(3) + dzI2 * cw2(0) + dzF2 * cw2(1) +
+              dzG2 * cw2(2) + dzO2 * cw2(3)
+            dc1 = dc1 * gf1(t); dc2 = dc2 * gf2(t)
+            t -= 1
+          }
+          (supp, loss, gaI1, gdI1, gaF1, gdF1, gaG1, gdG1, gaO1, gdO1,
+            w(1, 0)._1 - gaI1 / 16.0)
+        }
+        .toDF("l_suppkey", "loss", "ga_i1", "gd_i1", "ga_f1", "gd_f1",
+          "ga_g1", "gd_g1", "ga_o1", "gd_o1", "a_i1_step")
+        .select(col("l_suppkey") +: Seq("loss", "ga_i1", "gd_i1", "ga_f1",
+          "gd_f1", "ga_g1", "gd_g1", "ga_o1", "gd_o1", "a_i1_step")
+          .map(c => round(col(c), 6).as(c)): _*)
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH RECURSIVE series AS (
+              SELECT l_suppkey AS g, rn, l_quantity / 50.0 AS x
+              FROM (SELECT l_suppkey, l_quantity,
+                           row_number() OVER (PARTITION BY l_suppkey
+                             ORDER BY l_orderkey, l_linenumber,
+                                      l_quantity) AS rn
+                    FROM lineitem)
+              WHERE rn <= 8),
+            lstm(g, t, h1, h2, c1, c2) AS (
+              SELECT g, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+              FROM (SELECT DISTINCT g FROM series)
+              UNION ALL
+              SELECT s.g, s.t + 1,
+                     gt.o1 * ((exp(2 * cn.c1n) - 1) / (exp(2 * cn.c1n) + 1)),
+                     gt.o2 * ((exp(2 * cn.c2n) - 1) / (exp(2 * cn.c2n) + 1)),
+                     cn.c1n, cn.c2n
+              FROM lstm s
+              JOIN series x ON x.g = s.g AND x.rn = s.t + 1,
+              LATERAL (
+                SELECT 1 / (1 + exp(-(((-0.375 * x.x + 0.5 * s.h1)
+                         + 0.375 * s.h2) + -0.25))) AS i1,
+                       1 / (1 + exp(-(((-0.125 * x.x + 0.25 * s.h1)
+                         + -0.125 * s.h2) + 0.25))) AS f1,
+                       (exp(2 * (((0.125 * x.x + 0.0 * s.h1)
+                          + 0.5 * s.h2) + -0.375)) - 1)
+                         / (exp(2 * (((0.125 * x.x + 0.0 * s.h1)
+                            + 0.5 * s.h2) + -0.375)) + 1) AS g1,
+                       1 / (1 + exp(-(((0.375 * x.x + -0.25 * s.h1)
+                         + 0.0 * s.h2) + 0.125))) AS o1,
+                       1 / (1 + exp(-(((-0.25 * x.x + 0.375 * s.h1)
+                         + 0.125 * s.h2) + 0.0))) AS i2,
+                       1 / (1 + exp(-(((0.0 * x.x + 0.125 * s.h1)
+                         + -0.375 * s.h2) + 0.5))) AS f2,
+                       (exp(2 * (((0.25 * x.x + -0.125 * s.h1)
+                          + 0.25 * s.h2) + -0.125)) - 1)
+                         / (exp(2 * (((0.25 * x.x + -0.125 * s.h1)
+                            + 0.25 * s.h2) + -0.125)) + 1) AS g2,
+                       1 / (1 + exp(-(((0.5 * x.x + -0.375 * s.h1)
+                         + -0.25 * s.h2) + 0.375))) AS o2) gt,
+              LATERAL (
+                SELECT (gt.f1 * s.c1) + (gt.i1 * gt.g1) AS c1n,
+                       (gt.f2 * s.c2) + (gt.i2 * gt.g2) AS c2n) cn
+              WHERE s.t < 8),
+            tmax AS (SELECT g, max(t) AS tm FROM lstm GROUP BY g),
+            steps AS (
+              SELECT p.g, p.t + 1 AS t, x.x,
+                     p.h1 AS ph1, p.h2 AS ph2, p.c1 AS pc1, p.c2 AS pc2,
+                     c.c1, c.c2,
+                     gt.i1, gt.f1, gt.g1, gt.o1,
+                     gt.i2, gt.f2, gt.g2, gt.o2
+              FROM lstm p
+              JOIN series x ON x.g = p.g AND x.rn = p.t + 1
+              JOIN lstm c ON c.g = p.g AND c.t = p.t + 1,
+              LATERAL (
+                SELECT 1 / (1 + exp(-(((-0.375 * x.x + 0.5 * p.h1)
+                         + 0.375 * p.h2) + -0.25))) AS i1,
+                       1 / (1 + exp(-(((-0.125 * x.x + 0.25 * p.h1)
+                         + -0.125 * p.h2) + 0.25))) AS f1,
+                       (exp(2 * (((0.125 * x.x + 0.0 * p.h1)
+                          + 0.5 * p.h2) + -0.375)) - 1)
+                         / (exp(2 * (((0.125 * x.x + 0.0 * p.h1)
+                            + 0.5 * p.h2) + -0.375)) + 1) AS g1,
+                       1 / (1 + exp(-(((0.375 * x.x + -0.25 * p.h1)
+                         + 0.0 * p.h2) + 0.125))) AS o1,
+                       1 / (1 + exp(-(((-0.25 * x.x + 0.375 * p.h1)
+                         + 0.125 * p.h2) + 0.0))) AS i2,
+                       1 / (1 + exp(-(((0.0 * x.x + 0.125 * p.h1)
+                         + -0.375 * p.h2) + 0.5))) AS f2,
+                       (exp(2 * (((0.25 * x.x + -0.125 * p.h1)
+                          + 0.25 * p.h2) + -0.125)) - 1)
+                         / (exp(2 * (((0.25 * x.x + -0.125 * p.h1)
+                            + 0.25 * p.h2) + -0.125)) + 1) AS g2,
+                       1 / (1 + exp(-(((0.5 * x.x + -0.375 * p.h1)
+                         + -0.25 * p.h2) + 0.375))) AS o2) gt),
+            bwd(g, t, dh1, dh2, dc1, dc2) AS (
+              SELECT l.g, m.tm, 2 * (l.h1 - 0.25), 2 * (l.h2 + 0.25),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+              FROM lstm l JOIN tmax m ON l.g = m.g AND l.t = m.tm
+              UNION ALL
+              SELECT b.g, b.t - 1,
+                     dz.dzi1 * 0.5 + dz.dzf1 * 0.25 + dz.dzg1 * 0.0
+                       + dz.dzo1 * -0.25 + dz.dzi2 * 0.375
+                       + dz.dzf2 * 0.125 + dz.dzg2 * -0.125
+                       + dz.dzo2 * -0.375,
+                     dz.dzi1 * 0.375 + dz.dzf1 * -0.125 + dz.dzg1 * 0.5
+                       + dz.dzo1 * 0.0 + dz.dzi2 * 0.125
+                       + dz.dzf2 * -0.375 + dz.dzg2 * 0.25
+                       + dz.dzo2 * -0.25,
+                     du.dc1u * s.f1, du.dc2u * s.f2
+              FROM bwd b JOIN steps s ON s.g = b.g AND s.t = b.t,
+              LATERAL (
+                SELECT (exp(2 * s.c1) - 1) / (exp(2 * s.c1) + 1) AS tc1,
+                       (exp(2 * s.c2) - 1) / (exp(2 * s.c2) + 1) AS tc2) tc,
+              LATERAL (
+                SELECT b.dc1 + (b.dh1 * s.o1) * (1 - tc.tc1 * tc.tc1)
+                         AS dc1u,
+                       b.dc2 + (b.dh2 * s.o2) * (1 - tc.tc2 * tc.tc2)
+                         AS dc2u) du,
+              LATERAL (
+                SELECT (b.dh1 * tc.tc1) * (s.o1 * (1 - s.o1)) AS dzo1,
+                       (du.dc1u * s.g1) * (s.i1 * (1 - s.i1)) AS dzi1,
+                       (du.dc1u * s.pc1) * (s.f1 * (1 - s.f1)) AS dzf1,
+                       (du.dc1u * s.i1) * (1 - s.g1 * s.g1) AS dzg1,
+                       (b.dh2 * tc.tc2) * (s.o2 * (1 - s.o2)) AS dzo2,
+                       (du.dc2u * s.g2) * (s.i2 * (1 - s.i2)) AS dzi2,
+                       (du.dc2u * s.pc2) * (s.f2 * (1 - s.f2)) AS dzf2,
+                       (du.dc2u * s.i2) * (1 - s.g2 * s.g2) AS dzg2) dz
+              WHERE b.t > 1),
+            dzs AS (
+              SELECT b.g, b.t, s.x, dz.dzi1, dz.dzf1, dz.dzg1, dz.dzo1
+              FROM bwd b JOIN steps s ON s.g = b.g AND s.t = b.t,
+              LATERAL (
+                SELECT (exp(2 * s.c1) - 1) / (exp(2 * s.c1) + 1) AS tc1,
+                       (exp(2 * s.c2) - 1) / (exp(2 * s.c2) + 1) AS tc2) tc,
+              LATERAL (
+                SELECT b.dc1 + (b.dh1 * s.o1) * (1 - tc.tc1 * tc.tc1)
+                         AS dc1u,
+                       b.dc2 + (b.dh2 * s.o2) * (1 - tc.tc2 * tc.tc2)
+                         AS dc2u) du,
+              LATERAL (
+                SELECT (b.dh1 * tc.tc1) * (s.o1 * (1 - s.o1)) AS dzo1,
+                       (du.dc1u * s.g1) * (s.i1 * (1 - s.i1)) AS dzi1,
+                       (du.dc1u * s.pc1) * (s.f1 * (1 - s.f1)) AS dzf1,
+                       (du.dc1u * s.i1) * (1 - s.g1 * s.g1) AS dzg1) dz),
+            grads AS (
+              SELECT g, sum(dzi1 * x) AS ga_i1, sum(dzi1) AS gd_i1,
+                     sum(dzf1 * x) AS ga_f1, sum(dzf1) AS gd_f1,
+                     sum(dzg1 * x) AS ga_g1, sum(dzg1) AS gd_g1,
+                     sum(dzo1 * x) AS ga_o1, sum(dzo1) AS gd_o1
+              FROM dzs GROUP BY g),
+            lossq AS (
+              SELECT l.g, (l.h1 - 0.25) * (l.h1 - 0.25)
+                       + (l.h2 + 0.25) * (l.h2 + 0.25) AS loss
+              FROM lstm l JOIN tmax m ON l.g = m.g AND l.t = m.tm)
+            SELECT q.g AS l_suppkey, round(q.loss, 6) AS loss,
+                   round(r.ga_i1, 6) AS ga_i1, round(r.gd_i1, 6) AS gd_i1,
+                   round(r.ga_f1, 6) AS ga_f1, round(r.gd_f1, 6) AS gd_f1,
+                   round(r.ga_g1, 6) AS ga_g1, round(r.gd_g1, 6) AS gd_g1,
+                   round(r.ga_o1, 6) AS ga_o1, round(r.gd_o1, 6) AS gd_o1,
+                   round(-0.375 - r.ga_i1 / 16, 6) AS a_i1_step
+            FROM lossq q JOIN grads r ON r.g = q.g
+            ORDER BY l_suppkey"""))
+
   def all: Seq[Q] =
-    Seq(m1, m1b, m1c, m1d, m2, m2b, m2c, m3, m5, m5b, m6, m7, m8, m9, m10, m11, m12,
+    Seq(m1, m1b, m1c, m1d, m2, m2b, m2c, m3, m5, m5b, m5c, m6, m7, m8, m9, m10, m11, m12,
       m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m24, m25, m26,
       m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38, m39,
       m40, m41, m42, m43, m44)

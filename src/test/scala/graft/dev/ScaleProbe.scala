@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ann")) { annProbe(); return }
+    if (args.headOption.contains("semantic")) { semanticProbe(); return }
     if (args.headOption.contains("skew")) { skewProbe(); return }
     if (args.headOption.contains("tpch")) { tpchProbe(); return }
     if (args.headOption.contains("graph")) { graphProbe(); return }
@@ -391,6 +392,97 @@ object ScaleProbe {
       val split = df.queryExecution.executedPlan.toString.contains("skew=true")
       println(f"SKEW aqe_skewjoin=$on%-5s rep=$rep $sec%6.2fs " +
         f"skew_split=$split rows=${row.getLong(0)}")
+    }
+    spark.stop()
+  }
+
+  /** Semantic-dedup / LSH / IVF family probe (round-9 ask): documents
+    * AND embeddings replicated m× (disjoint ids, perturbed content) so
+    * d4 (MinHash LSH), s5 (kmeans IVF) and d11 (cell-blocked semantic
+    * dedup) are all timed on the same corpus multiples. d11's design
+    * cost is Σ|cell|²: at FIXED k the per-cell population grows m× and
+    * pair work m² — the expected cliff this probe makes visible — while
+    * the production posture scales k with the corpus so cells stay
+    * bounded. The scaled-k arm (k = k₀·m, same Lloyd machinery, same
+    * 0.45 threshold) measures exactly that defense; registry rows stay
+    * at the oracle-pinned k.
+    * usage: Test/runMain graft.dev.ScaleProbe semantic
+    */
+  private def semanticProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.queries.KMeansOps
+    val src = "/root/testdata/sf0.1"
+    for (m <- Seq(1, 2, 4, 8)) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_sem_x$m"
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val nd = docs.count()
+      (0 until m).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * nd))
+            .withColumn("text",
+              when(lit(i) === 0, col("text"))
+                .otherwise(concat(lit(s"rep$i "), col("text")))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e = spark.read.parquet(s"$src/embeddings.parquet")
+      val ne = e.count()
+      (0 until m).map(i =>
+          e.withColumn("vec_id", col("vec_id") + lit(i * ne))
+            .withColumn("embedding",
+              if (i == 0) col("embedding")
+              else transform(col("embedding"),
+                x => x * lit(1.0f + i / 100.0f))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      for (q <- Seq("d4_minhash_lsh", "s5_ivf_kmeans", "d11_semantic_dedup")) {
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        spark.catalog.clearCache()
+        println(f"SEM x$m%-2d $q%-22s rows=$rows%-9d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      // scaled-k arm: cells stay ~constant size as the corpus grows
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.ops.LinAlg.dot(a, b)
+      def pairsWithK(kk: Int): (Long, Double, Long) = {
+        val ev = KMeansOps.loadV(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cent = KMeansOps.lloyd(ev, KMeansOps.iters, kk).last.cent
+        val assigned = ev.withColumn("cell", KMeansOps.assignExpr(cent))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cellSq = assigned.groupBy("cell").count()
+          .agg(sum(col("count") * col("count"))).first().getLong(0)
+        val a = assigned.select(col("cell"), col("vec_id").as("va"),
+          col("v").as("xa"), col("nrm").as("na"))
+        val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+          col("v").as("xb"), col("nrm").as("nb"))
+        val q = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+          .filter(round(dot(col("xa"), col("xb"))
+            / (col("na") * col("nb")), 4) >= 0.45)
+        q.count() // warm
+        val t0 = System.nanoTime()
+        val rows = q.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        ev.unpersist(); assigned.unpersist()
+        spark.catalog.clearCache()
+        (rows, sec, cellSq)
+      }
+      val (rF, sF, cF) = pairsWithK(KMeansOps.k)
+      val (rS, sS, cS) = pairsWithK(KMeansOps.k * m)
+      println(f"SEM x$m%-2d d11-fixed-k${KMeansOps.k}%-12s rows=$rF%-9d " +
+        f"$sF%.2fs sum_cell2=$cF")
+      println(f"SEM x$m%-2d d11-scaled-k${KMeansOps.k * m}%-11s rows=$rS%-9d " +
+        f"$sS%.2fs sum_cell2=$cS")
     }
     spark.stop()
   }
