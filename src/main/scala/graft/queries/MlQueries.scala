@@ -917,11 +917,21 @@ object MlQueries {
             (col("st") - col("sl")).cast("double") *
               (col("st") - col("sl")).cast("double") /
               (col("nt") - col("nl")))).as("sse"))
-      val rk = Window.orderBy(col("sse"), col("split"))
-      cand.withColumn("rk", row_number().over(rk))
+      // Emit (and rank by) SSE in MILLIONS rounded at 4 dp: the raw
+      // double differs by ulps across engines because ql/qt exceed 2^53
+      // in scaled-decimal units, so the DECIMAL→DOUBLE conversion
+      // double-rounds differently (found by the round-9 sf0.001
+      // cross-scale audit — sf0.01 happened to agree). The 1e-4·1e6
+      // quantum is ~5 orders above the measured 4e-3 drift; ranking on
+      // the rounded value keeps the order cross-engine-stable too.
+      val sseM = round(col("sse") / lit(1e6), 4)
+      val rk = Window.orderBy(sseM, col("split"))
+      cand.withColumn("sse_m", sseM)
+        .withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 3)
         .select(col("rk"), col("split"), col("n_left"), col("n_right"),
-          col("mean_left"), col("mean_right"), col("sse"))
+          round(col("mean_left"), 6).as("mean_left"),
+          round(col("mean_right"), 6).as("mean_right"), col("sse_m"))
         .orderBy("rk")
     },
     Some("""WITH perx AS (
@@ -949,8 +959,12 @@ object MlQueries {
                         CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
                           / (nt - nl)) AS sse
               FROM pre WHERE nl < nt)
-            SELECT rk, split, n_left, n_right, mean_left, mean_right, sse
-            FROM (SELECT cand.*, row_number() OVER (ORDER BY sse, split)
+            SELECT rk, split, n_left, n_right,
+                   round(mean_left, 6) AS mean_left,
+                   round(mean_right, 6) AS mean_right,
+                   round(sse / 1e6, 4) AS sse_m
+            FROM (SELECT cand.*,
+                    row_number() OVER (ORDER BY round(sse / 1e6, 4), split)
                     AS rk FROM cand)
             WHERE rk <= 3 ORDER BY rk"""))
 

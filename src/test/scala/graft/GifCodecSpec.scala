@@ -122,4 +122,16 @@ class GifCodecSpec extends AnyFunSuite {
     val noImage = good.take(13 + 48) ++ Array(0x3b.toByte)
     intercept[IllegalArgumentException] { GifCodec.decode(noImage) }
   }
+
+  test("a file truncated inside the color table fails loudly, not black") {
+    // round-9 advisory fix: copyOfRange zero-pads past EOF, which would
+    // silently decode a black palette — the codec must reject instead.
+    // Header is 13 bytes, then the 16-entry global table needs 48; cut
+    // mid-table.
+    val good = GifCodec.encode(3, 3, pal16, sampleIdx(3, 3, 16))
+    val cutGlobal = good.take(13 + 20)
+    val e = intercept[IllegalArgumentException] { GifCodec.decode(cutGlobal) }
+    assert(e.getMessage.contains("truncated GIF global color table"),
+      e.getMessage)
+  }
 }

@@ -86,6 +86,26 @@ class MixedLmSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ML/REML tau2 ratio $ratio vs ${(m - 1).toDouble / m}")
   }
 
+  test("constant-zero covariate is absorbed by the guard ridge") {
+    // the simulator's TAVG column is identically 0 when the weather
+    // feed is absent — the fit must stay defined (ridgeEps keeps the
+    // GLS solve nonsingular) and give the dead covariate ~0 weight
+    // while the live parameters land on the p=1 answers
+    import spark.implicits._
+    val rows = for (i <- 0 until m; j <- 0 until n)
+      yield (s"g$i", yij(i, j), 1.0, 0.0)
+    val df2 = rows.toDF("g", "y", "intercept", "dead")
+    val st2 = MixedLm.groupStats(df2, "g", "y", Seq("intercept", "dead"))
+    val fit2 = MixedLm.fitEm(st2, p = 2, zIdx = Seq(0), maxIters = 2000,
+      tol = 1e-13)
+    val fit1 = MixedLm.fitEm(stats, p = 1, zIdx = Seq(0), maxIters = 2000,
+      tol = 1e-13)
+    assert(math.abs(fit2.beta(1)) < 1e-9, s"dead coef ${fit2.beta(1)}")
+    assert(math.abs(fit2.beta(0) - fit1.beta(0)) < 1e-6)
+    assert(math.abs(fit2.sigma2 - fit1.sigma2) < 1e-6 * fit1.sigma2)
+    assert(math.abs(fit2.psi(0)(0) - fit1.psi(0)(0)) < 1e-5 * fit1.psi(0)(0))
+  }
+
   test("BLUPs shrink group means toward the grand mean") {
     val fit = MixedLm.fitEm(stats, p = 1, zIdx = Seq(0))
     import spark.implicits._
