@@ -106,6 +106,17 @@ class TestdataContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0, "lineitem has no l_suppkey = 0 rows — keys went 1-based?")
   }
 
+  test("documents has a src0 source (d12's held-out eval set)") {
+    // d12_decontaminate treats source 'src0' as the evaluation split; if
+    // a regeneration renames sources, both engines would agree on an
+    // EMPTY eval set and the row would pass while proving nothing —
+    // pin the invariant here with a named cause instead
+    val n = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .count()
+    assert(n > 0, "documents has no source='src0' rows — sources renamed?")
+  }
+
   test("events matches contract in any shipped ts encoding") {
     assertSchema("events", Seq(
       "event_id" -> one(LongType), "ts" -> eventsTsLike,
