@@ -15,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - [[graft.plans.BandJoinRewrite]]: rewrites `abs(l − r) <= δ`
   *    inner-join conditions into bucket-explode equi-joins, so the
   *    naive band-join predicate never executes as a nested loop.
+  *  - [[graft.plans.AsOfJoinStrategy]]: plans the [[graft.plans.AsOfJoin]]
+  *    logical node to the merge-scan [[graft.plans.AsOfJoinExec]] — the
+  *    full custom-operator tier (LogicalPlan + Strategy + SparkPlan).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.DotProduct(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

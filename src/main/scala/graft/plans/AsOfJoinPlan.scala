@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
+  SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** AS-OF JOIN as a first-class operator — the full tier-(c) extension
+  * surface (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`,
+  * registered through `SparkSessionExtensions.injectPlannerStrategy`),
+  * complementing the repo's tier-(a) compositions (j15's union-ffill),
+  * tier-(b) expression/rule extensions (`graft_dot`, BandJoinRewrite).
+  *
+  * Semantics: backward inclusive as-of — for every left row, the right
+  * row with the greatest rightTime ≤ leftTime within the same key
+  * (DuckDB's `ASOF LEFT JOIN` with `l.t >= r.t`, pandas
+  * `merge_asof(direction="backward")`); unmatched left rows null-extend.
+  * j19's oracle runs DuckDB's NATIVE ASOF JOIN against this exec — a
+  * cross-engine conformance proof at the operator level.
+  *
+  * Scale/plan shape: `requiredChildDistribution` clusters both sides on
+  * the key and `requiredChildOrdering` sorts (key, time), so
+  * EnsureRequirements plans exactly one hash exchange + sort per side —
+  * the SortMergeJoin cost envelope — and the merge itself is a single
+  * forward scan per partition holding ONE buffered right row (no
+  * per-key candidate set, no window, O(1) state). Contrast: a naive
+  * range-join + argmax enumerates O(clicks × purchases) pairs per key
+  * (ScaleProbe `asof` measured that contrast on the composed variant).
+  *
+  * Restrictions (asserted at construction): key and time must be
+  * integral/timestamp-typed (both are Long-backed internally) and the
+  * two sides must carry disjoint expression ids (alias the right side's
+  * columns when self-joining one table). Null keys/times are not
+  * supported (the engine's testdata contract pins them non-null).
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical merge-scan for [[AsOfJoin]]. */
+case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  private def asLong(e: Expression, row: InternalRow): Long =
+    e.eval(row).asInstanceOf[Long]
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lk = BindReferences.bindReference(leftKey, lOut)
+      val lt = BindReferences.bindReference(leftTime, lOut)
+      val rk = BindReferences.bindReference(rightKey, rOut)
+      val rt = BindReferences.bindReference(rightTime, rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      // bind against NULLABLE right attrs: the input side of the
+      // projection must read the null bits of the null-extension row,
+      // or non-nullable right columns silently decode as 0 on a miss
+      val toUnsafe =
+        UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+      // single-row buffered right state: the latest right row whose
+      // (key, time) is ≤ the current left cursor — O(1) per partition
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var held: InternalRow = null
+      var heldKey = 0L
+      var heldValid = false
+      lIter.map { l =>
+        val lkv = asLong(lk, l)
+        val ltv = asLong(lt, l)
+        if (heldValid && heldKey != lkv) heldValid = false
+        var continue = rRow != null
+        while (continue) {
+          val rkv = asLong(rk, rRow)
+          if (rkv < lkv || (rkv == lkv && asLong(rt, rRow) <= ltv)) {
+            if (rkv == lkv) {
+              // rows are reused by the upstream sort — copy to hold
+              held = rRow.copy()
+              heldKey = rkv
+              heldValid = true
+            }
+            rRow = if (rIter.hasNext) rIter.next() else null
+            continue = rRow != null
+          } else continue = false
+        }
+        joined(l, if (heldValid) held else nullRight)
+        toUnsafe(joined)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the exec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public builder: `AsOf.join(clicks, purchases, "user_id", "ts",
+  * "p_user", "p_ts")`. */
+object AsOf {
+  private val longBacked =
+    Set[org.apache.spark.sql.types.DataType](LongType, TimestampType,
+      TimestampNTZType)
+
+  def join(left: DataFrame, right: DataFrame, leftKey: String,
+      leftTime: String, rightKey: String, rightTime: String): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of $side column '$n' not in ${p.output.map(_.name)}"))
+    val (lk, lt) = (attr(lPlan, leftKey, "left"), attr(lPlan, leftTime, "left"))
+    val (rk, rt) =
+      (attr(rPlan, rightKey, "right"), attr(rPlan, rightTime, "right"))
+    Seq(lk, lt, rk, rt).foreach(a => require(longBacked(a.dataType),
+      s"as-of key/time must be long/timestamp, got ${a.dataType} for ${a.name}"))
+    val dup = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(dup.isEmpty,
+      s"as-of sides share expression ids (${dup.take(3)}) — alias the " +
+        "right side's columns when self-joining one table")
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
+      AsOfJoin(lPlan, rPlan, lk, lt, rk, rt))
+  }
+}

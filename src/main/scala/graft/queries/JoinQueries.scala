@@ -771,7 +771,61 @@ object JoinQueries {
               ON abs(p.probe_cents - c.cand_cents) <= 10
             GROUP BY p.probe_key ORDER BY p.probe_key"""))
 
+  /** X292 j19: AS-OF JOIN AS A CUSTOM PHYSICAL OPERATOR — the tier-(c)
+    * extension surface demonstrated end-to-end: `plans.AsOfJoin`
+    * (LogicalPlan) → `AsOfJoinStrategy` (injectPlannerStrategy) →
+    * `AsOfJoinExec`, a merge-scan with ONE buffered right row per
+    * partition (O(1) state; requiredChildDistribution/Ordering make
+    * EnsureRequirements plan exactly one hash exchange + sort per side,
+    * the SMJ cost envelope — PlanSpec pins the exec and the
+    * two-exchange shape). Same backward-inclusive semantics as j15's
+    * tier-(a) union-ffill composition, but proven at PER-CLICK detail
+    * against DuckDB's NATIVE `ASOF LEFT JOIN` — two engines' dedicated
+    * as-of operators executing to the identical 20k-row result is the
+    * sharpest operator-level conformance the family has. Purchases
+    * dedupe to one per (user, µs) (j15's witness device) so the match
+    * is unique; money in exact integer cents.
+    */
+  private val j19 = Q(
+    "j19_asof_exec",
+    (s, dir) => {
+      import graft.plans.AsOf
+      val ev = Tables.load(s, dir, "events")
+      val wB = Window.partitionBy("user_id", "us")
+        .orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1)
+        // fresh exprIds on every column: both as-of sides come from the
+        // same scan, and the exec binds by exprId per side
+        .select(col("user_id").as("p_user"), col("us").as("p_us"),
+          col("cents").as("p_cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"))
+      AsOf.join(clicks, purchases, "user_id", "click_us", "p_user", "p_us")
+        .select("event_id", "user_id", "click_us", "p_us", "p_cents")
+        .orderBy("event_id")
+    },
+    Some("""WITH p0 AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id, ts
+                       ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase'),
+            p AS (SELECT user_id AS p_user, us AS p_us, cents AS p_cents
+                  FROM p0 WHERE rn = 1),
+            c AS (SELECT event_id, user_id, epoch_us(ts) AS click_us
+                  FROM events WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, c.click_us, p.p_us, p.p_cents
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.p_user AND c.click_us >= p.p_us
+            ORDER BY c.event_id"""))
+
   def all: Seq[Q] =
     Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13, j14,
-      j15, j16, j17, j18)
+      j15, j16, j17, j18, j19)
 }

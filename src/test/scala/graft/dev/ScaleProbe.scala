@@ -17,6 +17,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ann")) { annProbe(); return }
     if (args.headOption.contains("semantic")) { semanticProbe(); return }
+    if (args.headOption.contains("mixedlm")) { mixedLmProbe(); return }
     if (args.headOption.contains("skew")) { skewProbe(); return }
     if (args.headOption.contains("tpch")) { tpchProbe(); return }
     if (args.headOption.contains("graph")) { graphProbe(); return }
@@ -392,6 +393,52 @@ object ScaleProbe {
       val split = df.queryExecution.executedPlan.toString.contains("skew=true")
       println(f"SKEW aqe_skewjoin=$on%-5s rep=$rep $sec%6.2fs " +
         f"skew_split=$split rows=${row.getLong(0)}")
+    }
+    spark.stop()
+  }
+
+  /** REML-EM mixed-model scaling (round 9): the fit's design claim is
+    * that per-iteration cost rides the GROUP-cardinality stats frame,
+    * not the observation count — groups replicated m× (disjoint group
+    * keys, same per-group data) should cost ~flat per EM iteration
+    * after the single observation-level groupStats pass. Probes the
+    * simulator-shaped model (p=4, q=2) on synthetic groups.
+    * usage: Test/runMain graft.dev.ScaleProbe mixedlm
+    */
+  private def mixedLmProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.ops.MixedLm
+    for (m <- Seq(1, 4, 16, 64)) {
+      val nG = 50 * m
+      // 40 obs per group, deterministic pseudo-noise, slope+intercept
+      // heterogeneity across groups
+      val rows = for (g <- 0 until nG; i <- 0 until 40) yield {
+        val x = 0.5 + (i % 10)
+        val y = (2.0 + 0.03 * (g % 7)) + (0.4 + 0.01 * (g % 5)) * x +
+          0.8 * math.sin(3.1 * g + 1.7 * i)
+        (s"g$g", y, 1.0, (i % 3).toDouble, 0.0, x)
+      }
+      val df = rows.toDF("g", "y", "intercept", "cov2", "dead", "x")
+      var t0 = System.nanoTime()
+      val stats = MixedLm.groupStats(df, "g", "y",
+        Seq("intercept", "cov2", "dead", "x")).persist()
+      stats.count()
+      val tStats = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val fit = MixedLm.fitEm(stats, p = 4, zIdx = Seq(0, 3),
+        maxIters = 40, tol = 0.0) // fixed 40 iterations: comparable work
+      val tFit = (System.nanoTime() - t0) / 1e9
+      stats.unpersist()
+      println(f"MIXEDLM x$m%-3d groups=$nG%-5d obs=${nG * 40}%-7d " +
+        f"stats=$tStats%5.2fs em40=$tFit%6.2fs " +
+        f"(${tFit / 40 * 1000}%5.1f ms/iter) beta_x=${fit.beta(3)}%.4f")
     }
     spark.stop()
   }
