@@ -267,5 +267,50 @@ object ScalarFuncQueries {
                    qs[1] + qs[-1] AS min_plus_max
             FROM base ORDER BY l_orderkey"""))
 
-  def all: Seq[Q] = Seq(strings, dates, math, arrays, maps, bitwise, hofs)
+  /** X293: Spark 4 VARIANT surface — the engine's binary
+    * semi-structured type (`parse_json` → VARIANT, typed `variant_get`
+    * path extraction, `try_variant_get` miss→NULL, `is_variant_null`
+    * for JSON null vs SQL NULL) over the events props JSON. Distinct
+    * from e3's string-JSON functions: VARIANT parses ONCE into a
+    * binary-encoded value and every extraction is a typed path read —
+    * the Spark-4 answer to shredding semi-structured columns at scale
+    * (one parse per row, no re-tokenization per field; at 100 TB the
+    * parse cost dominates and VARIANT pays it once). DuckDB has no
+    * VARIANT; the oracle computes the identical VALUES via its JSON
+    * path functions — what is proven is the extraction semantics
+    * (typed get, missing-path NULL, JSON-null detection), not a shared
+    * encoding. All-integer outputs.
+    */
+  private val variants = Q(
+    "f_variant_funcs",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'int')")
+            .as("miss"),
+          expr("is_variant_null(parse_json('null'))").as("vnull"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"),
+          count(col("miss")).as("n_miss"),
+          max(col("vnull").cast("int")).as("saw_json_null"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                     AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
+                     AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+                     AS BIGINT) AS max_k,
+                   CAST(count(CASE WHEN json_extract(props, '$.missing')
+                       IS NOT NULL THEN 1 END) AS BIGINT) AS n_miss,
+                   CAST(1 AS INT) AS saw_json_null
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] =
+    Seq(strings, dates, math, arrays, maps, bitwise, hofs, variants)
 }

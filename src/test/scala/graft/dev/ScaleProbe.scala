@@ -184,6 +184,29 @@ object ScaleProbe {
       val rows = fn(spark, dir).count()
       println(f"ASOF  x$m%-2d ffill rows=$rows%-6d " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // custom physical operator (round 9): same semantics as the
+      // union-ffill, but a dedicated merge-scan exec (j19's plan)
+      val evA = graft.ops.Tables.load(spark, dir, "events")
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "us").orderBy(col("event_id").desc)
+      val purch = evA.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(wB))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("p_user"), col("us").as("p_us"))
+      val clicks = evA.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val execJoin = graft.plans.AsOf.join(clicks, purch,
+          "user_id", "click_us", "p_user", "p_us")
+        .groupBy("user_id").agg(count(col("p_us")).as("n"))
+      execJoin.count() // warm
+      t0 = System.nanoTime()
+      execJoin.count()
+      println(f"ASOF  x$m%-2d asof-exec               " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
       // naive range join + argmax over the candidate pairs
       val e2 = graft.ops.Tables.load(spark, dir, "events")
       val c = e2.filter(col("event_type") === "click")
