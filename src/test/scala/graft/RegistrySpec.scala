@@ -54,8 +54,17 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   Registry.all.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
-      val n = q.fn(spark, sfDir).count()
+      val df = q.fn(spark, sfDir)
+      val n = df.count()
       assert(n >= 0)
+      // Blanket plan audit (round 9): NO query's final plan may contain
+      // an unkeyed CartesianProduct — the quadratic-blowup operator a
+      // dropped join key silently buys. (Deliberate 1-row scalar
+      // crossJoins plan as BroadcastNestedLoopJoin over a broadcast
+      // single row, not CartesianProduct, so they stay allowed.)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n" + p.take(1500))
     }
   }
 }
