@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
-  BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder,
-  UnsafeProjection}
+  BindReferences, Descending, Expression, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution}
@@ -19,12 +19,19 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * complementing the repo's tier-(a) compositions (j15's union-ffill),
   * tier-(b) expression/rule extensions (`graft_dot`, BandJoinRewrite).
   *
-  * Semantics: backward inclusive as-of — for every left row, the right
-  * row with the greatest rightTime ≤ leftTime within the same key
-  * (DuckDB's `ASOF LEFT JOIN` with `l.t >= r.t`, pandas
-  * `merge_asof(direction="backward")`); unmatched left rows null-extend.
-  * j19's oracle runs DuckDB's NATIVE ASOF JOIN against this exec — a
-  * cross-engine conformance proof at the operator level.
+  * Semantics: inclusive as-of, both directions — backward (default):
+  * for every left row, the right row with the greatest rightTime ≤
+  * leftTime within the same key (DuckDB's `ASOF LEFT JOIN` with
+  * `l.t >= r.t`, pandas `merge_asof(direction="backward")`); forward:
+  * the SMALLEST rightTime ≥ leftTime (`direction="forward"`), executed
+  * as the identical merge over time-DESCENDING child order — the
+  * direction only flips the sort and the comparison, not the O(1)
+  * algorithm. Optional `toleranceUs` bounds |leftTime − rightTime|
+  * (applied at emit: the held candidate is by construction the nearest
+  * eligible row, so out-of-tolerance ⇒ no row qualifies). Unmatched
+  * left rows null-extend. j19's oracle runs DuckDB's NATIVE ASOF JOIN
+  * against the backward exec; j20 proves forward+tolerance against a
+  * naive range-join replay.
   *
   * Scale/plan shape: `requiredChildDistribution` clusters both sides on
   * the key and `requiredChildOrdering` sorts (key, time), so
@@ -43,7 +50,9 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression) extends BinaryNode {
+    rightKey: Expression, rightTime: Expression,
+    forward: Boolean = false,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -54,7 +63,10 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 /** Physical merge-scan for [[AsOfJoin]]. */
 case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression,
+    forward: Boolean, toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  private def timeDir = if (forward) Descending else Ascending
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -64,13 +76,13 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
       ClusteredDistribution(rightKey :: Nil) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, timeDir)))
 
   override def outputPartitioning = left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir))
 
   private def asLong(e: Expression, row: InternalRow): Long =
     e.eval(row).asInstanceOf[Long]
@@ -96,7 +108,10 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       var held: InternalRow = null
       var heldKey = 0L
+      var heldTime = 0L
       var heldValid = false
+      val fwd = forward
+      val tol = toleranceUs
       lIter.map { l =>
         val lkv = asLong(lk, l)
         val ltv = asLong(lt, l)
@@ -104,18 +119,27 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
         var continue = rRow != null
         while (continue) {
           val rkv = asLong(rk, rRow)
-          if (rkv < lkv || (rkv == lkv && asLong(rt, rRow) <= ltv)) {
-            if (rkv == lkv) {
-              // rows are reused by the upstream sort — copy to hold
+          val rtv = if (rkv == lkv) asLong(rt, rRow) else 0L
+          val eligible = rkv == lkv &&
+            (if (fwd) rtv >= ltv else rtv <= ltv)
+          if (rkv < lkv || eligible) {
+            if (eligible) {
+              // rows are reused by the upstream sort — copy to hold;
+              // the LAST eligible row consumed is the nearest one
+              // (greatest ≤ lt backward; smallest ≥ lt forward, since
+              // forward scans time-descending)
               held = rRow.copy()
               heldKey = rkv
+              heldTime = rtv
               heldValid = true
             }
             rRow = if (rIter.hasNext) rIter.next() else null
             continue = rRow != null
           } else continue = false
         }
-        joined(l, if (heldValid) held else nullRight)
+        val matched = heldValid &&
+          tol.forall(t => math.abs(ltv - heldTime) <= t)
+        joined(l, if (matched) held else nullRight)
         toUnsafe(joined)
       }
     }
@@ -129,8 +153,8 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
 /** Planner strategy mapping the logical node to the exec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, fwd, tol) =>
+      AsOfJoinExec(lk, lt, rk, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -143,7 +167,9 @@ object AsOf {
       TimestampNTZType)
 
   def join(left: DataFrame, right: DataFrame, leftKey: String,
-      leftTime: String, rightKey: String, rightTime: String): DataFrame = {
+      leftTime: String, rightKey: String, rightTime: String,
+      forward: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
@@ -159,7 +185,8 @@ object AsOf {
     require(dup.isEmpty,
       s"as-of sides share expression ids (${dup.take(3)}) — alias the " +
         "right side's columns when self-joining one table")
+    toleranceUs.foreach(t => require(t >= 0, s"negative tolerance $t"))
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
-      AsOfJoin(lPlan, rPlan, lk, lt, rk, rt))
+      AsOfJoin(lPlan, rPlan, lk, lt, rk, rt, forward, toleranceUs))
   }
 }

@@ -825,7 +825,63 @@ object JoinQueries {
               ON c.user_id = p.p_user AND c.click_us >= p.p_us
             ORDER BY c.event_id"""))
 
+  /** X294 j20: FORWARD + TOLERANCE through the custom as-of exec — the
+    * j16 contract (`merge_asof(direction='forward',
+    * tolerance=30min)`) executed by [[graft.plans.AsOfJoinExec]]'s
+    * time-DESCENDING merge (direction flips only the sort and the
+    * comparison; the O(1)-state algorithm is identical) with the
+    * tolerance applied at emit. Oracle = the naive range-join + min
+    * replay at PER-CLICK detail — the quadratic plan the exec avoids,
+    * proving the same 2k-row answer. Purchases dedupe to one per
+    * (user, µs) by MIN event_id (j16's forward witness device).
+    */
+  private val j20 = Q(
+    "j20_asof_exec_forward",
+    (s, dir) => {
+      import graft.plans.AsOf
+      val tolUs = 30L * 60L * 1000000L
+      val ev = Tables.load(s, dir, "events")
+      val wB = Window.partitionBy("user_id", "us")
+        .orderBy(col("event_id").asc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("p_user"), col("us").as("p_us"),
+          col("cents").as("p_cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"))
+      AsOf.join(clicks, purchases, "user_id", "click_us", "p_user", "p_us",
+          forward = true, toleranceUs = Some(tolUs))
+        .select("event_id", "user_id", "click_us", "p_us", "p_cents")
+        .orderBy("event_id")
+    },
+    Some("""WITH p0 AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id, ts
+                       ORDER BY event_id ASC) AS rn
+              FROM events WHERE event_type = 'purchase'),
+            p AS (SELECT user_id AS p_user, us AS p_us, cents AS p_cents
+                  FROM p0 WHERE rn = 1),
+            c AS (SELECT event_id, user_id, epoch_us(ts) AS click_us
+                  FROM events WHERE event_type = 'click'),
+            nxt AS (
+              SELECT c.event_id, c.user_id, c.click_us,
+                     min(p.p_us) AS p_us
+              FROM c LEFT JOIN p ON c.user_id = p.p_user
+                AND p.p_us >= c.click_us
+                AND p.p_us - c.click_us <= 1800000000
+              GROUP BY 1, 2, 3)
+            SELECT n.event_id, n.user_id, n.click_us, n.p_us, p2.p_cents
+            FROM nxt n LEFT JOIN p p2
+              ON n.user_id = p2.p_user AND n.p_us = p2.p_us
+            ORDER BY n.event_id"""))
+
   def all: Seq[Q] =
     Seq(j1, j2, j3, j4, j5, j6, j7, jAnti, j9, j10, j11, j12, j13, j14,
-      j15, j16, j17, j18, j19)
+      j15, j16, j17, j18, j19, j20)
 }

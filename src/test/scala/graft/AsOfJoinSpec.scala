@@ -105,6 +105,43 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> Some(7.0), 2L -> None))
   }
 
+  test("forward direction: first right row at-or-after, ties inclusive") {
+    import spark.implicits._
+    val got = AsOf.join(leftDf, rightDf, "key", "t", "rkey", "rt",
+        forward = true)
+      .select(col("id"), col("v")).as[(Long, Option[Double])]
+      .collect().toMap
+    val exp = Map(
+      1L -> Some(2.0), // 100 -> first at-or-after is 200
+      2L -> Some(2.0), // tie at 200 inclusive
+      3L -> Some(3.0), // 250 -> 300
+      4L -> Some(3.0), // tie at 300 inclusive
+      5L -> None, // after the last right row
+      6L -> None, // key with no right rows
+      7L -> Some(5.0), // 50 -> 55 (key 25's rows must not leak)
+      8L -> None) // 60 > 55
+    assert(got == exp, s"got $got")
+  }
+
+  test("tolerance bounds the match gap in both directions") {
+    import spark.implicits._
+    // backward with tolerance 49: id=3 (t=250, match 200, gap 50) drops
+    val back = AsOf.join(leftDf, rightDf, "key", "t", "rkey", "rt",
+        toleranceUs = Some(49L))
+      .select(col("id"), col("v")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(back(3L).isEmpty && back(2L).contains(2.0) &&
+      back(4L).contains(3.0), s"got $back")
+    // forward with tolerance 49: id=1 (t=100, next 200, gap 100) drops,
+    // id=3 (t=250, next 300, gap 50) drops, id=7 (gap 5) stays
+    val fwd = AsOf.join(leftDf, rightDf, "key", "t", "rkey", "rt",
+        forward = true, toleranceUs = Some(49L))
+      .select(col("id"), col("v")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(fwd(1L).isEmpty && fwd(3L).isEmpty && fwd(7L).contains(5.0),
+      s"got $fwd")
+  }
+
   test("builder loud-fails on shared exprIds, bad names, bad types") {
     import spark.implicits._
     val df = Seq((1L, 1L, "x")).toDF("key", "t", "s")
