@@ -285,8 +285,11 @@ object ScalarFuncQueries {
     "f_variant_funcs",
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
+      // try_variant_get (not variant_get) for the real field too: a
+      // testdata regeneration that changes $.k's type must degrade to
+      // NULLs on BOTH engines (oracle uses TRY_CAST), not crash here
       ev.select(col("event_type"),
-          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.k', 'int')").as("k"),
           expr("try_variant_get(parse_json(props), '$.missing', 'int')")
             .as("miss"),
           expr("is_variant_null(parse_json('null'))").as("vnull"))
@@ -300,12 +303,12 @@ object ScalarFuncQueries {
         .orderBy("event_type")
     },
     Some("""SELECT event_type, count(*) AS n,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
-                     AS BIGINT) AS sum_k,
-                   CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
-                     AS BIGINT) AS min_k,
-                   CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
-                     AS BIGINT) AS max_k,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k')
+                     AS INT)) AS BIGINT) AS sum_k,
+                   CAST(min(TRY_CAST(json_extract_string(props, '$.k')
+                     AS INT)) AS BIGINT) AS min_k,
+                   CAST(max(TRY_CAST(json_extract_string(props, '$.k')
+                     AS INT)) AS BIGINT) AS max_k,
                    CAST(count(CASE WHEN json_extract(props, '$.missing')
                        IS NOT NULL THEN 1 END) AS BIGINT) AS n_miss,
                    CAST(1 AS INT) AS saw_json_null

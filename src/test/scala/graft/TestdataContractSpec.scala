@@ -117,6 +117,20 @@ class TestdataContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0, "documents has no source='src0' rows — sources renamed?")
   }
 
+  test("events.props carries an integer $.k (f_variant/e3's JSON contract)") {
+    // f_variant_funcs' cross-engine tolerance story assumes $.k is a
+    // clean JSON integer: Spark's try_variant_get(int) NULLs a float
+    // while DuckDB's TRY_CAST rounds it — only integer k keeps the two
+    // miss-degradation paths value-identical. Pin it loudly.
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val bad = ev.select(get_json_object(col("props"), "$.k").as("k"))
+      .filter(col("k").isNull || !col("k").rlike("^-?\\d+$"))
+      .count()
+    assert(bad == 0,
+      s"$bad events rows whose props.$$.k is missing or non-integer")
+  }
+
   test("events matches contract in any shipped ts encoding") {
     assertSchema("events", Seq(
       "event_id" -> one(LongType), "ts" -> eventsTsLike,
