@@ -1533,6 +1533,90 @@ object PipelineQueries {
                      AS n_bg_px
             FROM px ORDER BY doc_id"""))
 
+  /** X295 mm11: BASELINE JPEG DECODE — the fifth real media codec and
+    * the first LOSSY one (ops/JpegCodec: full marker parse, canonical
+    * Huffman entropy decode with byte-stuffing/restarts, DC
+    * prediction, dequant + inverse zigzag, exact float IDCT, JFIF color
+    * conversion). Lossy content cannot use mm10's exact round-trip
+    * device, so the proof splits: (a) IN-FLIGHT, per image, the chain
+    * ImageIO-encode → JpegCodec-decode is require()d to agree with the
+    * JDK's OWN independent decoder within ±3/sample (grayscale — the
+    * measured cross-IDCT bound is 1; JpegCodecSpec pins the color and
+    * quality-sweep bounds), and (b) the EMITTED facts are the exact
+    * integer source formulas DuckDB replays — the src16 files→scan→
+    * decode discipline: the hash proves the pipeline ran end to end,
+    * the require proves the decoder is right. Scale: scan-local
+    * mapPartitions; every image lives and dies inside one task.
+    */
+  private val mm11 = Q(
+    "mm11_jpeg_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.JpegCodec
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("raw"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          def at(b: Array[Byte], i: Int): Int =
+            if (i < b.length) b(i) & 0xff else 0
+          it.map { case (id, raw) =>
+            val w = at(raw, 0) % 9 + 8
+            val h = at(raw, 1) % 9 + 8
+            val a = at(raw, 2)
+            def src(x: Int, y: Int): Int = (a * 7 + x * 13 + y * 29) % 256
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var srcSum = 0L
+            for (y <- 0 until h; x <- 0 until w) {
+              img.getRaster.setSample(x, y, 0, src(x, y))
+              srcSum += src(x, y)
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val wr = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpeg").next()
+            val prm = wr.getDefaultWriteParam
+            prm.setCompressionMode(
+              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            prm.setCompressionQuality(0.9f)
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            wr.setOutput(ios)
+            wr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+            ios.close(); wr.dispose()
+            val bytes = bos.toByteArray
+            val ours = JpegCodec.decode(bytes)
+            val jdk = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(ours.width == w && ours.height == h &&
+              jdk.getWidth == w && jdk.getHeight == h,
+              s"doc $id: dims drifted through the JPEG chain")
+            var worst = 0
+            for (y <- 0 until h; x <- 0 until w) {
+              val d = math.abs((ours.rgb(y * w + x) & 0xff) -
+                jdk.getRaster.getSample(x, y, 0))
+              worst = math.max(worst, d)
+            }
+            require(worst <= 3,
+              s"doc $id: JpegCodec vs ImageIO disagree by $worst")
+            (id, w, h, srcSum, 1)
+          }
+        }
+        .toDF("doc_id", "width", "height", "src_sum", "decode_ok")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     ascii(substr(text, 1, 1)) % 9 + 8 AS width,
+                     ascii(substr(text, 2, 1)) % 9 + 8 AS height,
+                     ascii(substr(text, 3, 1)) AS a
+              FROM documents)
+            SELECT doc_id, CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height,
+                   CAST(list_sum(list_transform(range(0, width * height),
+                     i -> (a * 7 + (i % width) * 13 + (i // width) * 29)
+                       % 256)) AS BIGINT) AS src_sum,
+                   CAST(1 AS INT) AS decode_ok
+            FROM dims ORDER BY doc_id"""))
+
   /** X272 pl12: FILTER-FUNNEL ablation report — the C4/Gopher-style
     * deliverable for a corpus cleaning pipeline: four quality gates
     * (min length, single-token repetition, blocklist phrases, language)
@@ -1890,5 +1974,5 @@ object PipelineQueries {
 
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, pl12, pl13, plt1, pl14)
+      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, mm11, pl12, pl13, plt1, pl14)
 }

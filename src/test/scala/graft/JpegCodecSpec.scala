@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops.JpegCodec
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JPEG is lossy, so conformance is agreement with an INDEPENDENT
+  * decoder on the same bytes: every image here is encoded by the JDK's
+  * ImageIO JPEG writer, then decoded by BOTH ImageIO and JpegCodec, and
+  * compared per-sample. The measured cross-decoder deltas come from
+  * different IDCT roundings (±1-2) plus chroma-upsampling policy on
+  * subsampled color (ImageIO interpolates, JpegCodec uses nearest) —
+  * bounds below sit just above the measured values for smooth content.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def encode(img: BufferedImage, quality: Float): Array[Byte] = {
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  private def maxDelta(bytes: Array[Byte]): (Int, Double) = {
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val got = JpegCodec.decode(bytes)
+    assert(got.width == ref.getWidth && got.height == ref.getHeight,
+      s"dims ${got.width}x${got.height} vs ${ref.getWidth}x${ref.getHeight}")
+    var worst = 0
+    var sum = 0.0
+    var n = 0
+    val gray = ref.getType == BufferedImage.TYPE_BYTE_GRAY
+    for (y <- 0 until got.height; x <- 0 until got.width) {
+      val a = got.rgb(y * got.width + x)
+      if (gray) {
+        // compare RAW samples: ImageIO's getRGB would run the gray
+        // color space through an sRGB gamma conversion the raw JPEG
+        // samples never saw
+        val d = math.abs((a & 0xff) - ref.getRaster.getSample(x, y, 0))
+        worst = math.max(worst, d)
+        sum += d; n += 1
+      } else {
+        val b = ref.getRGB(x, y) & 0xffffff
+        for (sh <- Seq(16, 8, 0)) {
+          val d = math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff))
+          worst = math.max(worst, d)
+          sum += d; n += 1
+        }
+      }
+    }
+    (worst, sum / n)
+  }
+
+  private def gradient(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / math.max(1, w - 1)
+      val g = (y * 255) / math.max(1, h - 1)
+      val b = ((x + y) * 255) / math.max(1, w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  test("color gradient agrees with ImageIO's decoder (smooth content)") {
+    val (worst, mean) = maxDelta(encode(gradient(64, 48), 0.92f))
+    info(f"color 64x48: worst=$worst mean=$mean%.3f")
+    assert(worst <= 12 && mean < 2.0, s"worst=$worst mean=$mean")
+  }
+
+  test("grayscale agrees tightly (no chroma path)") {
+    val img = new BufferedImage(40, 40, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 40; x <- 0 until 40) {
+      val g = (128 + 100 * math.sin(x / 5.0) * math.cos(y / 7.0)).toInt
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val (worst, mean) = maxDelta(encode(img, 0.9f))
+    info(f"gray 40x40: worst=$worst mean=$mean%.3f")
+    assert(worst <= 2 && mean < 1.0, s"worst=$worst mean=$mean")
+  }
+
+  test("non-MCU-multiple dimensions decode the full visible area") {
+    val (worst, mean) = maxDelta(encode(gradient(37, 21), 0.95f))
+    info(f"color 37x21: worst=$worst mean=$mean%.3f")
+    // small images have a high edge fraction, where nearest-vs-
+    // interpolated chroma upsampling differs most — measured mean 2.48
+    assert(worst <= 12 && mean < 3.5, s"worst=$worst mean=$mean")
+  }
+
+  test("quality sweep stays bounded (lossiness varies, agreement holds)") {
+    for (q <- Seq(0.5f, 0.75f, 0.95f)) {
+      val (worst, mean) = maxDelta(encode(gradient(48, 32), q))
+      info(f"q=$q: worst=$worst mean=$mean%.3f")
+      assert(worst <= 14 && mean < 2.5, s"q=$q worst=$worst mean=$mean")
+    }
+  }
+
+  test("progressive JPEG is rejected loudly") {
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(gradient(32, 32), null, null), p)
+    ios.close(); w.dispose()
+    val e = intercept[IllegalArgumentException] {
+      JpegCodec.decode(bos.toByteArray)
+    }
+    assert(e.getMessage.contains("progressive"), e.getMessage)
+  }
+
+  test("corrupt inputs fail loudly") {
+    val good = encode(gradient(16, 16), 0.9f)
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode("nope".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(good.take(20)) // truncated before SOS
+    }
+  }
+}
