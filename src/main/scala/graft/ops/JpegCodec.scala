@@ -25,6 +25,17 @@ object JpegCodec {
 
   final case class Image(width: Int, height: Int, rgb: Array[Int])
 
+  // ITU-T81 Annex K luminance quantization table (natural order)
+  private val annexKLum: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
   private val zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -125,6 +136,142 @@ object JpegCodec {
     var td = 0
     var ta = 0
     var pred = 0
+  }
+
+  /** ENCODE a grayscale image as baseline JPEG (the write half of the
+    * codec): Annex-K luminance quantization scaled by the libjpeg
+    * quality convention, exact float FDCT, zigzag + DC-differential +
+    * run-length AC entropy coding. Huffman tables are FIXED-WIDTH
+    * canonical (every DC symbol 4 bits, every AC symbol 8 bits) —
+    * valid prefix-free tables any decoder accepts, chosen for
+    * verifiable simplicity over compression ratio (documented trade:
+    * ~1.5-2× larger files than optimized tables; the DECODER handles
+    * arbitrary tables, so it round-trips both our output and
+    * libjpeg-style streams). Output is pure function of
+    * (samples, quality) — byte-deterministic across JVMs.
+    */
+  def encodeGray(width: Int, height: Int, samples: Array[Int],
+      quality: Int = 85): Array[Byte] = {
+    require(width > 0 && height > 0 && samples.length == width * height,
+      "bad encode dimensions")
+    require(quality >= 1 && quality <= 100, s"quality $quality")
+    // libjpeg quality scaling of the Annex K table
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    val q = annexKLum.map(v =>
+      math.max(1, math.min(255, (v * scale + 50) / 100)))
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); w16(2 + 1 + 64); w8(0x00) // DQT, 8-bit table 0
+    var i = 0
+    while (i < 64) { w8(q(zigzag(i))); i += 1 } // zigzag order
+    marker(0xc0); w16(8 + 3); w8(8); w16(height); w16(width) // SOF0
+    w8(1); w8(1); w8(0x11); w8(0) // 1 comp, 1x1, q-table 0
+    // fixed-width canonical Huffman: 12 DC symbols at 4 bits (codes
+    // 0..11; all-ones 15 unused), 162 AC symbols at 8 bits (codes
+    // 0..161; all-ones 255 unused)
+    val acSyms = (for (r <- 0 to 15; sz <- 0 to 10
+      if (sz > 0) || r == 0 || r == 15) yield (r << 4) | sz).toArray
+    require(acSyms.length == 162, s"ac table ${acSyms.length}")
+    marker(0xc4)
+    w16(2 + (1 + 16 + 12) + (1 + 16 + acSyms.length))
+    w8(0x00) // DC table 0
+    (1 to 16).foreach(l => w8(if (l == 4) 12 else 0))
+    (0 until 12).foreach(w8)
+    w8(0x10) // AC table 0
+    (1 to 16).foreach(l => w8(if (l == 8) acSyms.length else 0))
+    acSyms.foreach(w8)
+    marker(0xda); w16(6 + 2); w8(1); w8(1); w8(0x00) // SOS
+    w8(0); w8(63); w8(0)
+    val acCode = acSyms.zipWithIndex.toMap
+    // bit writer with 0xFF stuffing
+    var cur = 0; var cnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          w8(cur)
+          if ((cur & 0xff) == 0xff) w8(0x00)
+          cur = 0; cnt = 0
+        }
+        k -= 1
+      }
+    }
+    def category(v: Int): Int = {
+      var a = math.abs(v); var t = 0
+      while (a > 0) { a >>= 1; t += 1 }
+      t
+    }
+    def putCoeff(v: Int, t: Int): Unit =
+      if (t > 0) putBits(if (v < 0) v + (1 << t) - 1 else v, t)
+    val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+    val coefZ = new Array[Int](64)
+    var pred = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // FDCT of the (edge-replicated) 8×8 block
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var acc = 0.0
+            var y = 0
+            while (y < 8) {
+              val sy = math.min(height - 1, my * 8 + y)
+              var x = 0
+              while (x < 8) {
+                val sx = math.min(width - 1, mx * 8 + x)
+                acc += (samples(sy * width + sx) - 128) *
+                  idctCos(x)(u) * idctCos(y)(v)
+                x += 1
+              }
+              y += 1
+            }
+            val nat = v * 8 + u
+            coefZ(nat) = math.rint(acc / 4.0 / q(nat)).toInt
+            u += 1
+          }
+          v += 1
+        }
+        // entropy-code: DC diff then run-length AC, zigzag order
+        val dc = coefZ(0)
+        val diff = dc - pred
+        pred = dc
+        val t = category(diff)
+        putBits(t, 4) // fixed-width DC code == symbol index
+        putCoeff(diff, t)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val c = coefZ(zigzag(k))
+          if (c == 0) run += 1
+          else {
+            while (run > 15) { putBits(acCode(0xf0), 8); run -= 16 }
+            val sz = category(c)
+            putBits(acCode((run << 4) | sz), 8)
+            putCoeff(c, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) putBits(acCode(0x00), 8) // EOB
+        mx += 1
+      }
+      my += 1
+    }
+    if (cnt > 0) { // pad final byte with 1s
+      cur = (cur << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
+      w8(cur)
+      if ((cur & 0xff) == 0xff) w8(0x00)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Decode baseline JPEG bytes to packed 0xRRGGBB pixels. */

@@ -1533,20 +1533,23 @@ object PipelineQueries {
                      AS n_bg_px
             FROM px ORDER BY doc_id"""))
 
-  /** X295 mm11: BASELINE JPEG DECODE — the fifth real media codec and
-    * the first LOSSY one (ops/JpegCodec: full marker parse, canonical
-    * Huffman entropy decode with byte-stuffing/restarts, DC
-    * prediction, dequant + inverse zigzag, exact float IDCT, JFIF color
-    * conversion). Lossy content cannot use mm10's exact round-trip
-    * device, so the proof splits: (a) IN-FLIGHT, per image, the chain
-    * ImageIO-encode → JpegCodec-decode is require()d to agree with the
-    * JDK's OWN independent decoder within ±3/sample (grayscale — the
-    * measured cross-IDCT bound is 1; JpegCodecSpec pins the color and
-    * quality-sweep bounds), and (b) the EMITTED facts are the exact
-    * integer source formulas DuckDB replays — the src16 files→scan→
-    * decode discipline: the hash proves the pipeline ran end to end,
-    * the require proves the decoder is right. Scale: scan-local
-    * mapPartitions; every image lives and dies inside one task.
+  /** X295 mm11: BASELINE JPEG CODEC — the fifth real media codec and
+    * the first LOSSY one (ops/JpegCodec: decode = full marker parse,
+    * canonical Huffman with byte-stuffing/restarts, DC prediction,
+    * dequant + inverse zigzag, exact float IDCT, JFIF color conversion;
+    * encode = Annex-K quantization at libjpeg quality scaling, float
+    * FDCT, fixed-width canonical Huffman — valid tables any decoder
+    * accepts, simplicity over ratio). Lossy content cannot use mm10's
+    * exact round-trip device, so the proof splits: (a) IN-FLIGHT per
+    * image, BOTH directions against the JDK's independent codec —
+    * ImageIO-encode → JpegCodec-decode within ±3/sample of ImageIO's
+    * own decode (measured 1), JpegCodec-encode → ImageIO-decode within
+    * ±14 of the source at q90 (measured 3), and the two decoders
+    * within ±2 on our own stream (measured 1) — and (b) the EMITTED
+    * facts are the exact integer source formulas DuckDB replays — the
+    * src16 files→scan→decode discipline: the hash proves the pipeline
+    * ran end to end, the requires prove both codec directions. Scale:
+    * scan-local mapPartitions; every image lives and dies in one task.
     */
   private val mm11 = Q(
     "mm11_jpeg_decode",
@@ -1597,6 +1600,29 @@ object PipelineQueries {
             }
             require(worst <= 3,
               s"doc $id: JpegCodec vs ImageIO disagree by $worst")
+            // write half: OUR encoder's stream must be accepted and
+            // reconstructed by the JDK's independent decoder...
+            val srcArr = Array.tabulate(w * h)(i => src(i % w, i / w))
+            val oursB = JpegCodec.encodeGray(w, h, srcArr, quality = 90)
+            val jdk2 = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(oursB))
+            require(jdk2 != null && jdk2.getWidth == w &&
+              jdk2.getHeight == h, s"doc $id: JDK rejected our JPEG")
+            var wEnc = 0
+            var wCross = 0
+            val ours2 = JpegCodec.decode(oursB)
+            for (y <- 0 until h; x <- 0 until w) {
+              wEnc = math.max(wEnc,
+                math.abs(jdk2.getRaster.getSample(x, y, 0) - src(x, y)))
+              // ...and both decoders must agree on our own stream
+              wCross = math.max(wCross,
+                math.abs((ours2.rgb(y * w + x) & 0xff) -
+                  jdk2.getRaster.getSample(x, y, 0)))
+            }
+            require(wEnc <= 14,
+              s"doc $id: our-encode reconstruction off by $wEnc")
+            require(wCross <= 2,
+              s"doc $id: decoders disagree by $wCross on our stream")
             (id, w, h, srcSum, 1)
           }
         }

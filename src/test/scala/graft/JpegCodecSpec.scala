@@ -118,6 +118,65 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("progressive"), e.getMessage)
   }
 
+  // ---- encoder (write half): our bytes, independent decoders ----
+
+  private def graySamples(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      (128 + 90 * math.sin(x / 6.0) * math.cos(y / 5.0)).toInt
+    }
+
+  test("encodeGray bytes decode in ImageIO to the source within lossy bound") {
+    val (w, h) = (50, 34) // non-MCU-multiple
+    val src = graySamples(w, h)
+    val bytes = JpegCodec.encodeGray(w, h, src, quality = 90)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null && ref.getWidth == w && ref.getHeight == h,
+      "ImageIO rejected our JPEG")
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs(ref.getRaster.getSample(x, y, 0) - src(y * w + x))
+      worst = math.max(worst, d)
+    }
+    info(s"encode q90 reconstruction worst=$worst")
+    assert(worst <= 12, s"lossy reconstruction off by $worst")
+  }
+
+  test("our decoder agrees with ImageIO on our own bytes") {
+    val (w, h) = (41, 23)
+    val bytes = JpegCodec.encodeGray(w, h, graySamples(w, h), quality = 80)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val got = JpegCodec.decode(bytes)
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((got.rgb(y * w + x) & 0xff) -
+        ref.getRaster.getSample(x, y, 0))
+      worst = math.max(worst, d)
+    }
+    info(s"cross-decoder on our bytes worst=$worst")
+    assert(worst <= 2, s"decoders disagree by $worst on our own stream")
+  }
+
+  test("encode is byte-deterministic and quality scales size/fidelity") {
+    val (w, h) = (32, 32)
+    val src = graySamples(w, h)
+    val a = JpegCodec.encodeGray(w, h, src, 85)
+    val b = JpegCodec.encodeGray(w, h, src, 85)
+    assert(java.util.Arrays.equals(a, b), "nondeterministic encode")
+    val lo = JpegCodec.encodeGray(w, h, src, 20)
+    val hi = JpegCodec.encodeGray(w, h, src, 95)
+    assert(lo.length < hi.length,
+      s"q20 ${lo.length}B should be smaller than q95 ${hi.length}B")
+    def worstVs(bytes: Array[Byte]): Int = {
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      (for (y <- 0 until h; x <- 0 until w)
+        yield math.abs(ref.getRaster.getSample(x, y, 0) - src(y * w + x))).max
+    }
+    val (wLo, wHi) = (worstVs(lo), worstVs(hi))
+    info(s"q20 worst=$wLo q95 worst=$wHi")
+    assert(wHi < wLo, "higher quality must reconstruct better")
+  }
+
   test("corrupt inputs fail loudly") {
     val good = encode(gradient(16, 16), 0.9f)
     intercept[IllegalArgumentException] {
