@@ -151,10 +151,11 @@ object JpegCodec {
     * (samples, quality) — byte-deterministic across JVMs.
     */
   def encodeGray(width: Int, height: Int, samples: Array[Int],
-      quality: Int = 85): Array[Byte] = {
+      quality: Int = 85, restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && samples.length == width * height,
       "bad encode dimensions")
     require(quality >= 1 && quality <= 100, s"quality $quality")
+    require(restartInterval >= 0, s"restartInterval $restartInterval")
     // libjpeg quality scaling of the Annex K table
     val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
     val q = annexKLum.map(v =>
@@ -183,6 +184,7 @@ object JpegCodec {
     w8(0x10) // AC table 0
     (1 to 16).foreach(l => w8(if (l == 8) acSyms.length else 0))
     acSyms.foreach(w8)
+    if (restartInterval > 0) { marker(0xdd); w16(4); w16(restartInterval) }
     marker(0xda); w16(6 + 2); w8(1); w8(1); w8(0x00) // SOS
     w8(0); w8(63); w8(0)
     val acCode = acSyms.zipWithIndex.toMap
@@ -208,13 +210,28 @@ object JpegCodec {
     }
     def putCoeff(v: Int, t: Int): Unit =
       if (t > 0) putBits(if (v < 0) v + (1 << t) - 1 else v, t)
+    // byte-align (pad with 1s) — used before restart markers and EOI
+    def flushBits(): Unit = if (cnt > 0) {
+      cur = (cur << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
+      w8(cur)
+      if ((cur & 0xff) == 0xff) w8(0x00)
+      cur = 0; cnt = 0
+    }
     val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
     val coefZ = new Array[Int](64)
     var pred = 0
+    var mcuIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % restartInterval == 0) {
+          flushBits()
+          marker(0xd0 + ((mcuIdx / restartInterval - 1) % 8))
+          pred = 0
+        }
+        mcuIdx += 1
         // FDCT of the (edge-replicated) 8×8 block
         var v = 0
         while (v < 8) {
@@ -265,11 +282,7 @@ object JpegCodec {
       }
       my += 1
     }
-    if (cnt > 0) { // pad final byte with 1s
-      cur = (cur << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
-      w8(cur)
-      if ((cur & 0xff) == 0xff) w8(0x00)
-    }
+    flushBits()
     marker(0xd9) // EOI
     out.toByteArray
   }

@@ -177,6 +177,36 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(wHi < wLo, "higher quality must reconstruct better")
   }
 
+  test("restart markers round-trip through both decoders") {
+    // RSTn was live-but-untested decoder code until this: encode with a
+    // 3-MCU restart interval (several RST0..RSTn cycles across 30
+    // MCUs), then require BOTH ImageIO and our decoder read it and
+    // agree — proving the byte-align + DC-predictor-reset path on each
+    // side of the codec
+    val (w, h) = (48, 40) // 6x5 = 30 MCUs, interval 3 -> 9 markers
+    val src = graySamples(w, h)
+    val bytes = JpegCodec.encodeGray(w, h, src, quality = 88,
+      restartInterval = 3)
+    assert(bytes.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 &&
+        (p(1) & 0xff) <= 0xd7) >= 9, "expected RSTn markers in stream")
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null && ref.getWidth == w, "ImageIO rejected RST stream")
+    val got = JpegCodec.decode(bytes)
+    var worstCross = 0
+    var worstSrc = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ref.getRaster.getSample(x, y, 0)
+      worstCross = math.max(worstCross,
+        math.abs((got.rgb(y * w + x) & 0xff) - r))
+      worstSrc = math.max(worstSrc, math.abs(r - src(y * w + x)))
+    }
+    info(s"restart stream: cross-decoder worst=$worstCross, " +
+      s"reconstruction worst=$worstSrc")
+    assert(worstCross <= 2, s"decoders disagree by $worstCross")
+    assert(worstSrc <= 12, s"reconstruction off by $worstSrc")
+  }
+
   test("corrupt inputs fail loudly") {
     val good = encode(gradient(16, 16), 0.9f)
     intercept[IllegalArgumentException] {
