@@ -421,6 +421,62 @@ object SqlSurfaceQueries {
   // jumping fixpoint, d9/g8) and the frontier BFS loops (g2/g9) are
   // the engine-native cycle-safe closures.
 
+  /** X296: SQL PIPE SYNTAX (`|>`, new in Spark 4.0 — SPARK-49555, the
+    * GoogleSQL pipe-operator surface): the same relational program
+    * written as a top-to-bottom pipeline — FROM |> WHERE |> AGGREGATE
+    * … GROUP BY |> ORDER BY — instead of inside-out ANSI nesting.
+    * DuckDB has no pipe syntax, so this is not a shared-string row:
+    * the oracle is the ANSI spelling of the identical program, proving
+    * the two SURFACES execute to the identical result on Spark vs the
+    * ANSI text on DuckDB. Pipe AGGREGATE emits grouping columns first,
+    * then aggregates — pinned by the value compare. Money in exact
+    * integer cents; one scan + one hash aggregate, same plan class as
+    * the ANSI spelling (Catalyst parses pipes into the same logical
+    * plan).
+    */
+  private val pipeSql = """
+    FROM orders
+    |> WHERE o_totalprice > 100000
+    |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+       GROUP BY o_orderpriority
+    |> ORDER BY o_orderpriority"""
+
+  private val sql13 = Q(
+    "sql13_pipe_syntax",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(pipeSql) },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+            FROM orders WHERE o_totalprice > 100000
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** X297: LATERAL COLUMN ALIAS as the 13th shared-string surface row —
+    * a SELECT item referencing an alias defined EARLIER in the same
+    * list (Spark 3.4+'s implicit lateral alias resolution; DuckDB
+    * supports the same GoogleSQL-ism), chained THREE levels deep
+    * (cents → after_fee → bucket) so one engine falling back to the
+    * underlying column instead of the alias chain flips the values.
+    * The idiom matters for migrations: pandas/dbt-generated SQL leans
+    * on it heavily, and the classic ANSI workaround is a nested
+    * subquery per level. All-integer outputs; zero-shuffle scan +
+    * one rangepartition for the total order.
+    */
+  private val lcaSql = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           cents - 500 AS after_fee,
+           after_fee % 97 AS bucket
+    FROM orders
+    ORDER BY o_orderkey"""
+
+  private val sql14 = Q(
+    "sql14_lateral_column_alias",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(lcaSql) },
+    Some(lcaSql))
+
   def all: Seq[Q] =
-    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9, sql10, sql11, sql12)
+    Seq(sql1, sql2, sql3, sql4, sql5, sql6, sql7, sql8, sql9, sql10,
+      sql11, sql12, sql13, sql14)
 }
