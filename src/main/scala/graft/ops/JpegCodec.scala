@@ -329,6 +329,10 @@ object JpegCodec {
             sof != 0xc8 && sof != 0xcc =>
           throw new IllegalArgumentException(
             f"unsupported JPEG SOF marker 0x$sof%02x — baseline only")
+        case 0xcc => // DAC: arithmetic coding even under a baseline SOF0
+          throw new IllegalArgumentException(
+            "arithmetic-coded JPEG (DAC marker) not supported — " +
+              "Huffman baseline only")
         case 0xc4 => // DHT (possibly several tables)
           val len = u16(); val end = pos + len - 2
           while (pos < end) {
@@ -363,6 +367,10 @@ object JpegCodec {
             val c = comps.find(_.id == id).getOrElse(
               throw new IllegalArgumentException(s"unknown scan comp $id"))
             c.td = tdta >> 4; c.ta = tdta & 15
+            require(dcT(c.td) != null && acT(c.ta) != null,
+              s"scan component $id references Huffman tables " +
+                s"(dc=${c.td}, ac=${c.ta}) that were never defined — " +
+                "corrupt or non-Huffman stream")
             i += 1
           }
           pos += 3 // Ss, Se, Ah/Al — fixed for baseline

@@ -54,12 +54,20 @@ case class LmmFit(beta: Array[Double], psi: Array[Array[Double]],
   */
 object MixedLm {
 
-  /** One pass over `df` → per-group Gram/moment statistics. */
+  /** One pass over `df` → per-group Gram/moment statistics.
+    *
+    * Rows with a null in `yCol` or any of `xCols` are dropped HERE, not
+    * left to the caller: `count` vs null-skipping `sum` would otherwise
+    * produce an inconsistent (n, S) set — n too large relative to the
+    * sums — and a silently biased fit. Listwise deletion is also what
+    * statsmodels' `MixedLM(missing='drop')` does.
+    */
   def groupStats(df: DataFrame, groupCol: String, yCol: String,
       xCols: Seq[String]): Dataset[LmmGroupStats] = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = xCols.length
+    val dfc = df.na.drop(yCol +: xCols)
     val aggs =
       Seq(count(lit(1)).cast("double").as("n"),
         sum(col(yCol) * col(yCol)).as("syy")) ++
@@ -67,7 +75,7 @@ object MixedLm {
         sum(col(c) * col(yCol)).as(s"sxy_$i") } ++
       (for (i <- 0 until p; j <- 0 until p if j >= i)
         yield sum(col(xCols(i)) * col(xCols(j))).as(s"sxx_${i}_$j"))
-    df.groupBy(col(groupCol).cast("string").as("g"))
+    dfc.groupBy(col(groupCol).cast("string").as("g"))
       .agg(aggs.head, aggs.tail: _*)
       .map { r =>
         val sxy = Array.tabulate(p)(i => r.getAs[Double](s"sxy_$i"))
@@ -105,12 +113,15 @@ object MixedLm {
     var sigma2 = math.max(1e-12,
       (g0(p * p + p) - 2.0 * dotv(beta, sxyT) + quad(beta, sxxT, p)) / bigN)
     var psi = Array.tabulate(q, q)((i, j) => if (i == j) sigma2 else 0.0)
-    var cBeta = a0
+    // cBeta is a COVARIANCE from the first read — invert the ridged Gram
+    // here so a maxIters=0 call still returns Cov(β̂)≈σ²(X'X)⁻¹-shaped
+    // output, not the precision matrix.
+    var cBeta = invSmall(a0).map(_.map(_ * sigma2))
     var it = 0
     var done = false
     while (it < maxIters && !done) {
       val psiInv = invSmall(psi)
-      val (s2c, psiC, cbC) = (sigma2, psiInv, cBeta) // stable closures
+      val (s2c, psiC) = (sigma2, psiInv) // stable closures
       val betaC = beta
       // ---- pass A: assemble the p×p GLS system Σ X'V⁻¹X, Σ X'V⁻¹y ----
       val pa = stats.map { s =>

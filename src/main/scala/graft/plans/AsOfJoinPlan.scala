@@ -45,8 +45,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * Restrictions (asserted at construction): key and time must be
   * integral/timestamp-typed (both are Long-backed internally) and the
   * two sides must carry disjoint expression ids (alias the right side's
-  * columns when self-joining one table). Null keys/times are not
-  * supported (the engine's testdata contract pins them non-null).
+  * columns when self-joining one table). Null keys/times follow DuckDB
+  * `ASOF LEFT JOIN` semantics: a null left key or time never matches
+  * (the row null-extends); a null right key or time is never a match
+  * candidate (skipped by the merge). Both are safe against the merge's
+  * sort invariants because Spark sorts nulls first under Ascending and
+  * last under Descending — the skip cases sit at a key-group boundary
+  * either way.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
@@ -84,8 +89,10 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir))
 
-  private def asLong(e: Expression, row: InternalRow): Long =
-    e.eval(row).asInstanceOf[Long]
+  /** Boxed eval: LongType eval already returns a boxed java.lang.Long,
+    * so the null check costs no extra allocation. */
+  private def evalLong(e: Expression, row: InternalRow): java.lang.Long =
+    e.eval(row).asInstanceOf[java.lang.Long]
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -113,34 +120,57 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
       val fwd = forward
       val tol = toleranceUs
       lIter.map { l =>
-        val lkv = asLong(lk, l)
-        val ltv = asLong(lt, l)
-        if (heldValid && heldKey != lkv) heldValid = false
-        var continue = rRow != null
-        while (continue) {
-          val rkv = asLong(rk, rRow)
-          val rtv = if (rkv == lkv) asLong(rt, rRow) else 0L
-          val eligible = rkv == lkv &&
-            (if (fwd) rtv >= ltv else rtv <= ltv)
-          if (rkv < lkv || eligible) {
-            if (eligible) {
-              // rows are reused by the upstream sort — copy to hold;
-              // the LAST eligible row consumed is the nearest one
-              // (greatest ≤ lt backward; smallest ≥ lt forward, since
-              // forward scans time-descending)
-              held = rRow.copy()
-              heldKey = rkv
-              heldTime = rtv
-              heldValid = true
+        val lkvB = evalLong(lk, l)
+        val ltvB = evalLong(lt, l)
+        if (lkvB == null || ltvB == null) {
+          // null left key/time never matches anything — null-extend
+          // (DuckDB ASOF LEFT JOIN). Sorted nulls-first/-last, so the
+          // held state for real keys is untouched.
+          joined(l, nullRight)
+          toUnsafe(joined)
+        } else {
+          val lkv = lkvB.longValue
+          val ltv = ltvB.longValue
+          if (heldValid && heldKey != lkv) heldValid = false
+          var continue = rRow != null
+          while (continue) {
+            var advance = false
+            val rkvB = evalLong(rk, rRow)
+            if (rkvB == null) advance = true // null right key: no one's match
+            else {
+              val rkv = rkvB.longValue
+              if (rkv < lkv) advance = true
+              else if (rkv == lkv) {
+                val rtvB = evalLong(rt, rRow)
+                if (rtvB == null) advance = true // null right time: skip —
+                // stopping here would strand eligible rows behind it in
+                // the nulls-first (backward) layout
+                else {
+                  val rtv = rtvB.longValue
+                  if (if (fwd) rtv >= ltv else rtv <= ltv) {
+                    // rows are reused by the upstream sort — copy to
+                    // hold; the LAST eligible row consumed is the
+                    // nearest one (greatest ≤ lt backward; smallest ≥
+                    // lt forward, since forward scans time-descending)
+                    held = rRow.copy()
+                    heldKey = rkv
+                    heldTime = rtv
+                    heldValid = true
+                    advance = true
+                  }
+                }
+              }
             }
-            rRow = if (rIter.hasNext) rIter.next() else null
-            continue = rRow != null
-          } else continue = false
+            if (advance) {
+              rRow = if (rIter.hasNext) rIter.next() else null
+              continue = rRow != null
+            } else continue = false
+          }
+          val matched = heldValid &&
+            tol.forall(t => math.abs(ltv - heldTime) <= t)
+          joined(l, if (matched) held else nullRight)
+          toUnsafe(joined)
         }
-        val matched = heldValid &&
-          tol.forall(t => math.abs(ltv - heldTime) <= t)
-        joined(l, if (matched) held else nullRight)
-        toUnsafe(joined)
       }
     }
   }

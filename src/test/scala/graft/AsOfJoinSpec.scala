@@ -142,6 +142,36 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $fwd")
   }
 
+  test("null keys/times: left nulls null-extend, right nulls never match") {
+    import spark.implicits._
+    // DuckDB ASOF LEFT JOIN semantics: NULL never compares equal, so a
+    // null left key/time emits the row null-extended, and a null right
+    // key/time is skipped by the merge WITHOUT stranding the eligible
+    // rows sorted after it (the nulls-first regression this test pins).
+    val l = Seq(
+      (1L, Some(10L), Some(250L)), // normal: matches rt=200
+      (2L, None, Some(250L)),      // null key -> null-extend
+      (3L, Some(10L), None),       // null time -> null-extend
+      (4L, Some(10L), Some(400L))  // after null-time right row -> rt=300
+    ).toDF("id", "key", "t")
+    val r = Seq(
+      (Some(10L), Some(200L), 2.0),
+      (Some(10L), None, 99.0),     // null right time: never a candidate
+      (Some(10L), Some(300L), 3.0),
+      (None, Some(100L), 98.0)     // null right key: never a candidate
+    ).toDF("rkey", "rt", "v")
+    val back = AsOf.join(l, r, "key", "t", "rkey", "rt")
+      .select(col("id"), col("v")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(back == Map(1L -> Some(2.0), 2L -> None, 3L -> None,
+      4L -> Some(3.0)), s"got $back")
+    val fwd = AsOf.join(l, r, "key", "t", "rkey", "rt", forward = true)
+      .select(col("id"), col("v")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(fwd == Map(1L -> Some(3.0), 2L -> None, 3L -> None,
+      4L -> None), s"got $fwd")
+  }
+
   test("builder loud-fails on shared exprIds, bad names, bad types") {
     import spark.implicits._
     val df = Seq((1L, 1L, "x")).toDF("key", "t", "s")

@@ -215,5 +215,32 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JpegCodec.decode(good.take(20)) // truncated before SOS
     }
+    // arithmetic coding under a baseline SOF0: a DAC segment spliced in
+    // right after SOI must die with the named error, not a later NPE
+    val dac = Array[Byte](0xff.toByte, 0xcc.toByte, 0, 4, 0, 0)
+    val spliced = good.take(2) ++ dac ++ good.drop(2)
+    val e = intercept[IllegalArgumentException] {
+      JpegCodec.decode(spliced)
+    }
+    assert(e.getMessage.contains("arithmetic"), e.getMessage)
+    // a scan referencing a Huffman slot that was never defined must fail
+    // at SOS with the named error, not decode garbage: strip every DHT
+    val noDht = {
+      val b = good
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      var i = 0
+      while (i < b.length) {
+        if (i + 3 < b.length && (b(i) & 0xff) == 0xff &&
+            (b(i + 1) & 0xff) == 0xc4) {
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          i += 2 + len
+        } else { out += b(i); i += 1 }
+      }
+      out.toArray
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(noDht)
+    }
+    assert(e2.getMessage.contains("never defined"), e2.getMessage)
   }
 }
