@@ -49,24 +49,27 @@ object Bench {
       val failedJson = failed.asScala.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-      // The driver's BENCH artifact preserves only a ~2.2 KB stdout tail.
-      // At 350 registry queries the full line is ~15 KB, so the tail
-      // keeps its END — the per-query map's tail — while the HEAD
-      // ("value":total) is cut off, leaving the driver's parsed field
-      // null (round 8). Two-line emission fixes it: the full line goes
-      // out first (and to the committed BENCH_LOCAL_r{N}.json file),
-      // then a compact <1 KB summary line LAST, so whatever tail window
-      // the driver keeps always ends with one complete, parseable JSON
-      // object carrying the headline total.
+      // The driver's BENCH artifact preserves only a ~2.2 KB stdout
+      // window of unknown direction. At 350 registry queries the full
+      // line is ~15 KB, so a tail capture cuts off its HEAD
+      // ("value":total) and a head capture its TAIL — either way the
+      // driver's parsed field goes null (rounds 8-9). Bench writes
+      // nothing else to stdout (Spark logs go to stderr), so emission
+      // order fully controls the capture: a compact <1 KB summary line
+      // goes out FIRST and again LAST, bracketing the full per-query
+      // line (which is also committed to BENCH_LOCAL_r{N}.json) —
+      // whichever end of stdout the driver keeps, it starts or ends
+      // with one complete, parseable JSON object carrying the total.
       val outFile =
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile), line + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-      println(line)
       val compact =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"nqueries":${ordered.size},"queries_file":"$outFile","failed":$failedJson,"sf":"$sfDir"}"""
+      println(compact)
+      println(line)
       println(compact)
       System.out.flush()
     }

@@ -34,13 +34,40 @@ object GraphQueries {
       .unionByName(e0.select(col("p2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
+  /** Nodes up to this count join as an explicit broadcast (16-byte
+    * (node, deg) rows: 4M ≈ 64 MB payload). The edge×degree and peel
+    * alive-set joins otherwise sit exactly at AQE's build-side decision
+    * boundary under full-bench cache pressure, and the run-to-run flip
+    * (SMJ↔BHJ) measured a 4–13 s swing on g6/g7 across rounds 8-9 —
+    * pinning the statically-knowable small side removes the dominant
+    * bench noise source. Size-aware like [[broadcastEdgeLimit]]: bigger
+    * node sets fall back to the plain equi-join.
+    */
+  private val broadcastNodeLimit = 4000000L
+
+  /** Degree table with the node count materialized once, so every
+    * degree join can pin its build side size-aware. */
+  private def sizedDegrees(e0: DataFrame): (DataFrame, Long) = {
+    val deg = degrees(e0).localCheckpoint()
+    (deg, deg.count())
+  }
+
+  private def maybeBroadcast(small: DataFrame, n: Long): DataFrame =
+    if (n <= broadcastNodeLimit) broadcast(small) else small
+
   /** Degree-oriented edge list (src, dst, ddst): each undirected edge
     * directed from its (deg, id)-smaller endpoint, the classic triangle
-    * orientation that bounds wedge fan-out by oriented OUT-degree. */
-  private def orientedEdges(e0: DataFrame, deg: DataFrame): DataFrame = {
+    * orientation that bounds wedge fan-out by oriented OUT-degree.
+    * `nNodes` pins the degree-join build side (see broadcastNodeLimit). */
+  private def orientedEdges(e0: DataFrame, deg: DataFrame,
+      nNodes: Long): DataFrame = {
     val withDeg = e0
-      .join(deg.select(col("node").as("p1"), col("deg").as("d1")), Seq("p1"))
-      .join(deg.select(col("node").as("p2"), col("deg").as("d2")), Seq("p2"))
+      .join(maybeBroadcast(
+        deg.select(col("node").as("p1"), col("deg").as("d1")), nNodes),
+        Seq("p1"))
+      .join(maybeBroadcast(
+        deg.select(col("node").as("p2"), col("deg").as("d2")), nNodes),
+        Seq("p2"))
     def before(dA: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
         dB: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       dA < dB || (dA === dB && a < b)
@@ -260,9 +287,8 @@ object GraphQueries {
     "g3_triangle_count",
     (s, dir) => {
       val e0 = coEdges(s, dir)
-      val deg = degrees(e0)
-      val oriented = orientedEdges(e0, deg)
-      val nNodes = deg.count()
+      val (deg, nNodes) = sizedDegrees(e0)
+      val oriented = orientedEdges(e0, deg, nNodes)
       val nEdges = e0.count()
       triangleCount(s, oriented, nEdges)
         .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
@@ -456,10 +482,10 @@ object GraphQueries {
     "g6_clustering_coefficient",
     (s, dir) => {
       val e0 = coEdges(s, dir)
-      val deg = degrees(e0)
+      val (deg, nNodes) = sizedDegrees(e0)
       val wedgeCount = deg.agg(
         sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
-      triangleCount(s, orientedEdges(e0, deg), e0.count())
+      triangleCount(s, orientedEdges(e0, deg, nNodes), e0.count())
         .crossJoin(broadcast(wedgeCount))
         .select(col("n_wedges"), col("n_triangles"),
           ((lit(3L) * col("n_triangles")).cast("double") /
@@ -525,12 +551,16 @@ object GraphQueries {
         .unionByName(eu.select(col("p2").as("src"), col("p1").as("dst")))
         .localCheckpoint()
       val trace = (1 to 4).map { r =>
+        // localCheckpoint + count the alive set so both semi-joins can
+        // pin their build side — the per-round AQE build-side flip on
+        // these joins was the other half of the g6/g7 bench swing
         val alive = e.groupBy("src").agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select("src")
+          .filter(col("d") >= k).select("src").localCheckpoint()
+        val aliveB = maybeBroadcast(alive, alive.count())
         e = e
-          .join(alive.withColumnRenamed("src", "ka"),
+          .join(aliveB.withColumnRenamed("src", "ka"),
             col("src") === col("ka")).drop("ka")
-          .join(alive.withColumnRenamed("src", "kb"),
+          .join(aliveB.withColumnRenamed("src", "kb"),
             col("dst") === col("kb")).drop("kb")
           .localCheckpoint()
         (r.toLong, e.select("src").distinct().count(), e.count() / 2)
