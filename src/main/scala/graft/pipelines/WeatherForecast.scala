@@ -8,19 +8,36 @@ import org.apache.spark.sql.expressions.Window
 case class RollRow(series: String, rn: Long, norm: Double, a: Double,
     b: Double, maxabs: Double, maxdate: Int)
 case class RollOut(series: String, date_idx: Int, pred: Double)
+/** One normalized observation for the LSTM path's group fold. */
+case class SeriesObs(series: String, date: Int, norm: Double,
+    maxabs: Double, maxdate: Int)
+/** Tagged union of the three output kinds one trained series emits. */
+case class ForecastOut(kind: String, series: String, date: Int,
+    date_idx: Int, pred: Double, actual: Double)
 
 /** The reference's per-location forecasting pipeline
-  * (weather_pred.py __main__, SURVEY.md §3.2) with the documented M5
-  * substitution (SURVEY §7.3 #3): the LSTM is replaced by a per-series
-  * closed-form AR(1) fit, but the protocol — series admission (A8),
-  * abs-max normalization (W8), train/test tail split (O3), one-step
-  * test evaluation + RMSE (M6), autoregressive future rollout (W7),
-  * de-normalization — and the output contract (pred_actual,
-  * future_pred, rsme_score) are the reference's.
+  * (weather_pred.py __main__, SURVEY.md §3.2), two model paths behind
+  * the same protocol — series admission (A8), abs-max normalization
+  * (W8), train/test tail split (O3), one-step test evaluation + RMSE
+  * (M6), autoregressive future rollout (W7), de-normalization — and
+  * the same output contract (pred_actual, future_pred, rsme_score):
   *
-  * Everything is one pass per stage over series partitioned by key:
-  * fits are groupBy sum-aggregates, the only typed fold is the rollout
-  * (inherently sequential).
+  *   - [[run]]: per-series closed-form AR(1) — the fast default
+  *     (documented substitution, SURVEY §7.3 #3): fits are pure groupBy
+  *     sum-aggregates, no iteration anywhere.
+  *   - [[runLstm]]: the reference's ACTUAL model — per-series LSTM(H) →
+  *     Dense(1, tanh) trained to convergence with full-batch adam and
+  *     EarlyStopping(patience, restore_best_weights)
+  *     ([[graft.ops.Lstm.trainSeries]], weather_pred.py:108-116,
+  *     304-311). One `groupByKey.flatMapGroups` over series: each
+  *     group task trains its own model single-threaded — the
+  *     reference's one-model-per-(country,state,feature) shape is
+  *     embarrassingly parallel across series, so a 1000-executor
+  *     cluster trains 1000 series at once with zero driver state and
+  *     zero shuffle beyond the one series partition. LstmTrainingSpec
+  *     proves the kernel (gradient vs finite differences; convergence
+  *     + committed-scale RMSE at the reference's exact 365/30/50
+  *     shape); PipelinesSpec drives this path end-to-end.
   */
 object WeatherForecast {
 
@@ -93,6 +110,76 @@ object WeatherForecast {
       .orderBy("series", "date_idx")
     (predActual.select("series", "date", "pred", "actual"), futurePred,
       rmseScore)
+  }
+
+  /** The LSTM path: same admission/normalization/split/rollout protocol
+    * as [[run]], with the per-series model trained for real inside its
+    * group task. `nSteps`/`hidden`/`epochs`/`patience` default to the
+    * reference's values (365/50/500/25); tests shrink them to fit the
+    * committed 180-day series.
+    *
+    * @return (predActual, futurePred, rmseScore) with [[run]]'s schemas
+    */
+  def runLstm(spark: SparkSession, series: DataFrame,
+      minRows: Int = 60, nTest: Int = 10, horizon: Int = 30,
+      nSteps: Int = 365, hidden: Int = 50, epochs: Int = 500,
+      patience: Int = 25): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val w = Window.partitionBy("series").orderBy("date")
+    val wAll = Window.partitionBy("series")
+    val admitted = series.withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("cnt") >= math.max(minRows, nSteps + nTest + 1))
+    val normed = admitted
+      .withColumn("maxabs", max(abs(col("value"))).over(wAll))
+      .withColumn("norm", col("value") / col("maxabs"))
+      .withColumn("maxdate", max("date").over(wAll))
+      .select(col("series"), col("date"), col("norm"), col("maxabs"),
+        col("maxdate"))
+      .as[SeriesObs]
+    val (h, st, te, ep, pa, hz) = (hidden, nSteps, nTest, epochs,
+      patience, horizon)
+    // ONE training per series; the tagged frame is persisted so the
+    // three output selects don't re-train. Bounded: (nTest + horizon
+    // + 1) rows per series.
+    val tagged = normed.groupByKey(_.series)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_.date)
+        val xs = rows.map(_.norm)
+        val maxabs = rows.head.maxabs
+        val (fit, rmse) = graft.ops.Lstm.trainSeries(xs, h, st, te, ep, pa,
+          seed = key.hashCode.toLong & 0x7fffffffL)
+        val wins = graft.ops.Lstm.splitSequence(xs, st)
+        val testWins = wins.takeRight(te)
+        val testRows = rows.takeRight(te) // targets of the last te windows
+        val pa0 = testWins.zip(testRows).map { case ((wxs, y), r) =>
+          ForecastOut("pa", key, r.date, 0,
+            graft.ops.Lstm.netPredict(wxs, fit.params, h) * maxabs,
+            y * maxabs)
+        }
+        val lastDate = java.time.LocalDate.parse(
+          rows.last.maxdate.toString,
+          java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+        val roll = graft.ops.Lstm.netRollout(
+          xs.takeRight(st), hz, fit.params, h)
+        val fp = roll.zipWithIndex.map { case (p, i) =>
+          ForecastOut("fp", key,
+            lastDate.plusDays(i + 1).format(
+              java.time.format.DateTimeFormatter.BASIC_ISO_DATE).toInt,
+            i, p * maxabs, 0.0)
+        }
+        (pa0 :+ ForecastOut("rs", key, 0, te, rmse, 0.0)) ++ fp
+      }.toDF().persist()
+    val predActual = tagged.filter(col("kind") === "pa")
+      .select(col("series"), col("date"), col("pred"),
+        col("actual"))
+    val futurePred = tagged.filter(col("kind") === "fp")
+      .select("series", "date", "date_idx", "pred")
+      .orderBy("series", "date_idx")
+    val rmseScore = tagged.filter(col("kind") === "rs")
+      .select(col("series"), round(col("pred"), 6).as("rmse"),
+        col("date_idx").cast("long").as("n_test"))
+      .orderBy("series")
+    (predActual, futurePred, rmseScore)
   }
 
   /** Runnable: drives the protocol with the committed forecast series

@@ -477,6 +477,13 @@ object MlQueries {
     * orders, one-step-ahead predict the held-out tail, report
     * per-customer test RMSE (the reference's per-series rsme_score).
     * Ref: weather_pred.py:283-384 (protocol), 83-84 (metric).
+    * Since round 10 the AR(1) is the HASH-CHECKABLE stand-in only:
+    * the real model trains to convergence in `ops/Lstm`
+    * (netWindowGrad/adamTrain — H-unit BPTT + full-batch adam +
+    * EarlyStopping, LstmTrainingSpec at the reference's 365/30/50
+    * shape) and `WeatherForecast.runLstm` is the per-series pipeline
+    * path; m5b/m5c keep the cell/gradient semantics under the DuckDB
+    * gate where a deterministic oracle exists.
     */
   private val m5 = Q(
     "m5_ar1_forecast",

@@ -211,4 +211,82 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp.filter(col("date_idx") < 0 || col("date_idx") > 29).count() == 0)
     assert(fp.filter(col("pred").isNull).count() == 0)
   }
+
+  /** The REAL model path (round-10: the pipeline no longer only
+    * substitutes): per-series LSTM training inside flatMapGroups, same
+    * protocol and output contract as the AR(1) path. Shrunk shape
+    * (60-step windows, 8 units, ≤80 epochs) because the committed
+    * series are 180 days — the reference-scale 365/50/500 convergence
+    * proof is LstmTrainingSpec's. Three series keep the test ~10 s.
+    */
+  test("LSTM pipeline path: trains per-series models, honors the output contract") {
+    import spark.implicits._
+    val src = spark.read.option("header", true).option("inferSchema", true)
+      .csv(s"$refDir/output/weather_output/future_pred.csv")
+      .select(concat(col("country"), lit(" : "), col("state")).as("series"),
+        col("date").cast("int").as("date"),
+        col("TAVG_pred").cast("double").as("value"))
+      .filter(col("series").isin("El Salvador : UNK", "Mozambique : UNK",
+        "Luxembourg : UNK"))
+    val (pa, fp, rs) = WeatherForecast.runLstm(spark, src,
+      minRows = 60, nTest = 10, horizon = 30,
+      nSteps = 60, hidden = 8, epochs = 80, patience = 15)
+    assert(rs.count() == 3)
+    assert(pa.count() == 30 && fp.count() == 90)
+    assert(fp.filter(col("pred").isNull).count() == 0)
+    assert(fp.filter(col("date_idx") < 0 || col("date_idx") > 29).count() == 0)
+    // every trained series produced a finite, sane normalized RMSE
+    val scores = rs.select("series", "rmse").as[(String, Double)]
+      .collect().toMap
+    assert(scores.values.forall(r => r >= 0 && r < 1.0 && !r.isNaN),
+      s"scores $scores")
+    info(s"per-series normalized test RMSE: $scores")
+    // predictions stay in the de-normalized value range (tanh head ×
+    // maxabs bounds |pred| by each series' abs-max)
+    val mx = src.agg(max(abs(col("value")))).first().getDouble(0)
+    assert(fp.filter(abs(col("pred")) > mx * 1.01).count() == 0)
+  }
+
+  /** VALUE parity against the committed future_pred.csv is impossible
+    * in principle — the golden is ONE DRAW of a nondeterministic
+    * process (Keras GlorotUniform inits from an unseeded global RNG,
+    * multi-threaded fit order, EarlyStopping on a nondeterministic
+    * val-loss trajectory, one independent model per series ×250;
+    * weather_pred.py:296-311 sets no seed anywhere). Re-running the
+    * REFERENCE itself yields different numbers, so no engine can
+    * hash-match the artifact. What IS deterministic — and therefore
+    * what this test pins — is the artifact's CONTRACT, verified here
+    * directly against the committed CSV: 250 series × 180 rows,
+    * date_idx 0..179 dense per series, dates advancing by exactly one
+    * calendar day, predictions present everywhere. The committed
+    * values themselves show why range isn't pinnable tightly: the
+    * un-normalized LSTM rollouts diverge to −196 K and +418 K on some
+    * series — free extrapolation, faithfully recorded. See SURVEY
+    * §7.4's documented-impossible note.
+    */
+  test("committed future_pred.csv contract: shape, density, date monotonicity") {
+    import spark.implicits._
+    val golden = spark.read.option("header", true).option("inferSchema", true)
+      .csv(s"$refDir/output/weather_output/future_pred.csv")
+      .select(concat(col("country"), lit(" : "), col("state")).as("series"),
+        col("date").cast("int").as("date"),
+        col("date_idx").cast("int").as("date_idx"),
+        col("TAVG_pred").cast("double").as("pred"))
+    assert(golden.count() == 45000)
+    assert(golden.filter(col("pred").isNull).count() == 0)
+    val perSeries = golden.groupBy("series")
+      .agg(count(lit(1)).as("n"), countDistinct("date_idx").as("nd"),
+        min("date_idx").as("lo"), max("date_idx").as("hi"))
+    assert(perSeries.count() == 250)
+    assert(perSeries.filter(col("n") =!= 180 || col("nd") =!= 180 ||
+      col("lo") =!= 0 || col("hi") =!= 179).count() == 0)
+    // consecutive date_idx steps are consecutive calendar days
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("series").orderBy("date_idx")
+    val steps = golden
+      .withColumn("d", to_date(col("date").cast("string"), "yyyyMMdd"))
+      .withColumn("gap", datediff(col("d"), lag("d", 1).over(w)))
+      .filter(col("gap").isNotNull)
+    assert(steps.filter(col("gap") =!= 1).count() == 0)
+  }
 }
