@@ -114,6 +114,9 @@ object PngCodec {
   /** Decoded grayscale image: row-major pixel bytes. */
   final case class Gray(width: Int, height: Int, pixels: Array[Byte])
 
+  /** Decoded truecolor image: row-major interleaved RGB bytes. */
+  final case class Rgb(width: Int, height: Int, rgb: Array[Byte])
+
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
@@ -159,18 +162,67 @@ object PngCodec {
       s"unsupported PNG variant: depth=$bitDepth colorType=$colorType " +
         "(8-bit grayscale only)")
     val raw = inflate(idat.toByteArray, height * (width + 1))
-    val out = new Array[Byte](width * height)
-    var prior = new Array[Int](width)
+    Gray(width, height, decodeScanlines(raw, width, height, 1))
+  }
+
+  /** Decode a real 8-bit truecolor PNG byte stream — the read-back half
+    * of [[encodeRgb]] (the chart sink's format) with the same
+    * loud-fail posture as [[decodeGray]]. Filter reconstruction is
+    * shared; the only difference is bytes-per-pixel = 3 (the `a`/`c`
+    * neighbors sit one PIXEL back, not one byte — PNG spec 9.2).
+    */
+  def decodeRgb(png: Array[Byte]): Rgb = {
+    require(png.length >= 8 && (0 until 8).forall(i => png(i) == signature(i)),
+      "not a PNG: bad signature")
+    var off = 8
+    var width = -1; var height = -1
+    var bitDepth = -1; var colorType = -1
+    val idat = new ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 8 <= png.length, "truncated chunk header")
+      val len = readBe32(png, off)
+      val typ = new String(png, off + 4, 4, "US-ASCII")
+      require(len >= 0 && off + 12 + len <= png.length,
+        s"truncated $typ chunk (len=$len)")
+      val crc = new CRC32()
+      crc.update(png, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBe32(png, off + 8 + len),
+        s"CRC mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          width = readBe32(png, off + 8); height = readBe32(png, off + 12)
+          bitDepth = png(off + 16) & 0xff; colorType = png(off + 17) & 0xff
+        case "IDAT" => idat.write(png, off + 8, len)
+        case "IEND" => done = true
+        case _ => ()
+      }
+      off += 12 + len
+    }
+    require(width > 0 && height > 0, "missing or empty IHDR")
+    require(bitDepth == 8 && colorType == 2,
+      s"unsupported PNG variant: depth=$bitDepth colorType=$colorType " +
+        "(8-bit truecolor only)")
+    val raw = inflate(idat.toByteArray, height * (3 * width + 1))
+    Rgb(width, height, decodeScanlines(raw, 3 * width, height, 3))
+  }
+
+  /** Shared five-type scanline reconstruction over `stride`-byte rows
+    * with `bpp` bytes per pixel. */
+  private def decodeScanlines(raw: Array[Byte], stride: Int, height: Int,
+      bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](stride * height)
+    var prior = new Array[Int](stride)
     var r = 0
     while (r < height) {
-      val ft = raw(r * (width + 1)) & 0xff
-      val cur = new Array[Int](width)
+      val ft = raw(r * (stride + 1)) & 0xff
+      val cur = new Array[Int](stride)
       var c = 0
-      while (c < width) {
-        val x = raw(r * (width + 1) + 1 + c) & 0xff
-        val a = if (c > 0) cur(c - 1) else 0
+      while (c < stride) {
+        val x = raw(r * (stride + 1) + 1 + c) & 0xff
+        val a = if (c >= bpp) cur(c - bpp) else 0
         val b = prior(c)
-        val d = if (c > 0) prior(c - 1) else 0
+        val d = if (c >= bpp) prior(c - bpp) else 0
         cur(c) = ft match {
           case 0 => x
           case 1 => (x + a) & 0xff
@@ -180,12 +232,12 @@ object PngCodec {
           case t => throw new IllegalArgumentException(
             s"bad scanline filter type $t at row $r")
         }
-        out(r * width + c) = cur(c).toByte
+        out(r * stride + c) = cur(c).toByte
         c += 1
       }
       prior = cur
       r += 1
     }
-    Gray(width, height, out)
+    out
   }
 }

@@ -1864,21 +1864,33 @@ object PipelineQueries {
             FROM ordered o CROSS JOIN chosen c
             ORDER BY o.source"""))
 
-  /** PLT1 — reference S4, the LAST inventory gap, closed: the plot
-    * sink (covid_simulator.py:298-319,535-538,630-651 renders
-    * per-location time-series line charts to PNG files). Here the
-    * per-event-type daily-count series are rasterized by
-    * [[graft.ops.PlotSink]] (integer Bresenham polylines, axis frame,
-    * fixed palette — no plotting library) into REAL truecolor PNGs via
+  /** PLT1 — reference S4, the plot sink
+    * (covid_simulator.py:298-319,535-538,630-651 renders per-location
+    * time-series line charts to PNG files). The per-event-type
+    * daily-count series are rasterized by [[graft.ops.PlotSink]]
+    * (integer Bresenham polylines, axis frame, fixed palette — no
+    * plotting library) into REAL truecolor PNGs via
     * [[graft.ops.PngCodec.encodeRgb]], written executor-side one file
     * per group (`mapGroups` — the driver rasterizes nothing, which is
     * what makes a chart-per-location sink embarrassingly parallel at
-    * 100 TB). Rasterization has no SQL oracle, so like sk1 this row is
-    * rows-only BY NATURE; the real proof is PlotSinkSpec (ImageIO
-    * parses the bytes, per-pixel agreement, byte determinism, axis and
-    * palette structure) plus this row's in-flight facts: the written
-    * file length, the ImageIO-parsed dimensions of the bytes read BACK
-    * from disk, and the series pixel count.
+    * 100 TB).
+    *
+    * HASH-CHECKED since round 10 (it was rows-only): the written file
+    * is read BACK and decoded by the repo's own truecolor decoder
+    * ([[graft.ops.PngCodec.decodeRgb]] — chunk CRCs, zlib inflate,
+    * scanline unfilter; ImageIO is no longer in the loop), and the row
+    * emits integer raster facts about the series-colored pixel set:
+    * count, and its bounding box. The DuckDB oracle never sees a byte
+    * of PNG — it REPLAYS THE CONSTRUCTION (the mm5 device) at pixel
+    * level: the same daily counts → the same integer vertex scaling
+    * (floor division for x, floor(r+0.5) for y — both engines compute
+    * the identical IEEE chain) → the EXACT Bresenham state machine
+    * (x, y, err) unrolled as a recursive CTE, one pixel per step, plus
+    * the 21-pixel legend tick → COUNT(DISTINCT pixel) and min/max.
+    * Any drift anywhere in rasterize → deflate → chunk → CRC → write →
+    * read → inflate → unfilter → scan breaks the hash. PlotSinkSpec
+    * still pins the byte-level properties (ImageIO cross-decode,
+    * determinism).
     */
   private val plt1 = Q(
     "plt1_timeseries_png_sink",
@@ -1908,28 +1920,107 @@ object PipelineQueries {
           val png = PlotSink.lineChart(Seq(etype -> ysPlot))
           val path = java.nio.file.Paths.get(s"$outDir/$etype.png")
           java.nio.file.Files.write(path, png)
-          // read BACK from the sink and parse with the independent
-          // reader — the emitted facts are about the file on disk
+          // read BACK from the sink and decode with the repo's own
+          // codec — the emitted facts are about the file on disk
           val bytes = java.nio.file.Files.readAllBytes(path)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"sink PNG for $etype unreadable")
+          val img = graft.ops.PngCodec.decodeRgb(bytes)
           val c = PlotSink.palette(0)
           var px = 0L
-          (0 until img.getHeight).foreach { y =>
-            (0 until img.getWidth).foreach { x =>
-              if ((img.getRGB(x, y) & 0xffffff) ==
-                ((c._1 << 16) | (c._2 << 8) | c._3)) px += 1
+          var xMin = Int.MaxValue; var xMax = Int.MinValue
+          var yMin = Int.MaxValue; var yMax = Int.MinValue
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              val i = 3 * (y * img.width + x)
+              if ((img.rgb(i) & 0xff) == c._1 &&
+                (img.rgb(i + 1) & 0xff) == c._2 &&
+                (img.rgb(i + 2) & 0xff) == c._3) {
+                px += 1
+                if (x < xMin) xMin = x
+                if (x > xMax) xMax = x
+                if (y < yMin) yMin = y
+                if (y > yMax) yMax = y
+              }
+              x += 1
             }
+            y += 1
           }
-          (etype, ys.length, bytes.length.toLong,
-            img.getWidth, img.getHeight, px)
+          require(px > 0, s"no series pixels decoded for $etype")
+          (etype, ys.length.toLong, img.width, img.height, px,
+            xMin, xMax, yMin, yMax)
         }
-        .toDF("event_type", "n_days", "png_bytes", "width", "height",
-          "series_px")
+        .toDF("event_type", "n_days", "width", "height", "series_px",
+          "x_min", "x_max", "y_min", "y_max")
         .orderBy("event_type")
     },
-    None) // rasterization has no SQL oracle; PlotSinkSpec is the proof
+    Some("""WITH RECURSIVE
+            daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            ord AS (
+              SELECT event_type, v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) - 1 AS i,
+                     count(*) OVER (PARTITION BY event_type) AS len,
+                     min(v) OVER (PARTITION BY event_type) AS lo,
+                     max(v) OVER (PARTITION BY event_type) AS hi
+              FROM daily),
+            verts AS (
+              SELECT event_type, i,
+                     CAST(30 + (i * 260) // (len - 1) AS INT) AS x,
+                     CAST(170 - CAST(floor((v - lo)
+                       / (CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END)
+                       * 140 + 0.5) AS INT) AS INT) AS y
+              FROM ord WHERE len >= 2
+              UNION ALL
+              SELECT event_type, 0, 30, 170 FROM ord WHERE len = 1
+              UNION ALL
+              SELECT event_type, 1, 290, 170 FROM ord WHERE len = 1),
+            segs AS (
+              SELECT a.event_type, a.i AS seg, a.x AS x0, a.y AS y0,
+                     b.x AS x1, b.y AS y1
+              FROM verts a JOIN verts b
+                ON a.event_type = b.event_type AND b.i = a.i + 1),
+            bres(event_type, seg, x, y, err, dx, dy, sx, sy, x1, y1) AS (
+              SELECT event_type, seg, x0, y0,
+                     abs(x1 - x0) - abs(y1 - y0),
+                     abs(x1 - x0), -abs(y1 - y0),
+                     CASE WHEN x0 < x1 THEN 1 ELSE -1 END,
+                     CASE WHEN y0 < y1 THEN 1 ELSE -1 END,
+                     x1, y1
+              FROM segs
+              UNION ALL
+              SELECT event_type, seg,
+                     x + CASE WHEN 2 * err >= dy THEN sx ELSE 0 END,
+                     y + CASE WHEN 2 * err <= dx THEN sy ELSE 0 END,
+                     err + CASE WHEN 2 * err >= dy THEN dy ELSE 0 END
+                         + CASE WHEN 2 * err <= dx THEN dx ELSE 0 END,
+                     dx, dy, sx, sy, x1, y1
+              FROM bres WHERE NOT (x = x1 AND y = y1)),
+            pix AS (
+              SELECT event_type, x, y FROM bres
+              UNION ALL
+              SELECT v.event_type, CAST(g.x AS INT), 15
+              FROM (SELECT DISTINCT event_type FROM verts) v
+              CROSS JOIN (SELECT unnest(range(30, 51)) AS x) g),
+            agg AS (
+              SELECT event_type,
+                     CAST(count(DISTINCT x * 200 + y) AS BIGINT)
+                       AS series_px,
+                     CAST(min(x) AS INT) AS x_min,
+                     CAST(max(x) AS INT) AS x_max,
+                     CAST(min(y) AS INT) AS y_min,
+                     CAST(max(y) AS INT) AS y_max
+              FROM pix GROUP BY 1),
+            nd AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+              FROM daily GROUP BY 1)
+            SELECT n.event_type, n.n_days, 320 AS width, 200 AS height,
+                   a.series_px, a.x_min, a.x_max, a.y_min, a.y_max
+            FROM nd n JOIN agg a USING (event_type)
+            ORDER BY event_type"""))
 
   /** X283 pl14: MERKLE DATASET FINGERPRINT — content-addressed corpus
     * versioning (the provenance primitive: "is this EXACTLY the corpus
