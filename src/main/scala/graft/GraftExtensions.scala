@@ -12,6 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - `graft_dot(a, b)`: codegen'd double-array dot product
   *    ([[graft.functions.DotProduct]]).
+  *  - `graft_gk_quantile(v, eps, phis)`: Greenwald–Khanna ε-quantile
+  *    sketch as a TypedImperativeAggregate — map-side partial sketches,
+  *    sketch-sized shuffle, merge-order-independent error bound
+  *    ([[graft.functions.GkQuantile]]).
   *  - [[graft.plans.BandJoinRewrite]]: rewrites `abs(l − r) <= δ`
   *    inner-join conditions into bucket-explode equi-joins, so the
   *    naive band-join predicate never executes as a nested loop.
@@ -27,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot"),
       (children: Seq[Expression]) =>
         graft.functions.DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gk_quantile"),
+      new ExpressionInfo(classOf[graft.functions.GkQuantile].getName,
+        "graft_gk_quantile"),
+      (children: Seq[Expression]) =>
+        graft.functions.GkQuantile(children(0), children(1), children(2))
+          .toAggregateExpression()))
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -407,5 +407,93 @@ object SketchQueries {
             FROM (SELECT h FROM merged WHERE rk = 64) m
             CROSS JOIN (SELECT h FROM direct WHERE rk = 64) d"""))
 
-  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4, sk5, sk6)
+  /** X298 sk7: GREENWALD–KHANNA ε-quantile sketch — the repo's own
+    * quantile summary ([[graft.ops.GkSketch]]) run as a native
+    * `TypedImperativeAggregate` (`graft_gk_quantile`, injected via
+    * `GraftExtensions`): Spark plans a real two-level aggregate, so
+    * each partition builds a local sketch, the shuffle carries only
+    * O((1/ε)·log(εn))-tuple serialized sketches, and the final merge
+    * combines partials with a rank-bracket merge whose `g+Δ ≤ 2εn`
+    * invariant survives ANY merge topology (GkSketchSpec proves the
+    * bound under left-deep, bushy, and persisted-partial merges).
+    * That is the 100 TB percentile: the exact `percentile` collects
+    * every value per group on one reducer; the sketch shuffles
+    * fixed-size state and GUARANTEES rank error ≤ ⌈εn⌉.
+    *
+    * Oracle posture (the sk2 device, rank-strengthened): GK witnesses
+    * are within-bound but merge-order-dependent, so the row hashes
+    * the deterministic parts — group, φ, n, the exact quantile — plus
+    * a VERDICT bit computed from exact ranks: the estimate's feasible
+    * rank interval [#\{v<est\}+1, #\{v≤est\}] must intersect
+    * ⌈φn⌉ ± ⌈0.02n⌉. Our side runs GK at ε=0.005 (guaranteed 4×
+    * inside the 2% gate); DuckDB checks its own t-digest
+    * `approx_quantile` against the same gate (measured ≤0.2% rank
+    * error here) — both engines pass their own sketch through the
+    * identical predicate, so the bits agree without the sketches
+    * agreeing. Both sides cast DECIMAL prices to DOUBLE before any
+    * quantile math (the m13 double-rounding lesson).
+    */
+  private val sk7 = Q(
+    "sk7_gk_quantile_mergeable",
+    (s, dir) => {
+      val phiArr = "array(0.25d, 0.5d, 0.75d, 0.95d)"
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").cast("double").as("v"))
+      val agg = o.groupBy("grp").agg(
+        expr(s"graft_gk_quantile(v, 0.005d, $phiArr)").as("est"),
+        expr(s"percentile(v, $phiArr)").as("ex"),
+        count(lit(1)).as("n"))
+      val est = agg
+        .select(col("grp"), col("n"),
+          posexplode(arrays_zip(col("est"), col("ex"))))
+        .select(col("grp"), col("n"),
+          element_at(expr(phiArr), col("pos") + 1).as("phi"),
+          col("col.est").as("e"), col("col.ex").as("exact_v"))
+      o.join(broadcast(est), "grp") // 20 estimate rows probe the scan
+        .groupBy("grp", "phi", "n", "e", "exact_v")
+        .agg(
+          sum(when(col("v") < col("e"), 1L).otherwise(0L)).as("rank_lo"),
+          sum(when(col("v") <= col("e"), 1L).otherwise(0L)).as("rank_hi"))
+        .select(col("grp"), col("phi"), col("n"),
+          round(col("exact_v"), 4).as("exact_q"),
+          (col("rank_lo") + 1 <= ceil(col("phi") * col("n"))
+              + ceil(lit(0.02) * col("n"))
+            && col("rank_hi") >= ceil(col("phi") * col("n"))
+              - ceil(lit(0.02) * col("n")))
+            .cast("int").as("gk_within_eps"))
+        .orderBy("grp", "phi")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS grp,
+                              CAST(o_totalprice AS DOUBLE) AS v
+                       FROM orders),
+            est AS (
+              SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                     CAST(phi AS DOUBLE) AS phi,
+                     CASE phi WHEN 0.25 THEN approx_quantile(v, 0.25)
+                              WHEN 0.5  THEN approx_quantile(v, 0.5)
+                              WHEN 0.75 THEN approx_quantile(v, 0.75)
+                              ELSE approx_quantile(v, 0.95) END AS e,
+                     CASE phi WHEN 0.25 THEN quantile_cont(v, 0.25)
+                              WHEN 0.5  THEN quantile_cont(v, 0.5)
+                              WHEN 0.75 THEN quantile_cont(v, 0.75)
+                              ELSE quantile_cont(v, 0.95) END AS exact_v
+              FROM o CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95))
+                AS p(phi)
+              GROUP BY grp, phi),
+            rk AS (
+              SELECT e.grp, e.phi, e.n, e.exact_v,
+                     sum(CASE WHEN o.v < e.e THEN 1 ELSE 0 END) AS rank_lo,
+                     sum(CASE WHEN o.v <= e.e THEN 1 ELSE 0 END) AS rank_hi
+              FROM est e JOIN o ON o.grp = e.grp
+              GROUP BY e.grp, e.phi, e.n, e.exact_v)
+            SELECT grp, phi, n, round(exact_v, 4) AS exact_q,
+                   CAST(CASE WHEN rank_lo + 1 <= ceil(phi * n)
+                                                 + ceil(0.02 * n)
+                              AND rank_hi >= ceil(phi * n)
+                                             - ceil(0.02 * n)
+                        THEN 1 ELSE 0 END AS INT) AS gk_within_eps
+            FROM rk ORDER BY grp, phi"""))
+
+  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4, sk5, sk6, sk7)
 }
