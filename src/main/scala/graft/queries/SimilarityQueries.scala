@@ -18,6 +18,9 @@ import org.apache.spark.sql.expressions.Window
   *    Spark and DuckDB compute bit-identical signatures.
   *  - s3: IVF-style coarse quantization — per-label centroids as the
   *    cell list, probe = 1 nearest cell, exact search inside the cell.
+  *  - s12: product quantization + ADC — per-subspace codebooks, codes
+  *    instead of vectors (64× memory compression), query-side lookup
+  *    tables instead of scan-side vector math.
   *
   * At 100 TB the s2/s3 plans shuffle once on the bucket/cell key and
   * broadcast the (tiny) query set; the corpus is never pairwise-joined.
@@ -797,5 +800,202 @@ object SimilarityQueries {
                       AS top1_same
              FROM ranked GROUP BY query_id ORDER BY query_id"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
+  // ---- s12: product quantization --------------------------------
+
+  private val pqM = 8       // subspaces
+  private val pqSubDim = 8  // dims per subspace (pqM * pqSubDim = dim)
+  private val pqK = 4       // codewords per subspace codebook
+  private val pqIters = 3   // Lloyd iterations per codebook
+
+  /** Per-subspace squared-L2 to a literal codeword, same operand order
+    * as the s5/m10 device (v·v − 2·(v·c) + c·c) so the exact-IEEE
+    * argmin matches DuckDB's replay. */
+  private def pqD2(sv: Column, cv: Seq[Double]): Column = {
+    val arr = array(cv.map(lit): _*)
+    dot(sv, sv) - lit(2.0) * dot(sv, arr) + dot(arr, arr)
+  }
+
+  private def pqArgmin(sv: Column,
+      codebook: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(codebook.map { case (cl, cv) =>
+      struct(pqD2(sv, cv).as("d2"), lit(cl).as("cluster"))
+    }: _*)).getField("cluster")
+
+  /** Train pqM independent codebooks with ONE Lloyd job per iteration:
+    * the corpus exploded to (vec_id, sub, sv) rows trains all
+    * subspaces in the same assignment pass (sub joins the group key),
+    * and the driver holds only pqM·pqK·pqSubDim = 256 doubles of
+    * centroid state per iteration — the KMeansOps collect-and-reembed
+    * shape, sub-sliced. Seeds: vectors vec_id < pqK, sliced per
+    * subspace (engine-neutral, same as the oracle's c0).
+    */
+  private def pqCodebooks(s: SparkSession,
+      dir: String): Map[Int, Seq[(Int, Seq[Double])]] = {
+    val e8 = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), vecDouble.as("v"))
+      .select(col("vec_id"), explode(array((0 until pqM).map(sb =>
+        struct(lit(sb).as("sub"),
+          slice(col("v"), sb * pqSubDim + 1, pqSubDim).as("sv"))): _*))
+        .as("z"))
+      .select(col("vec_id"), col("z.sub").as("sub"), col("z.sv").as("sv"))
+      .persist()
+    def collectCent(df: DataFrame): Map[Int, Seq[(Int, Seq[Double])]] =
+      df.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    var cent = collectCent(e8.filter(col("vec_id") < pqK)
+      .select(col("sub"), col("vec_id").cast("int").as("cluster"),
+        col("sv")))
+    for (_ <- 1 to pqIters) {
+      val assign = (0 until pqM)
+        .map(sb => (sb, pqArgmin(col("sv"), cent(sb))))
+        .foldRight(lit(-1): Column) { case ((sb, pick), els) =>
+          when(col("sub") === sb, pick).otherwise(els)
+        }
+      cent = collectCent(e8.withColumn("cluster", assign)
+        .select(col("sub"), col("cluster"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cluster", "pos").agg(avg("x").as("m"))
+        .groupBy("sub", "cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("cv")))
+    }
+    e8.unpersist()
+    cent
+  }
+
+  /** X299 s12: PRODUCT QUANTIZATION + ADC — the canonical
+    * billion-scale ANN memory path (Jégou et al., "Product
+    * quantization for nearest neighbor search"), completing the family
+    * next to s2 LSH, s3/s5 IVF, and s8 INT8: the 64-dim corpus is cut
+    * into 8 subspaces, each trained to its own 4-codeword k-means
+    * codebook (the s5 deterministic-Lloyd device, sub-sliced), and
+    * every vector is stored as 8 small codes — 64× less memory than
+    * the raw doubles, which is what lets a 100 TB corpus live in RAM.
+    * Search is Asymmetric Distance Computation: the query precomputes
+    * a 8×4 lookup table of partial squared-L2s to every codeword, and
+    * each corpus vector's approximate distance is just 8 table
+    * lookups summed — no vector math in the scan. Plan shape: codes
+    * are assigned scan-locally against literal codebooks (no shuffle),
+    * the 320-row LUT broadcasts, and the ADC sum is one map-side
+    * aggregate; IVF composition (probe s5's cells, then ADC inside)
+    * multiplies both prunings at scale.
+    *
+    * Determinism: partial distances are floored to integer
+    * MICRO-UNITS at the LUT (both engines floor(x·1e6 + 0.5) the
+    * identically-ordered IEEE expression), so the ADC sum is exact
+    * BIGINT arithmetic — order-free, hash-stable — and the top-3
+    * ranking tie-breaks on neighbor_id. The oracle replays seeding,
+    * 3 Lloyd iterations, encoding, LUT, and ADC from the parquet
+    * alone.
+    */
+  private val s12 = Q(
+    "s12_pq_adc",
+    (s, dir) => {
+      val cent = pqCodebooks(s, dir)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), vecDouble.as("v"))
+      val codes = e.select(col("vec_id"),
+        explode(array((0 until pqM).map { sb =>
+          val sv = slice(col("v"), sb * pqSubDim + 1, pqSubDim)
+          struct(lit(sb).as("sub"), pqArgmin(sv, cent(sb)).as("cluster"))
+        }: _*)).as("z"))
+        .select(col("vec_id"), col("z.sub").as("sub"),
+          col("z.cluster").as("cluster"))
+      val lut = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .select(col("query_id"), explode(array((for {
+          sb <- 0 until pqM
+          (cl, cv) <- cent(sb)
+        } yield {
+          val sv = slice(col("qv"), sb * pqSubDim + 1, pqSubDim)
+          struct(lit(sb).as("sub"), lit(cl).as("cluster"),
+            floor(pqD2(sv, cv) * lit(1000000.0) + lit(0.5))
+              .cast("long").as("pd2"))
+        }): _*)).as("z"))
+        .select(col("query_id"), col("z.sub").as("sub"),
+          col("z.cluster").as("cluster"), col("z.pd2").as("pd2"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("approx_d2_micro").asc, col("neighbor_id"))
+      codes.join(broadcast(lut), Seq("sub", "cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum("pd2").as("approx_d2_micro"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("approx_d2_micro"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val subD2 =
+        """list_sum(list_transform(sv, x -> x * x))
+          |        - 2 * list_sum(list_transform(list_zip(sv, c.cv),
+          |            p -> p[1] * p[2]))
+          |        + list_sum(list_transform(c.cv, x -> x * x))""".stripMargin
+      val sb = new StringBuilder
+      sb ++= s"""WITH e AS (
+                |  SELECT vec_id, $duckVec AS v FROM embeddings),
+                |e8 AS (
+                |  SELECT vec_id, t.sub,
+                |         list_slice(v, t.sub * $pqSubDim + 1,
+                |           (t.sub + 1) * $pqSubDim) AS sv
+                |  FROM e, range(0, $pqM) t(sub)),
+                |c0 AS (
+                |  SELECT sub, CAST(vec_id AS INT) AS cluster, sv AS cv
+                |  FROM e8 WHERE vec_id < $pqK)""".stripMargin
+      for (i <- 1 to pqIters) {
+        sb ++= s""",
+                  |a$i AS (
+                  |  SELECT vec_id, sub, sv, cluster FROM (
+                  |    SELECT e8.vec_id, e8.sub, e8.sv, c.cluster,
+                  |      row_number() OVER (PARTITION BY e8.vec_id, e8.sub
+                  |        ORDER BY $subD2, c.cluster) AS rn
+                  |    FROM e8 JOIN c${i - 1} c ON c.sub = e8.sub) q
+                  |  WHERE rn = 1),
+                  |m$i AS (
+                  |  SELECT sub, cluster, t.pos, avg(sv[t.pos]) AS m
+                  |  FROM a$i, range(1, ${pqSubDim + 1}) t(pos)
+                  |  GROUP BY 1, 2, 3),
+                  |c$i AS (
+                  |  SELECT sub, cluster, list(m ORDER BY pos) AS cv
+                  |  FROM m$i GROUP BY 1, 2)""".stripMargin
+      }
+      sb ++= s""",
+                |codes AS (
+                |  SELECT vec_id, sub, cluster FROM (
+                |    SELECT e8.vec_id, e8.sub, c.cluster,
+                |      row_number() OVER (PARTITION BY e8.vec_id, e8.sub
+                |        ORDER BY $subD2, c.cluster) AS rn
+                |    FROM e8 JOIN c$pqIters c ON c.sub = e8.sub) q
+                |  WHERE rn = 1),
+                |qs AS (
+                |  SELECT vec_id AS query_id, sub, sv FROM e8
+                |  WHERE vec_id < 10),
+                |lut AS (
+                |  SELECT qs.query_id, c.sub, c.cluster,
+                |    CAST(floor(($subD2) * 1000000 + 0.5) AS BIGINT) AS pd2
+                |  FROM (SELECT query_id, sub, sv FROM qs) qs
+                |  JOIN c$pqIters c ON c.sub = qs.sub),
+                |scored AS (
+                |  SELECT l.query_id, a.vec_id AS neighbor_id,
+                |         CAST(sum(l.pd2) AS BIGINT) AS approx_d2_micro
+                |  FROM codes a
+                |  JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
+                |  WHERE a.vec_id <> l.query_id
+                |  GROUP BY 1, 2),
+                |ranked AS (
+                |  SELECT query_id, neighbor_id, approx_d2_micro,
+                |    row_number() OVER (PARTITION BY query_id
+                |      ORDER BY approx_d2_micro, neighbor_id) AS rank
+                |  FROM scored)
+                |SELECT query_id, neighbor_id, approx_d2_micro, rank
+                |FROM ranked WHERE rank <= 3
+                |ORDER BY query_id, rank""".stripMargin
+      sb.toString
+    })
+
+  def all: Seq[Q] =
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12)
 }
