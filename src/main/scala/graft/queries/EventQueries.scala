@@ -1517,7 +1517,7 @@ object EventQueries {
             FROM seq WHERE t3 IS NOT NULL
             GROUP BY 1 ORDER BY n DESC, trigram LIMIT 15"""))
 
-  /** The 12 rows that execute REAL Structured Streaming micro-batches
+  /** The rows that execute REAL Structured Streaming micro-batches
     * (memory/foreachBatch sinks, checkpoints, watermark eviction). Their
     * wall-time is streaming-machinery latency, not engine throughput, so
     * Bench times them once (see [[graft.Q.timeOnce]]).
@@ -1529,7 +1529,8 @@ object EventQueries {
     "e18_stream_fmgws_equiv", "e19_stream_stream_join",
     "e20_stream_dedup_equiv", "e21_stream_static_enrich",
     "e23_stream_rate_limit", "e24_stream_stream_left_outer",
-    "e37_file_sink_txn_log", "e38_append_window_file_sink")
+    "e37_file_sink_txn_log", "e38_append_window_file_sink",
+    "e39_stream_quantile_sketch")
 
   /** E34 (X213, beyond the reference): TIME-TO-CONVERT distribution —
     * per user, latency from the FIRST view to the first purchase
@@ -1873,9 +1874,125 @@ object EventQueries {
                     <= mx.mt - INTERVAL 1 HOUR
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** X300 e39: STREAMING QUANTILES WITHOUT BUFFERING — the GK sketch
+    * (sk7's engine) as per-key RocksDB state under `transformWithState`
+    * ([[graft.streaming.QuantileSketchProcessor]]): the events table is
+    * staged into three time-ordered chunk files and replayed one per
+    * micro-batch, so the per-event-type sketch provably SURVIVES
+    * serialization between batches (three non-empty batches asserted
+    * loudly) and accumulates incrementally — the production p50/p95
+    * monitoring pattern where state is the sketch's log-sized tuple
+    * list, never the stream. Verdict posture (sk7's, streamed): the
+    * LAST emission per key (n strictly increasing) carries the final
+    * p50/p95 estimates, whose exact ranks over the batch table must
+    * land within ⌈φn⌉ ± ⌈0.02n⌉ (GK at ε=0.01 guarantees half the
+    * gate); the hash covers event_type, φ, n, the exact quantile, and
+    * the verdict bit. DuckDB passes its own t-digest through the
+    * identical predicate.
+    */
+  private val e39 = Q(
+    "e39_stream_quantile_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val base = System.getProperty("java.io.tmpdir") +
+          s"/graft_e39_${streamRun.incrementAndGet()}"
+        val fs = new Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base), true)
+        val inDir = s"$base/in"
+        fs.mkdirs(new Path(inDir))
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("value").cast("double").as("v"),
+            col("ts"), col("event_id"))
+        // three time-ordered chunks; sequential writes give strictly
+        // increasing mod-times so the file source replays them in order
+        val chunked = ev.withColumn("chunk",
+          ntile(3).over(Window.orderBy("ts", "event_id")))
+        for (c <- 1 to 3) {
+          val tmp = s"$base/stage_$c"
+          chunked.filter(col("chunk") === c).select("event_type", "v")
+            .coalesce(1).write.parquet(tmp)
+          val part =
+            fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(f"$inDir/chunk_$c%02d.parquet"))
+        }
+        val schema = s.read.parquet(s"$inDir/chunk_01.parquet").schema
+        val name = s"e39_sink_${streamRun.incrementAndGet()}"
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = graft.streaming.EventStreams.streamingTypeQuantiles(stream)
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val live = q.recentProgress.count(_.numInputRows > 0)
+        require(live == 3,
+          s"e39 expected 3 non-empty micro-batches (one per staged " +
+            s"chunk), got $live — sketch-state persistence across " +
+            "batches is not being exercised")
+        val w = Window.partitionBy("event_type").orderBy(col("n").desc)
+        val fin = s.table(name).withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("n"), col("q50"), col("q95"))
+        val est = fin.select(col("event_type"), col("n"),
+          explode(map(lit(0.5), col("q50"), lit(0.95), col("q95")))
+            .as(Seq("phi", "est")))
+        val exact = ev.groupBy("event_type")
+          .agg(expr("percentile(v, array(0.5d, 0.95d))").as("ex"))
+          .select(col("event_type"),
+            explode(map(lit(0.5), element_at(col("ex"), 1),
+              lit(0.95), element_at(col("ex"), 2)))
+              .as(Seq("phi", "exact_v")))
+        val joined = est.join(exact, Seq("event_type", "phi"))
+        ev.join(broadcast(joined), Seq("event_type"))
+          .groupBy("event_type", "phi", "n", "est", "exact_v")
+          .agg(
+            sum(when(col("v") < col("est"), 1L).otherwise(0L))
+              .as("rank_lo"),
+            sum(when(col("v") <= col("est"), 1L).otherwise(0L))
+              .as("rank_hi"))
+          .select(col("event_type"), col("phi"), col("n"),
+            round(col("exact_v"), 4).as("exact_q"),
+            (col("rank_lo") + 1 <= ceil(col("phi") * col("n"))
+                + ceil(lit(0.02) * col("n"))
+              && col("rank_hi") >= ceil(col("phi") * col("n"))
+                - ceil(lit(0.02) * col("n")))
+              .cast("int").as("stream_within_eps"))
+          .orderBy("event_type", "phi")
+      } finally
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    },
+    Some("""WITH o AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+                       FROM events),
+            est AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(phi AS DOUBLE) AS phi,
+                     CASE phi WHEN 0.5 THEN approx_quantile(v, 0.5)
+                              ELSE approx_quantile(v, 0.95) END AS e,
+                     CASE phi WHEN 0.5 THEN quantile_cont(v, 0.5)
+                              ELSE quantile_cont(v, 0.95) END AS exact_v
+              FROM o CROSS JOIN (VALUES (0.5), (0.95)) AS p(phi)
+              GROUP BY event_type, phi),
+            rk AS (
+              SELECT e.event_type, e.phi, e.n, e.exact_v,
+                     sum(CASE WHEN o.v < e.e THEN 1 ELSE 0 END) AS rank_lo,
+                     sum(CASE WHEN o.v <= e.e THEN 1 ELSE 0 END) AS rank_hi
+              FROM est e JOIN o ON o.event_type = e.event_type
+              GROUP BY e.event_type, e.phi, e.n, e.exact_v)
+            SELECT event_type, phi, n, round(exact_v, 4) AS exact_q,
+                   CAST(CASE WHEN rank_lo + 1 <= ceil(phi * n)
+                                                 + ceil(0.02 * n)
+                              AND rank_hi >= ceil(phi * n)
+                                             - ceil(0.02 * n)
+                        THEN 1 ELSE 0 END AS INT) AS stream_within_eps
+            FROM rk ORDER BY event_type, phi"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31, e32, e33, e34, e35, e36, e37, e38)
+      e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }

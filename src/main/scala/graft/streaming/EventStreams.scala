@@ -37,6 +37,42 @@ class RunningTotalsProcessor
   }
 }
 
+/** Per-event-type streaming quantile emission (top-level for Encoder
+  * derivation): total count plus the current GK p50/p95 estimates. */
+case class TypeQuantiles(event_type: String, n: Long, q50: Double,
+    q95: Double)
+
+/** Streaming quantiles WITHOUT buffering raw values: a
+  * [[graft.ops.GkSketch]] per key lives in the state store as its
+  * serialized bytes (one ValueState[Array[Byte]] handle), each
+  * micro-batch deserializes, inserts the batch's rows, re-serializes,
+  * and emits the current estimates — the production p50/p95 monitoring
+  * pattern. State per key is the sketch's O((1/ε)·log(εn)) tuples, NOT
+  * the stream: a stream 1000× longer carries (log-factor) near-equal
+  * state, while any exact streaming percentile would hold every value
+  * ever seen. The GK bound is insertion-order-independent, so the
+  * arbitrary per-batch arrival order never threatens the ⌈εn⌉ rank
+  * guarantee that e39 verifies against the batch-exact ranks.
+  */
+class QuantileSketchProcessor
+    extends StatefulProcessor[String, (String, Double), TypeQuantiles] {
+  @transient private var state: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Array[Byte]]("gk_sketch",
+      Encoders.BINARY, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+      timerValues: TimerValues): Iterator[TypeQuantiles] = {
+    val sk =
+      if (state.exists()) graft.ops.GkSketch.deserialize(state.get())
+      else new graft.ops.GkSketch(0.01)
+    rows.foreach { case (_, v) => sk.insert(v) }
+    state.update(sk.serialize())
+    Iterator.single(TypeQuantiles(key, sk.n, sk.query(0.5), sk.query(0.95)))
+  }
+}
+
 /** Structured Streaming surface. The reference is pure batch
   * (SURVEY.md §2.9), so streaming is an engine capability, not a parity
   * requirement: these transforms are written against an unbounded
@@ -145,6 +181,17 @@ object EventStreams {
     events.selectExpr("user_id", "value").as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-event-type streaming GK quantiles via [[QuantileSketchProcessor]];
+    * expects (event_type, v: double) columns. */
+  def streamingTypeQuantiles(events: DataFrame): Dataset[TypeQuantiles] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_type", "v").as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new QuantileSketchProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 
