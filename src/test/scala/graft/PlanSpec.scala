@@ -316,6 +316,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("graft_dot"), p.take(2000))
   }
 
+  test("sk7 GK sketch aggregates with map-side partial sketches " +
+      "(two ObjectHashAggregate levels around one exchange)") {
+    val p = plan("sk7_gk_quantile_mergeable")
+    // the custom TypedImperativeAggregate must plan as a REAL two-level
+    // aggregate: per-partition sketch build (partial_graft_gk_quantile)
+    // below the exchange, merge-eval above it — the shape that makes
+    // the shuffle carry serialized sketches instead of raw values
+    assert(p.contains("partial_graft_gk_quantile"), p.take(3000))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    // and the rank probe broadcasts the 20-row estimate table, never
+    // shuffling the orders scan for it
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("p17 skyline avoids the O(n^2) dominance join: no nested-loop " +
       "or cartesian anywhere, one window over price levels") {
     val p = plan("p17_pareto_frontier")
