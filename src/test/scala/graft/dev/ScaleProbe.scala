@@ -26,6 +26,7 @@ object ScaleProbe {
     if (args.headOption.contains("band")) { bandProbe(); return }
     if (args.headOption.contains("stream")) { streamProbe(); return }
     if (args.headOption.contains("sf1")) { sf1Probe(); return }
+    if (args.headOption.contains("sketch")) { sketchProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -511,6 +512,71 @@ object ScaleProbe {
           f"joins[bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
           f"shj=${c("ShuffledHashJoin")}]")
       }
+    }
+    spark.stop()
+  }
+
+  /** Sketch-vs-exact SHUFFLE BYTES (the 100 TB percentile claim made
+    * measurable): orders replicated 1×–64× (same priority groups, same
+    * price domain), then the same per-group quantile question answered
+    * two ways — `graft_gk_quantile` (map-side GK sketch partials) and
+    * exact `percentile` (whose partial aggregation buffers EVERY value
+    * into the shuffle). A task-metrics listener sums real shuffle
+    * bytes written per run. Claim: the sketch's shuffle stays
+    * sketch-sized (KBs, log-growth) at every scale while the exact
+    * side's shuffle grows ~m×, because it ships the data itself; at a
+    * 1000-executor scale that difference is the whole game.
+    * usage: Test/runMain graft.dev.ScaleProbe sketch
+    */
+  private def sketchProbe(): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    val o0 = spark.read.parquet(s"$src/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    val stride = o0.agg(max("o_orderkey")).first().getLong(0) + 1
+    for (m <- Seq(1, 4, 16, 64)) {
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_scale_sketch_x$m"
+      (0 until m).map(i => o0.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i * stride)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(dir)
+      val t = spark.read.parquet(dir)
+        .selectExpr("o_orderpriority AS grp",
+          "CAST(o_totalprice AS DOUBLE) AS v")
+      t.createOrReplaceTempView("sk_probe")
+      def run(name: String, sql: String): Unit = {
+        spark.sql(sql).collect() // warm (also compiles codegen)
+        Thread.sleep(500); bytes.set(0L)
+        val t0 = System.nanoTime()
+        spark.sql(sql).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the async listener bus drain
+        println(f"SKETCH x$m%-3d $name%-10s shuffleKB=${bytes.get / 1024}%-8d" +
+          f" $sec%6.2fs")
+      }
+      run("gk", """SELECT grp, graft_gk_quantile(v, 0.005d,
+                  |  array(0.25d, 0.5d, 0.75d, 0.95d)) AS q
+                  |FROM sk_probe GROUP BY grp""".stripMargin)
+      run("exact", """SELECT grp, percentile(v,
+                     |  array(0.25d, 0.5d, 0.75d, 0.95d)) AS q
+                     |FROM sk_probe GROUP BY grp""".stripMargin)
     }
     spark.stop()
   }
