@@ -1458,7 +1458,182 @@ object TextQueries {
                      AS roundtrip_ok
             FROM clean ORDER BY doc_id"""))
 
+  // ---- t28/t29: full BPE train + encode --------------------------
+
+  private val bpeMerges = 10
+
+  /** Clean training vocabulary: lowercase all-alpha words ≥2 chars with
+    * corpus frequencies (BPE trains on the WORD-FREQUENCY table, so
+    * every iteration's pair count is a vocabulary-sized aggregate, not
+    * a corpus scan — the property that keeps tokenizer training cheap
+    * at 100 TB). The alpha-only gate also removes every quoting/regex
+    * hazard from the merge-application literals on both engines. */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w0"))
+      .select(lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Driver-loop BPE training: `bpeMerges` iterations of (count all
+    * adjacent symbol pairs weighted by word frequency → argmax with
+    * lexicographic tie-break → merge that pair everywhere via leftmost
+    * non-overlapping replace). Driver state = the merge list (10
+    * strings); each iteration is one vocabulary-sized aggregate plus
+    * one collect of a single row — the k-means collect-and-reembed
+    * shape. Returns (merge list, final segmented vocabulary). */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var df = bpeWords(s, dir)
+      .withColumn("s", concat_ws(" ", split(col("w"), "")))
+      .persist()
+    df.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (it <- 1 to bpeMerges) {
+      val top = df
+        .select(col("cnt"), split(col("s"), " ").as("syms"))
+        .select(col("cnt"), col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("j"))
+        .select(col("cnt"),
+          element_at(col("syms"), col("j")).as("l"),
+          element_at(col("syms"), col("j") + 1).as("r"))
+        .groupBy("l", "r").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r) = (top.getString(0), top.getString(1))
+      merges += ((it, l, r, top.getLong(2)))
+      val old = df
+      df = df.withColumn("s", regexp_replace(col("s"),
+        lit(java.util.regex.Pattern.quote(l + " " + r)),
+        lit(java.util.regex.Matcher.quoteReplacement(l + r)))).persist()
+      df.count()
+      old.unpersist()
+    }
+    (merges.toSeq, df)
+  }
+
+  /** Shared DuckDB replay of the whole training loop: w0 (char-split
+    * vocabulary) then per iteration p$i (weighted pair argmax) and
+    * w$i (merge applied via leftmost non-overlapping replace — same
+    * semantics as Spark's regexp_replace of the quoted literal).
+    * Compose with a merge-table select (t28) or an encode join (t29). */
+  private def bpeDuckCtes: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words AS (
+             |  SELECT lower(w0) AS w, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w0
+             |    FROM documents) t
+             |  WHERE regexp_matches(lower(w0), '^[a-z]+$')
+             |    AND len(w0) >= 2
+             |  GROUP BY 1),
+             |w0 AS (
+             |  SELECT w, cnt,
+             |         array_to_string(string_split(w, ''), ' ') AS s
+             |  FROM words)""".stripMargin
+    for (i <- 1 to bpeMerges) {
+      sb ++= s""",
+                |p$i AS (
+                |  SELECT l, r, n FROM (
+                |    SELECT syms[j] AS l, syms[j + 1] AS r,
+                |           CAST(sum(cnt) AS BIGINT) AS n
+                |    FROM (SELECT cnt, string_split(s, ' ') AS syms
+                |          FROM w${i - 1}),
+                |         unnest(range(1, len(syms))) AS u(j)
+                |    GROUP BY 1, 2) t
+                |  ORDER BY n DESC, l, r LIMIT 1),
+                |w$i AS (
+                |  SELECT w, cnt,
+                |         replace(s, p.l || ' ' || p.r, p.l || p.r) AS s
+                |  FROM w${i - 1}, p$i p)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** X302 t28: BPE TOKENIZER TRAINING — the full iterative loop t14
+    * only seeds: 10 byte-pair merges learned from the word-frequency
+    * table (count every adjacent symbol pair weighted by word count →
+    * argmax, ties lexicographic → merge everywhere, leftmost
+    * non-overlapping), exactly the Sennrich et al. BPE algorithm.
+    * Learned symbols grow beyond characters ("th"+"e" → "the") because
+    * each iteration pairs over the PREVIOUS iteration's segmentation.
+    * Scale: training never touches the corpus after the first word
+    * count — every iteration is a vocabulary-sized aggregate (pair
+    * cardinality ≤ running-vocab², in practice tiny) plus a one-row
+    * collect; the driver holds 10 merge strings. The oracle replays
+    * all 10 iterations from parquet (argmax chain included), so the
+    * hash proves the exact learned merge TABLE, not a property.
+    */
+  private val t28 = Q(
+    "t28_bpe_train",
+    (s, dir) => {
+      val (merges, fin) = bpeTrain(s, dir)
+      fin.unpersist()
+      import s.implicits._
+      merges.toDF("iter", "l_sym", "r_sym", "n")
+        .orderBy("iter")
+    },
+    Some(bpeDuckCtes + s"""
+         |SELECT * FROM (
+         |${(1 to bpeMerges).map(i =>
+             s"  SELECT $i AS iter, l AS l_sym, r AS r_sym, n FROM p$i")
+             .mkString(" UNION ALL\n")}
+         |) ORDER BY iter""".stripMargin))
+
+  /** X303 t29: BPE ENCODE — applying the learned tokenizer to the
+    * corpus (the op every training run executes billions of times):
+    * each document's clean words join the trained segmentation table,
+    * so per-source token accounting (chars vs BPE tokens, compression
+    * ratio) comes from ONE vocabulary-keyed equi-join against the
+    * corpus scan — no per-document merge replay. The ratio is one IEEE
+    * division of two exact integer sums (order-free, cross-engine
+    * deterministic). At 100 TB: the segmentation table is
+    * vocabulary-sized (broadcastable), the corpus never shuffles.
+    */
+  private val t29 = Q(
+    "t29_bpe_encode",
+    (s, dir) => {
+      val (_, fin) = bpeTrain(s, dir)
+      val seg = fin.select(col("w"),
+        size(split(col("s"), " ")).as("n_tokens"))
+      val docw = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w0"))
+        .select(col("source"), lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      val out = docw.join(broadcast(seg), Seq("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("source"), col("n_words"), col("sum_chars"),
+          col("sum_tokens"),
+          round(col("sum_chars").cast("double")
+            / col("sum_tokens").cast("double"), 4).as("chars_per_token"))
+        .orderBy("source")
+      fin.unpersist()
+      out
+    },
+    Some(bpeDuckCtes + s""",
+         |seg AS (
+         |  SELECT w, len(string_split(s, ' ')) AS n_tokens
+         |  FROM w$bpeMerges),
+         |docw AS (
+         |  SELECT source, lower(w0) AS w FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w0
+         |    FROM documents) t
+         |  WHERE regexp_matches(lower(w0), '^[a-z]+$$')
+         |    AND len(w0) >= 2)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(d.w)) AS BIGINT) AS sum_chars,
+         |       CAST(sum(g.n_tokens) AS BIGINT) AS sum_tokens,
+         |       round(CAST(sum(len(d.w)) AS DOUBLE)
+         |         / CAST(sum(g.n_tokens) AS DOUBLE), 4) AS chars_per_token
+         |FROM docw d JOIN seg g USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
-      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
+      t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+      t29)
 }
