@@ -1632,8 +1632,109 @@ object TextQueries {
          |FROM docw d JOIN seg g USING (w)
          |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** X304 t30: BM25 RETRIEVAL — the canonical lexical ranking function
+    * (Robertson–Spärck Jones; the Lucene `ln(1 + (N−df+0.5)/(df+0.5))`
+    * IDF variant, k1=1.2 b=0.75) that t7's raw TF-IDF feeds in every
+    * search/dedup/quality pipeline: three fixed queries scored against
+    * the corpus, top-5 docs each. Plan shape at 100 TB: the query-term
+    * set broadcasts against ONE tokenization pass (an inverted-index
+    * equi-join whose fanout is term document-frequency), doc lengths
+    * are a one-pass aggregate, and nothing corpus-sized shuffles.
+    * Determinism: per-(query,term,doc) contributions are computed with
+    * identical IEEE op order on both engines, floored once to integer
+    * 1e-4 units, and summed as exact BIGINTs (the s12 posture) — so
+    * the cross-term sum is order-free and the ranking ties break on
+    * doc_id. All constants are written as decimal literals (2.2, not
+    * k1+1.0) so both engines parse the identical double.
+    */
+  private val t30 = Q(
+    "t30_bm25_retrieval",
+    (s, dir) => {
+      import s.implicits._
+      val qterms = Seq((1, "hash"), (1, "join"), (2, "window"),
+        (2, "agg"), (2, "stream"), (3, "vector"), (3, "scan"))
+        .toDF("query_id", "w")
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .as("w"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sd")).first()
+      val nDocs = st.getLong(0)
+      val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+      val tf = toks.join(broadcast(qterms), Seq("w"))
+        .groupBy("query_id", "w", "doc_id").agg(count(lit(1)).as("tf"))
+      val dfw = toks
+        .join(broadcast(qterms.select("w").distinct()), Seq("w"))
+        .groupBy("w").agg(countDistinct("doc_id").as("df"))
+      val contrib = tf.join(broadcast(dfw), Seq("w")).join(dl, Seq("doc_id"))
+        .withColumn("idf",
+          log((lit(nDocs.toDouble) - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("ci", floor(
+          col("idf") * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2)
+              * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+            * lit(10000.0) + lit(0.5)).cast("long"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_m").desc, col("doc_id"))
+      contrib.groupBy("query_id", "doc_id")
+        .agg(sum("ci").as("score_m"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score_m"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents) t
+              WHERE w <> ''),
+            qt AS (
+              SELECT * FROM (VALUES (1, 'hash'), (1, 'join'),
+                (2, 'window'), (2, 'agg'), (2, 'stream'),
+                (3, 'vector'), (3, 'scan')) v(query_id, w)),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM toks GROUP BY 1),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+            tf AS (
+              SELECT q.query_id, q.w, t.doc_id,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM toks t JOIN qt q ON q.w = t.w GROUP BY 1, 2, 3),
+            dfw AS (
+              SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks WHERE w IN (SELECT w FROM qt) GROUP BY 1),
+            contrib AS (
+              SELECT tf.query_id, tf.doc_id,
+                CAST(floor(
+                  ln((CAST(st.n_docs AS DOUBLE) - df + 0.5)
+                      / (df + 0.5) + 1.0)
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (0.25 + 0.75 * dl
+                      / (CAST(st.sum_dl AS DOUBLE)
+                         / CAST(st.n_docs AS DOUBLE))))
+                  * 10000.0 + 0.5) AS BIGINT) AS ci
+              FROM tf JOIN dfw USING (w) JOIN dl USING (doc_id)
+              CROSS JOIN st),
+            sc AS (
+              SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS score_m
+              FROM contrib GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id, doc_id, score_m,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_m DESC, doc_id) AS rank
+              FROM sc)
+            SELECT query_id, rank, doc_id, score_m
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29)
+      t29, t30)
 }
