@@ -22,10 +22,11 @@ case class ForecastOut(kind: String, series: String, date: Int,
   * (M6), autoregressive future rollout (W7), de-normalization — and
   * the same output contract (pred_actual, future_pred, rsme_score):
   *
-  *   - [[run]]: per-series closed-form AR(1) — the fast default
-  *     (documented substitution, SURVEY §7.3 #3): fits are pure groupBy
-  *     sum-aggregates, no iteration anywhere.
-  *   - [[runLstm]]: the reference's ACTUAL model — per-series LSTM(H) →
+  *   - [[runAr1]]: per-series closed-form AR(1) — the fast flag
+  *     (`model = "ar1"`; documented substitution, SURVEY §7.3 #3): fits
+  *     are pure groupBy sum-aggregates, no iteration anywhere.
+  *   - [[runLstm]]: the DEFAULT `model = "lstm"` — the reference's
+  *     ACTUAL model — per-series LSTM(H) →
   *     Dense(1, tanh) trained to convergence with full-batch adam and
   *     EarlyStopping(patience, restore_best_weights)
   *     ([[graft.ops.Lstm.trainSeries]], weather_pred.py:108-116,
@@ -41,9 +42,30 @@ case class ForecastOut(kind: String, series: String, date: Int,
   */
 object WeatherForecast {
 
-  /** @param series (series string, date int yyyyMMdd, value double)
+  /** The pipeline entry point. `model = "lstm"` (the default) is the
+    * reference's documented mode — per-series LSTM(H) trained to
+    * convergence ([[runLstm]]); `model = "ar1"` is the fast closed-form
+    * flag ([[runAr1]]) for smoke runs and series too short for the
+    * window shape. Both honor the identical output contract.
+    *
+    * @param series (series string, date int yyyyMMdd, value double)
     * @return (predActual, futurePred, rmseScore) */
   def run(spark: SparkSession, series: DataFrame,
+      minRows: Int = 60, nTest: Int = 10, horizon: Int = 30,
+      model: String = "lstm", nSteps: Int = 365, hidden: Int = 50,
+      epochs: Int = 500, patience: Int = 25)
+      : (DataFrame, DataFrame, DataFrame) = model match {
+    case "lstm" => runLstm(spark, series, minRows, nTest, horizon,
+      nSteps, hidden, epochs, patience)
+    case "ar1" => runAr1(spark, series, minRows, nTest, horizon)
+    case other => throw new IllegalArgumentException(
+      s"unknown forecast model '$other' (expected lstm or ar1)")
+  }
+
+  /** The fast closed-form path (model = "ar1").
+    * @param series (series string, date int yyyyMMdd, value double)
+    * @return (predActual, futurePred, rmseScore) */
+  def runAr1(spark: SparkSession, series: DataFrame,
       minRows: Int = 60, nTest: Int = 10, horizon: Int = 30)
       : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
@@ -201,7 +223,10 @@ object WeatherForecast {
       .select(concat(col("country"), lit(" : "), col("state")).as("series"),
         col("date").cast("int").as("date"),
         col("TAVG_pred").cast("double").as("value"))
-    val (pa, fp, rs) = run(spark, src)
+    // ar1 fast flag: the committed 180-day series cannot admit the
+    // LSTM default's 365-step windows; PipelinesSpec drives the lstm
+    // mode end-to-end at a window shape the committed series support.
+    val (pa, fp, rs) = run(spark, src, model = "ar1")
     println(s"PIPELINE weather pred_actual=${pa.count()} " +
       s"future_pred=${fp.count()} rsme_score=${rs.count()}")
     spark.stop()

@@ -202,7 +202,7 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("date").cast("int").as("date"),
         col("TAVG_pred").cast("double").as("value"))
     val (pa, fp, rs) = WeatherForecast.run(spark, src,
-      minRows = 60, nTest = 10, horizon = 30)
+      minRows = 60, nTest = 10, horizon = 30, model = "ar1")
     val nSeries = rs.count()
     assert(nSeries == 250) // the reference forecast 250 series
     assert(pa.count() == nSeries * 10)
@@ -212,25 +212,31 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp.filter(col("pred").isNull).count() == 0)
   }
 
-  /** The REAL model path (round-10: the pipeline no longer only
-    * substitutes): per-series LSTM training inside flatMapGroups, same
-    * protocol and output contract as the AR(1) path. Shrunk shape
-    * (60-step windows, 8 units, ≤80 epochs) because the committed
-    * series are 180 days — the reference-scale 365/50/500 convergence
-    * proof is LstmTrainingSpec's. Three series keep the test ~10 s.
+  /** The REAL model path — and the pipeline's DEFAULT mode since round
+    * 11: per-series LSTM training inside flatMapGroups through the
+    * `run(model = "lstm")` dispatcher, same protocol and output
+    * contract as the AR(1) flag. Window shape 120/16/≤250 because the
+    * committed series are 180 days (the reference-scale 365/50/500
+    * convergence proof is LstmTrainingSpec's); three real series keep
+    * the test bounded. Parity: per-series normalized test RMSE is
+    * joined against the reference's COMMITTED rsme_score.csv values for
+    * the SAME series (weather_pred.py:407-409 writes that artifact) and
+    * asserted comparable — committed: El Salvador 0.0515, Mozambique
+    * 0.0257, Luxembourg 0.0660.
     */
-  test("LSTM pipeline path: trains per-series models, honors the output contract") {
+  test("LSTM pipeline mode: trains per-series models, RMSE parity vs committed rsme_score.csv") {
     import spark.implicits._
+    val picked = Seq("El Salvador : UNK", "Mozambique : UNK",
+      "Luxembourg : UNK")
     val src = spark.read.option("header", true).option("inferSchema", true)
       .csv(s"$refDir/output/weather_output/future_pred.csv")
       .select(concat(col("country"), lit(" : "), col("state")).as("series"),
         col("date").cast("int").as("date"),
         col("TAVG_pred").cast("double").as("value"))
-      .filter(col("series").isin("El Salvador : UNK", "Mozambique : UNK",
-        "Luxembourg : UNK"))
-    val (pa, fp, rs) = WeatherForecast.runLstm(spark, src,
+      .filter(col("series").isin(picked: _*))
+    val (pa, fp, rs) = WeatherForecast.run(spark, src,
       minRows = 60, nTest = 10, horizon = 30,
-      nSteps = 60, hidden = 8, epochs = 80, patience = 15)
+      nSteps = 120, hidden = 16, epochs = 250, patience = 25)
     assert(rs.count() == 3)
     assert(pa.count() == 30 && fp.count() == 90)
     assert(fp.filter(col("pred").isNull).count() == 0)
@@ -240,7 +246,27 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toMap
     assert(scores.values.forall(r => r >= 0 && r < 1.0 && !r.isNaN),
       s"scores $scores")
-    info(s"per-series normalized test RMSE: $scores")
+    // committed rsme_score.csv parity for the same three series
+    val committed = spark.read.option("header", true)
+      .option("inferSchema", true)
+      .csv(s"$refDir/output/weather_output/rsme_score.csv")
+      .select(concat(col("country"), lit(" : "), col("state")).as("series"),
+        col("TAVG_rmse").cast("double").as("rmse_gold"))
+      .filter(col("series").isin(picked: _*))
+      .as[(String, Double)].collect().toMap
+    assert(committed.keySet == scores.keySet)
+    scores.foreach { case (k, r) =>
+      info(f"$k: ours $r%.4f vs committed ${committed(k)}%.4f")
+    }
+    // parity band: our seeded fit on 180-day series vs the reference's
+    // unseeded Keras draw on multi-year GHCN — same order of magnitude,
+    // each within 2.5x of its committed score and inside the committed
+    // corpus IQR ceiling (p75 = 0.0829 across all 250 series)
+    scores.foreach { case (k, r) =>
+      assert(r <= committed(k) * 2.5 + 1e-9,
+        f"$k: RMSE $r%.4f not comparable to committed ${committed(k)}%.4f")
+      assert(r <= 0.083, f"$k: RMSE $r%.4f above committed corpus p75")
+    }
     // predictions stay in the de-normalized value range (tanh head ×
     // maxabs bounds |pred| by each series' abs-max)
     val mx = src.agg(max(abs(col("value")))).first().getDouble(0)
