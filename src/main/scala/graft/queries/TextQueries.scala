@@ -1518,22 +1518,34 @@ object TextQueries {
     * w$i (merge applied via leftmost non-overlapping replace — same
     * semantics as Spark's regexp_replace of the quoted literal).
     * Compose with a merge-table select (t28) or an encode join (t29). */
-  private def bpeDuckCtes: String = {
+  private def bpeDuckCtes: String =
+    bpeChainCtes(
+      """words AS MATERIALIZED (
+        |  SELECT lower(w0) AS w, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w0
+        |    FROM documents) t
+        |  WHERE regexp_matches(lower(w0), '^[a-z]+$')
+        |    AND len(w0) >= 2
+        |  GROUP BY 1)""".stripMargin, bpeMerges)
+
+  /** The same replay chain over ANY `words(w, cnt)` unit table and
+    * iteration count — t28/t29 ride the unigram vocabulary; t31's
+    * prefix proof rides the cross-word bigram units. */
+  private def bpeChainCtes(wordsCte: String, n: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH words AS (
-             |  SELECT lower(w0) AS w, count(*) AS cnt FROM (
-             |    SELECT unnest(string_split(text, ' ')) AS w0
-             |    FROM documents) t
-             |  WHERE regexp_matches(lower(w0), '^[a-z]+$')
-             |    AND len(w0) >= 2
-             |  GROUP BY 1),
-             |w0 AS (
+    // MATERIALIZED is load-bearing: w$i references w${i-1} twice (once
+    // directly, once through p$i), so inlined CTEs re-evaluate the base
+    // 2^n times — at 12 levels over the sf0.01 bigram words table that
+    // is 4096 re-runs of the wpos self-join (>10 min); materialized,
+    // each level runs once (<1 s).
+    sb ++= s"""WITH $wordsCte,
+             |w0 AS MATERIALIZED (
              |  SELECT w, cnt,
              |         array_to_string(string_split(w, ''), ' ') AS s
              |  FROM words)""".stripMargin
-    for (i <- 1 to bpeMerges) {
+    for (i <- 1 to n) {
       sb ++= s""",
-                |p$i AS (
+                |p$i AS MATERIALIZED (
                 |  SELECT l, r, n FROM (
                 |    SELECT syms[j] AS l, syms[j + 1] AS r,
                 |           CAST(sum(cnt) AS BIGINT) AS n
@@ -1542,7 +1554,7 @@ object TextQueries {
                 |         unnest(range(1, len(syms))) AS u(j)
                 |    GROUP BY 1, 2) t
                 |  ORDER BY n DESC, l, r LIMIT 1),
-                |w$i AS (
+                |w$i AS MATERIALIZED (
                 |  SELECT w, cnt,
                 |         replace(s, p.l || ' ' || p.r, p.l || p.r) AS s
                 |  FROM w${i - 1}, p$i p)""".stripMargin
@@ -1733,8 +1745,82 @@ object TextQueries {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** The words(w, cnt) unit table for t31: SentencePiece-style
+    * cross-word units — adjacent clean-word bigrams joined with '_'
+    * (the printable stand-in for the '▁' boundary marker), adjacency
+    * taken on RAW token positions so both engines pair exactly the
+    * same neighbors. The synthetic corpus has a ~31-word vocabulary
+    * (unigram BPE exhausts at ~107 merges), while real tokenizers
+    * learn thousands of merges — cross-boundary units restore that
+    * scale honestly: ~857 distinct units, ≥856 merges available. */
+  private val bpeBigramCte =
+    """wpos AS MATERIALIZED (
+      |  SELECT doc_id, j, lower(ws[j]) AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents) t,
+      |       unnest(range(1, len(ws) + 1)) AS u(j)
+      |  WHERE regexp_matches(lower(ws[j]), '^[a-z]+$')
+      |    AND len(ws[j]) >= 2),
+      |words AS MATERIALIZED (
+      |  SELECT a.w || '_' || b.w AS w, count(*) AS cnt
+      |  FROM wpos a JOIN wpos b
+      |    ON a.doc_id = b.doc_id AND b.j = a.j + 1
+      |  GROUP BY 1)""".stripMargin
+
+  private val t31Prefix = 12
+
+  /** X305 t31: BPE AT A REAL MERGE COUNT — the production trainer.
+    * t28's driver loop is the cross-engine replay device (2 Spark jobs
+    * per merge ≈ 0.32 s/merge — right for proving 10 merges, wrong for
+    * the 32k a real tokenizer needs). This row runs the two-phase plan
+    * every real BPE trainer uses: ONE distributed pass builds the
+    * unit-frequency table (the only corpus touch; vocabulary-sized
+    * shuffle), then [[graft.ops.BpeTrainer]] trains up to 1000 merges
+    * task-locally over the collected table (~857 rows — bounded driver
+    * state, documented) with incremental pair-count updates — measured
+    * 810 merges (pair exhaustion) in 24 ms, ~0.03 ms/merge vs the
+    * driver loop's ~320 ms/merge: a ~10,000× rounds-per-merge win
+    * (BpeTrainerSpec pins the timing; SURVEY §8 the table). Training units are SentencePiece-style
+    * cross-word bigrams (see [[bpeBigramCte]]) because real merge
+    * counts need real symbol diversity. The row loud-fails below 500
+    * merges, and hashes the first 12 learned merges against the same
+    * DuckDB CTE replay chain that proves t28 — the fast trainer and
+    * the from-scratch replay provably compute the same function on the
+    * shared prefix (BpeTrainerSpec extends the agreement to all 1000
+    * vs a naive recount trainer). */
+  private val t31 = Q(
+    "t31_bpe_train_full",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("j0", "w0")))
+        .select(col("doc_id"), (col("j0") + 1).as("j"),
+          lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      val wnd = Window.partitionBy("doc_id").orderBy("j")
+      val units = toks
+        .withColumn("nj", lead("j", 1).over(wnd))
+        .withColumn("nw", lead("w", 1).over(wnd))
+        .filter(col("nj") === col("j") + 1)
+        .select(concat(col("w"), lit("_"), col("nw")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      val (merges, _) = graft.ops.BpeTrainer.train(units.toIndexedSeq, 1000)
+      require(merges.length >= 500,
+        s"BPE exhausted at ${merges.length} merges — unit table too small")
+      merges.take(t31Prefix).map(m => (m.iter, m.l, m.r, m.n))
+        .toDF("iter", "l_sym", "r_sym", "n").orderBy("iter")
+    },
+    Some(bpeChainCtes(bpeBigramCte, t31Prefix) + s"""
+         |SELECT * FROM (
+         |${(1 to t31Prefix).map(i =>
+             s"  SELECT $i AS iter, l AS l_sym, r AS r_sym, n FROM p$i")
+             .mkString(" UNION ALL\n")}
+         |) ORDER BY iter""".stripMargin))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30)
+      t29, t30, t31)
 }
