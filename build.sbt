@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward forked-JVM stdout RAW instead of through sbt's logger: the
+// round driver parses Bench's final JSON line from the process tail,
+// and sbt's "[info] " prefix breaks any line-oriented json.loads.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,6 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    sketch as a TypedImperativeAggregate — map-side partial sketches,
   *    sketch-sized shuffle, merge-order-independent error bound
   *    ([[graft.functions.GkQuantile]]).
+  *  - `graft_shingles(text, k)`: codegen'd table-valued GENERATOR
+  *    emitting distinct word k-grams with the per-doc set size — the
+  *    UDTF tier ([[graft.functions.ShingleGenerator]]).
   *  - [[graft.plans.BandJoinRewrite]]: rewrites `abs(l − r) <= δ`
   *    inner-join conditions into bucket-explode equi-joins, so the
   *    naive band-join predicate never executes as a nested loop.
@@ -38,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.GkQuantile(children(0), children(1), children(2))
           .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.ShingleGenerator].getName,
+        "graft_shingles"),
+      (children: Seq[Expression]) =>
+        graft.functions.ShingleGenerator(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -37,32 +37,25 @@ case class DocSet(doc_id: Long, nsh: Int, shs: Seq[String])
   */
 object DedupQueries {
 
-  /** (doc_id, n_shingles, shingle) exploded view of each document's
-    * DISTINCT word 3-grams.
+  /** (doc_id, nsh, sh) exploded view of each document's DISTINCT word
+    * 3-grams, via the native `graft_shingles` GENERATOR
+    * ([[graft.functions.ShingleGenerator]]) — one codegen'd Generate
+    * fused with the parquet scan.
     *
-    * Implementation note (measured at sf0.1, 5k docs): the
-    * higher-order-function spelling (split→filter→transform→
-    * array_distinct→explode) costs ~11 s PER EVALUATION because array
-    * lambdas are interpreted outside codegen, and multi-join plans
-    * evaluate the subtree several times; a posexplode+lead window
-    * variant costs 2.8 s but adds a shuffle. This mapPartitions
-    * flatMap is plain JVM string work: shuffle-free, ~10× cheaper, and
-    * the per-doc cost is what a 100 TB scan pays per document.
+    * Spelling history (measured at sf0.1, 5k docs): higher-order-
+    * function arrays ~11 s per evaluation (lambdas interpreted outside
+    * codegen, multi-join plans re-evaluate the subtree);
+    * posexplode+lead window 2.8 s but adds a shuffle; mapPartitions
+    * flatMap ~1.1 s (plain JVM work, but a typed ser/de boundary that
+    * breaks WholeStageCodegen around it). The generator keeps the JVM
+    * kernel AND the codegen fusion: scan → Generate → consumer in one
+    * span, no Dataset encode/decode per shingle row
+    * (ShingleGeneratorSpec proves bit-identity vs the mapPartitions
+    * spelling; PlanSpec pins the fused plan).
     */
-  private[queries] def shingled(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private[queries] def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.split(" ").filter(_.nonEmpty)
-        val shs =
-          if (toks.length < 3) Set.empty[String]
-          else toks.sliding(3).map(_.mkString(" ")).toSet
-        shs.iterator.map(sh => ShingleRow(id, shs.size, sh))
-      })
-      .toDF()
-  }
+      .select(col("doc_id"), expr("graft_shingles(text, 3)"))
 
   private[queries] val duckShingles =
     """list_distinct(list_transform(

@@ -96,6 +96,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("aggregate(zip_with"), p.take(3000))
   }
 
+  test("d3 shingle emission is a codegen'd native Generate fused with the " +
+      "scan - no typed ser/de boundary on the shingle path") {
+    val p = plan("d3_ngram_jaccard")
+    val gen = p.linesIterator.filter(_.contains("Generate graft_shingles"))
+      .toSeq
+    assert(gen.nonEmpty, p.take(3000))
+    // the UDTF rides inside a WholeStageCodegen span (star-annotated),
+    // unlike the retired mapPartitions spelling whose
+    // Deserialize/SerializeFromObject pair broke codegen around it
+    assert(gen.forall(l => l.indexOf("*(") >= 0 &&
+      l.indexOf("*(") < l.indexOf("Generate")), gen.mkString("\n"))
+    assert(!p.contains("DeserializeToObject"), p.take(3000))
+  }
+
   test("pl4 corpus prep fuses admission+redact+sample into one scan pass " +
       "with a map-side window group limit") {
     val p = plan("pl4_corpus_prep")

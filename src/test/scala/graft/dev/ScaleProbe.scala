@@ -25,6 +25,7 @@ object ScaleProbe {
     if (args.headOption.contains("asof")) { asofProbe(); return }
     if (args.headOption.contains("band")) { bandProbe(); return }
     if (args.headOption.contains("stream")) { streamProbe(); return }
+    if (args.headOption.contains("sf1wide")) { sf1WideProbe(); return }
     if (args.headOption.contains("sf1")) { sf1Probe(); return }
     if (args.headOption.contains("sketch")) { sketchProbe(); return }
     val queries =
@@ -676,6 +677,64 @@ object ScaleProbe {
       val split = df.queryExecution.executedPlan.toString.contains("skew=true")
       println(f"SKEW aqe_skewjoin=$on%-5s rep=$rep $sec%6.2fs " +
         f"skew_split=$split rows=${row.getLong(0)}")
+    }
+    spark.stop()
+  }
+
+  /** sf1-equivalent (10×) probe BEYOND the TPC-H headlines: the graph
+    * family's g1/g3 (disjoint supply-graph replicas — nodes AND edges
+    * grow 10×, crossing the 4M size-aware broadcast limits) and the
+    * dedup family's d4/d9 (document replicas), each with a physical
+    * plan fingerprint so the broadcast→shuffle transition at scale is
+    * OBSERVED, not assumed. The wedge-replica ladder exercises the
+    * node/edge limits synthetically; this runs the real registry rows
+    * across the limit. usage: Test/runMain graft.dev.ScaleProbe sf1wide
+    */
+  private def sf1WideProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    for (m <- Seq(1, 10)) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sf1w_x$m"
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val sStride = li.agg(max("l_suppkey")).first().getLong(0) + 1
+      val pStride = li.agg(max("l_partkey")).first().getLong(0) + 1
+      (0 until m).map(i => li
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * pStride)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val n = docs.count()
+      (0 until m).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * n))
+            .withColumn("text",
+              when(lit(i) === 0, col("text"))
+                .otherwise(concat(lit(s"rep$i "), col("text")))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      for (q <- Seq("g1_pagerank", "g3_triangle_count",
+        "d4_minhash_lsh", "d9_dedup_clusters")) {
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.executedPlan.toString
+        def c(s: String) = s.r.findAllMatchIn(plan).length
+        spark.catalog.clearCache()
+        println(f"SF1W x$m%-2d $q%-22s rows=$rows%-8d $sec%6.2fs " +
+          f"joins[bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
+          f"shj=${c("ShuffledHashJoin")} bex=${c("BroadcastExchange")}]")
+      }
     }
     spark.stop()
   }
