@@ -114,29 +114,52 @@ object GraphQueries {
   private def triangleCount(s: SparkSession, orientedE: DataFrame,
       nEdges: Long): DataFrame = {
     import s.implicits._
+    import graft.ops.LongBloom
+    val edgePk = orientedE
+      .select(shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("pk"))
+    // Broadcast Bloom over the edge pks, probed INSIDE the wedge kernel
+    // so non-triangle wedges die in their task instead of reaching the
+    // exchange. Found by the round-11 sf1wide probe: at 10× sf0.1 (12M
+    // edges past the broadcast limit) the unfiltered wedge equi-join
+    // shuffled ~350M longs, spilled >60 GB and filled the disk; with
+    // the ~0.6%-fpp prefilter the probe side is triangles + fpp·wedges
+    // (~100× smaller) and the join still confirms EXACTLY (Bloom has no
+    // false negatives). Built distributed (per-partition bit arrays,
+    // treeReduce OR) — the only driver/broadcast state is the bit set,
+    // 16 KB–32 MB by construction (LongBloom.sizeBits).
+    val nWords = LongBloom.sizeBits(nEdges) >>> 6
+    val bloomBc = s.sparkContext.broadcast(
+      edgePk.as[Long].rdd
+        .mapPartitions { it =>
+          val w = new Array[Long](nWords)
+          it.foreach(LongBloom.set(w, _))
+          Iterator.single(w)
+        }
+        .treeReduce(LongBloom.or, depth = 2))
     val wedgePk = orientedE
       .groupBy("src")
       .agg(sort_array(collect_list(struct(col("ddst"), col("dst")))).as("xs"))
       .select(col("xs"))
       .as[Seq[(Long, Long)]]
-      .mapPartitions(_.flatMap { xs =>
-        val a = xs.toArray // sorted by (ddst, dst) — the orientation order
-        val out = new scala.collection.mutable.ArrayBuffer[Long](
-          math.max(0, a.length * (a.length - 1) / 2))
-        var i = 0
-        while (i < a.length) {
-          var j = i + 1
-          while (j < a.length) {
-            out += (a(i)._2 << 32) | a(j)._2
-            j += 1
+      .mapPartitions { part =>
+        val bloom = bloomBc.value
+        part.flatMap { xs =>
+          val a = xs.toArray // sorted by (ddst, dst) — the orientation order
+          val out = new scala.collection.mutable.ArrayBuffer[Long]()
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length) {
+              val pk = (a(i)._2 << 32) | a(j)._2
+              if (LongBloom.test(bloom, pk)) out += pk
+              j += 1
+            }
+            i += 1
           }
-          i += 1
+          out
         }
-        out
-      })
+      }
       .toDF("pk")
-    val edgePk = orientedE
-      .select(shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("pk"))
     joinEdgeSet(wedgePk, edgePk, nEdges, "inner")
       .agg(count(lit(1)).as("n_triangles"))
   }

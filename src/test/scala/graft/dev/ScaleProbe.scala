@@ -706,7 +706,13 @@ object ScaleProbe {
       val li = spark.read.parquet(s"$src/lineitem.parquet")
       val sStride = li.agg(max("l_suppkey")).first().getLong(0) + 1
       val pStride = li.agg(max("l_partkey")).first().getLong(0) + 1
+      // orderkey MUST offset too: replicas sharing orderkeys put 10
+      // replicas' parts on the SAME order, so g3's per-order co-purchase
+      // self-join goes quadratic (measured: filled the disk) — that is a
+      // 100× workload, not the faithful 10× disjoint-graph shape
+      val oStride = li.agg(max("l_orderkey")).first().getLong(0) + 1
       (0 until m).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
           .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride))
           .withColumn("l_partkey", col("l_partkey") + lit(i * pStride)))
         .reduce(_ unionByName _)
