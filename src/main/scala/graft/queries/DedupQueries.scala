@@ -249,7 +249,10 @@ object DedupQueries {
   /** The shared CTE chain of the d4/d9 oracles: shingle sets → minhash
     * signatures → LSH bands → candidates → exact-verified pairs.
     */
-  private val duckLshPairCtes =
+  /** The side-agnostic prefix (shingle sets → signatures → bands) —
+    * shared by the self-join pair chain below and d23's incremental
+    * batch×corpus chain. */
+  private val duckLshBaseCtes =
     s"""sets AS (
        |  SELECT doc_id, $duckShingles AS shs FROM documents),
        |ex AS (
@@ -262,7 +265,10 @@ object DedupQueries {
        |bands AS (
        |  ${(0 until 4).map(j =>
             s"SELECT doc_id, $j AS band_idx, md5(mh${2 * j} || mh${2 * j + 1}) AS band_key FROM sigs")
-            .mkString(" UNION ALL ")}),
+            .mkString(" UNION ALL ")})""".stripMargin
+
+  private val duckLshPairCtes =
+    s"""$duckLshBaseCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -1536,7 +1542,109 @@ object DedupQueries {
                     CAST(sum(size - 1) AS BIGINT) AS n_removed
              FROM sizes GROUP BY size ORDER BY size"""))
 
+  /** X307 d23: INCREMENTAL DEDUP — the nightly-ingest posture every
+    * production corpus actually runs: a NEW BATCH (doc_id % 3 = 0)
+    * arrives against an already-indexed CORPUS (the rest), and the
+    * only near-dup question asked is batch×corpus. Candidates come
+    * from band collisions BETWEEN sides only — no batch×batch pairs
+    * (intra-batch dups are d4's separate job) and, critically, no
+    * corpus×corpus re-verification: at 100 TB the corpus signatures
+    * are a stored index written once at ingest (rebuilt here from the
+    * same parquet only because the proof needs both engines to derive
+    * them), so per-night work is O(batch) signature build + band
+    * equi-join against the index + exact verify on candidates. Emits
+    * the admission decision per batch doc: verified match count, best
+    * match (highest Jaccard, ties to the smallest corpus doc_id), and
+    * the admit bit the downstream writer consumes.
+    */
+  private val d23 = Q(
+    "d23_incremental_dedup",
+    (s, dir) => {
+      val sigs = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band_idx"),
+            md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
+              .as("band_key"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+      val isBatch = col("doc_id") % 3 === 0
+      val cand = bands.filter(isBatch).as("x")
+        .join(bands.filter(!isBatch).as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key"))
+        .select(col("x.doc_id").as("bdoc"), col("y.doc_id").as("cdoc"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val candDocs = cand
+        .select(explode(array(col("bdoc"), col("cdoc"))).as("doc_id"))
+        .distinct()
+      val candSets = shingleSets(s, dir)
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val a = candSets.select(col("doc_id").as("bdoc"),
+        col("nsh").as("na"), col("shs").as("shs_a"))
+      val b = candSets.select(col("doc_id").as("cdoc"),
+        col("nsh").as("nb"), col("shs").as("shs_b"))
+      val pairs = cand.join(a, Seq("bdoc")).join(b, Seq("cdoc"))
+        .withColumn("shared",
+          size(array_intersect(col("shs_a"), col("shs_b"))))
+        .withColumn("jaccard", round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("bdoc", "cdoc", "jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val agg = pairs.groupBy(col("bdoc").as("abdoc"))
+        .agg(count(lit(1)).as("n_dups"), max("jaccard").as("best_jaccard"))
+      val best = pairs.join(agg,
+          col("bdoc") === col("abdoc") &&
+            col("jaccard") === col("best_jaccard"))
+        .groupBy(col("bdoc").as("bdoc2"))
+        .agg(min("cdoc").as("best_match"))
+      Tables.load(s, dir, "documents").filter(isBatch).select("doc_id")
+        .join(agg, col("doc_id") === col("abdoc"), "left")
+        .join(best, col("doc_id") === col("bdoc2"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("best_match"), col("best_jaccard"),
+          col("n_dups").isNull.cast("int").as("admit"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $duckLshBaseCtes,
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS bdoc, y.doc_id AS cdoc
+             |  FROM bands x JOIN bands y
+             |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             |  WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0),
+             |stats AS (
+             |  SELECT a.doc_id AS bdoc, b.doc_id AS cdoc,
+             |         a.nsh AS na, b.nsh AS nb, count(*) AS shared
+             |  FROM ex a JOIN ex b
+             |    ON a.sh = b.sh AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (
+             |  SELECT c.bdoc, c.cdoc,
+             |         round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+             |  FROM cand c JOIN stats st
+             |    ON c.bdoc = st.bdoc AND c.cdoc = st.cdoc
+             |  WHERE round(shared * 1.0 / (na + nb - shared), 4) >= 0.5),
+             |agg AS (
+             |  SELECT bdoc, CAST(count(*) AS BIGINT) AS n_dups,
+             |         max(jaccard) AS best_jaccard
+             |  FROM pairs GROUP BY 1),
+             |best AS (
+             |  SELECT p.bdoc, min(p.cdoc) AS best_match
+             |  FROM pairs p JOIN agg g
+             |    ON p.bdoc = g.bdoc AND p.jaccard = g.best_jaccard
+             |  GROUP BY 1)
+             |SELECT d.doc_id, coalesce(g.n_dups, 0) AS n_dups,
+             |       b.best_match, g.best_jaccard,
+             |       CAST(g.n_dups IS NULL AS INT) AS admit
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+             |LEFT JOIN agg g ON d.doc_id = g.bdoc
+             |LEFT JOIN best b ON d.doc_id = b.bdoc
+             |ORDER BY d.doc_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22)
+      d16, d17, d18, d19, d20, d21, d22, d23)
 }

@@ -559,5 +559,154 @@ object SketchQueries {
                         THEN 1 ELSE 0 END AS INT) AS gk_within_eps
             FROM rk ORDER BY grp, phi"""))
 
-  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4, sk5, sk6, sk7)
+  /** X308 sk8: KMV SET-OPERATION ALGEBRA — the reason sketch indexes
+    * replace exact audience joins: UNION and INTERSECTION cardinality
+    * of every event-type pair estimated purely from the per-type
+    * bottom-64 KMV sketches (sk5's md5-derived 60-bit device, so both
+    * engines build IDENTICAL sketches and even the estimates
+    * hash-match). Union: k-th minimum of the merged bottom-64 →
+    * n̂ = 63·2⁶⁰/h_k. Intersection: the Jaccard estimator ρ̂ = |{merged
+    * bottom-k} ∩ A ∩ B| / 64, scaled by the union estimate — one
+    * integer count, one exactly-representable division, one multiply,
+    * identical op order on both engines. Exact union/intersection
+    * distinct counts ride along as the diagnostic columns. Scale: the
+    * pairwise audience-overlap matrix costs |types|²·k sketch rows
+    * (KBs) instead of re-shuffling the corpus per pair — the sketch
+    * index answers every future set question without touching data.
+    */
+  private val sk8 = Q(
+    "sk8_kmv_set_ops",
+    (s, dir) => {
+      val hashes = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h",
+          conv(substring(md5(concat(lit("u:"),
+            col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+        .persist()
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val sketch = hashes.select(col("event_type"), col("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 64)
+        .drop("rk")
+        .persist()
+      val types = sketch.select(col("event_type").as("t")).distinct()
+      val tpairs = types.as("l").join(
+        broadcast(types.select(col("t").as("t2")).as("r")),
+        col("t") < col("t2"))
+      // merged bottom-64 per pair, from the two sketches only (the
+      // |types|²-row pair table broadcasts against the KB-sized sketch)
+      val merged = broadcast(tpairs)
+        .join(sketch, col("event_type") === col("t") ||
+          col("event_type") === col("t2"))
+        .select(col("t"), col("t2"), col("h")).distinct()
+      val wm = Window.partitionBy("t", "t2").orderBy("h")
+      val mk = merged.withColumn("rk", row_number().over(wm))
+        .filter(col("rk") <= 64)
+      val inA = sketch.select(col("event_type").as("t"), col("h"),
+        lit(1).as("in_a"))
+      val inB = sketch.select(col("event_type").as("t2"), col("h"),
+        lit(1).as("in_b"))
+      val est = mk
+        .join(inA, Seq("t", "h"), "left")
+        .join(inB, Seq("t2", "h"), "left")
+        .groupBy("t", "t2")
+        .agg(max(when(col("rk") === 64, col("h"))).as("h_k"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+            .otherwise(0L)).as("n_both"))
+        .withColumn("est_union",
+          lit(63.0) * lit(1152921504606846976L).cast("double")
+            / col("h_k").cast("double"))
+        .withColumn("jaccard_est",
+          col("n_both").cast("double") / lit(64.0))
+        .withColumn("est_intersect", col("jaccard_est") * col("est_union"))
+      val users = hashes.select(col("event_type"), col("user_id"))
+      val ua = users.select(col("event_type").as("t"),
+        col("user_id").as("u"))
+      val ub = users.select(col("event_type").as("t2"),
+        col("user_id").as("u"))
+      val exact = broadcast(tpairs)
+        .join(ua.unionByName(
+          ub.select(col("t2").as("t"), col("u"))).distinct()
+            .select(col("t").as("et"), col("u")),
+          col("et") === col("t") || col("et") === col("t2"))
+        .select(col("t"), col("t2"), col("u")).distinct()
+        .groupBy("t", "t2").agg(count(lit(1)).as("exact_union"))
+        .join(ua.join(ub, Seq("u"))
+          .groupBy("t", "t2").agg(count(lit(1)).as("exact_intersect")),
+          Seq("t", "t2"), "left")
+        .withColumn("exact_intersect",
+          coalesce(col("exact_intersect"), lit(0L)))
+      est.join(exact, Seq("t", "t2"))
+        .select(col("t").as("type_a"), col("t2").as("type_b"),
+          col("exact_union"), col("exact_intersect"),
+          col("h_k"), col("n_both"),
+          col("est_union"), col("jaccard_est"), col("est_intersect"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH hashes AS (
+              SELECT DISTINCT event_type,
+                user_id AS u,
+                ('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)),
+                  1, 15))::BIGINT AS h
+              FROM events),
+            sk AS (
+              SELECT event_type, h FROM (
+                SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY h) AS rk
+                FROM (SELECT DISTINCT event_type, h FROM hashes))
+              WHERE rk <= 64),
+            tpairs AS (
+              SELECT a.event_type AS t, b.event_type AS t2
+              FROM (SELECT DISTINCT event_type FROM sk) a
+              JOIN (SELECT DISTINCT event_type FROM sk) b
+                ON a.event_type < b.event_type),
+            mk AS (
+              SELECT t, t2, h, rk FROM (
+                SELECT p.t, p.t2, s.h,
+                  row_number() OVER (PARTITION BY p.t, p.t2
+                    ORDER BY s.h) AS rk
+                FROM tpairs p
+                JOIN (SELECT DISTINCT p2.t, p2.t2, s2.h
+                      FROM tpairs p2 JOIN sk s2
+                        ON s2.event_type IN (p2.t, p2.t2)) s
+                  ON s.t = p.t AND s.t2 = p.t2)
+              WHERE rk <= 64),
+            est AS (
+              SELECT m.t, m.t2,
+                max(CASE WHEN m.rk = 64 THEN m.h END) AS h_k,
+                CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+              FROM mk m
+              LEFT JOIN sk a ON a.event_type = m.t AND a.h = m.h
+              LEFT JOIN sk b ON b.event_type = m.t2 AND b.h = m.h
+              GROUP BY 1, 2),
+            exact_u AS (
+              SELECT p.t, p.t2, CAST(count(DISTINCT hs.u) AS BIGINT)
+                AS exact_union
+              FROM tpairs p JOIN hashes hs
+                ON hs.event_type IN (p.t, p.t2)
+              GROUP BY 1, 2),
+            exact_i AS (
+              SELECT a.event_type AS t, b.event_type AS t2,
+                CAST(count(DISTINCT a.u) AS BIGINT) AS exact_intersect
+              FROM hashes a JOIN hashes b
+                ON a.u = b.u AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT e.t AS type_a, e.t2 AS type_b,
+                   u.exact_union,
+                   coalesce(i.exact_intersect, 0) AS exact_intersect,
+                   e.h_k, e.n_both,
+                   63.0 * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(e.h_k AS DOUBLE) AS est_union,
+                   CAST(e.n_both AS DOUBLE) / 64.0 AS jaccard_est,
+                   (CAST(e.n_both AS DOUBLE) / 64.0)
+                     * (63.0 * CAST(1152921504606846976 AS DOUBLE)
+                        / CAST(e.h_k AS DOUBLE)) AS est_intersect
+            FROM est e
+            JOIN exact_u u ON e.t = u.t AND e.t2 = u.t2
+            LEFT JOIN exact_i i ON e.t = i.t AND e.t2 = i.t2
+            ORDER BY type_a, type_b"""))
+
+  def all: Seq[Q] = Seq(sk1, sk2, sk3, sk4, sk5, sk6, sk7, sk8)
 }
