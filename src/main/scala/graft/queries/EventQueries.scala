@@ -1530,7 +1530,7 @@ object EventQueries {
     "e20_stream_dedup_equiv", "e21_stream_static_enrich",
     "e23_stream_rate_limit", "e24_stream_stream_left_outer",
     "e37_file_sink_txn_log", "e38_append_window_file_sink",
-    "e39_stream_quantile_sketch")
+    "e39_stream_quantile_sketch", "e40_stream_bloom_dedup")
 
   /** E34 (X213, beyond the reference): TIME-TO-CONVERT distribution —
     * per user, latency from the FIRST view to the first purchase
@@ -1990,9 +1990,117 @@ object EventQueries {
                         THEN 1 ELSE 0 END AS INT) AS stream_within_eps
             FROM rk ORDER BY event_type, phi"""))
 
+  /** X309 e40: STREAMING BLOOM ADMISSION — ingest-time dedup whose
+    * state CANNOT grow with the stream: a fixed 16-byte bit set per
+    * source (m=128 — deliberately undersized for the corpus so the
+    * collision path is EXERCISED, not just argued; production sizes m
+    * to the corpus) in RocksDB ValueState
+    * ([[graft.streaming.BloomAdmissionProcessor]]) instead of the
+    * ever-growing fingerprint set an exact streaming dedup needs. The
+    * documents table is staged into three doc_id-ordered chunks
+    * replayed one per micro-batch (state provably survives
+    * serialization; 3 non-empty batches require()d), each doc admitted
+    * iff one of its 3 md5-derived positions is unset. Every output
+    * column is hash-proven: the admission sequence is a pure function
+    * of the data (doc_id fold order + the cross-engine md5 position
+    * device), and because a rejected doc's positions are already all
+    * set, bit-set-before-doc reduces to non-recursive first-setter
+    * arithmetic — min(doc_id) per (source, position) — which is the
+    * DuckDB replay. Diagnostics: exact duplicates are provably always
+    * rejected (same fp → same positions, all set by the original);
+    * bloom_fp marks the distinct docs lost to position collisions —
+    * the price of O(1) state, reported exactly per doc.
+    */
+  private val e40 = Q(
+    "e40_stream_bloom_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.hadoop.fs.Path
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val base = System.getProperty("java.io.tmpdir") +
+          s"/graft_e40_${streamRun.incrementAndGet()}"
+        val fs = new Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(base), true)
+        val inDir = s"$base/in"
+        fs.mkdirs(new Path(inDir))
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.ops.Corpus.fingerprint(col("text")).as("fp"))
+        val chunked = d.withColumn("chunk",
+          ntile(3).over(Window.orderBy("doc_id")))
+        for (c <- 1 to 3) {
+          val tmp = s"$base/stage_$c"
+          chunked.filter(col("chunk") === c)
+            .select("source", "doc_id", "fp")
+            .coalesce(1).write.parquet(tmp)
+          val part =
+            fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(f"$inDir/chunk_$c%02d.parquet"))
+        }
+        val schema = s.read.parquet(s"$inDir/chunk_01.parquet").schema
+        val name = s"e40_sink_${streamRun.incrementAndGet()}"
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val q = graft.streaming.EventStreams.streamingBloomAdmission(stream)
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val live = q.recentProgress.count(_.numInputRows > 0)
+        require(live == 3,
+          s"e40 expected 3 non-empty micro-batches (one per staged " +
+            s"chunk), got $live — bloom-state persistence across " +
+            "batches is not being exercised")
+        val admits = s.table(name)
+          .select(col("doc_id"), col("source"), col("admit"))
+        val firstFp = d.groupBy("source", "fp")
+          .agg(min("doc_id").as("ffd"))
+        admits.join(d.select("doc_id", "fp"), Seq("doc_id"))
+          .join(broadcast(firstFp), Seq("source", "fp"))
+          .select(col("doc_id"), col("source"), col("admit"),
+            (col("doc_id") > col("ffd")).cast("int").as("exact_dup"),
+            (col("admit") === 0 && col("doc_id") === col("ffd"))
+              .cast("int").as("bloom_fp"))
+          .orderBy("doc_id")
+      } finally
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, source,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp
+              FROM documents),
+            pos AS (
+              SELECT DISTINCT doc_id, source,
+                ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || fp),
+                  1, 15))::BIGINT % 128 AS pos
+              FROM d CROSS JOIN (VALUES (0), (1), (2)) AS t(i)),
+            firstset AS (
+              SELECT source, pos, min(doc_id) AS fd
+              FROM pos GROUP BY 1, 2),
+            adm AS (
+              SELECT p.doc_id, p.source,
+                     max(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END)
+                       AS admit
+              FROM pos p JOIN firstset f
+                ON p.source = f.source AND p.pos = f.pos
+              GROUP BY 1, 2),
+            firstfp AS (
+              SELECT source, fp, min(doc_id) AS ffd FROM d GROUP BY 1, 2)
+            SELECT d.doc_id, d.source, a.admit,
+                   CAST(d.doc_id > ff.ffd AS INT) AS exact_dup,
+                   CAST(a.admit = 0 AND d.doc_id = ff.ffd AS INT)
+                     AS bloom_fp
+            FROM d
+            JOIN adm a ON d.doc_id = a.doc_id
+            JOIN firstfp ff ON d.source = ff.source AND d.fp = ff.fp
+            ORDER BY d.doc_id"""))
+
   def all: Seq[Q] =
     Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15,
       e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
-      e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39)
+      e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40)
       .map(q => if (streamingProofs(q.name)) q.copy(timeOnce = true) else q)
 }

@@ -73,6 +73,55 @@ class QuantileSketchProcessor
   }
 }
 
+/** One streaming admission decision (top-level for Encoder derivation). */
+case class DocAdmit(doc_id: Long, source: String, admit: Int)
+
+/** Streaming corpus admission with a BOUNDED Bloom bit set per source —
+  * the ingest-time dedup gate whose state CANNOT grow with the stream:
+  * an exact streaming dedup must hold every fingerprint ever seen
+  * (state = corpus size); this processor holds a FIXED m=128 k=3 bit
+  * set (16 bytes; deliberately undersized for the test corpus so the
+  * collision path is exercised and accounted — production sizes m to
+  * the expected corpus) per source in one ValueState, admitting a document
+  * iff at least one of its 3 md5-derived positions is still unset, then
+  * setting them. Exact duplicates are always rejected (same
+  * fingerprint → same positions, provably all set by the original);
+  * distinct docs are rejected only on full position collision, and the
+  * e40 row reports those false positives exactly by comparing against
+  * the batch fingerprint history. Determinism: batch rows are folded in
+  * doc_id order and positions use the repo's cross-engine md5 device,
+  * so the admission sequence is a pure function of the data —
+  * replayable in DuckDB with first-setter window arithmetic (no
+  * recursion needed: a rejected doc's positions are already all set, so
+  * "every processed doc sets its bits" ≡ "every admitted doc sets its
+  * bits", and bit-set-before-doc-d reduces to min(doc_id) per
+  * (source, position) < d).
+  */
+class BloomAdmissionProcessor
+    extends StatefulProcessor[String, (String, Long, String), DocAdmit] {
+  @transient private var state: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Array[Byte]]("bloom_bits",
+      Encoders.BINARY, TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, String)],
+      timerValues: TimerValues): Iterator[DocAdmit] = {
+    // 128 bits = 16 B per source — the WHOLE point: state is constant
+    // in the stream length (an exact dedup's fingerprint set is not)
+    val bits = if (state.exists()) state.get() else new Array[Byte](16)
+    val out = rows.toArray.sortBy(_._2).map { case (_, docId, fp) =>
+      val ps = EventStreams.bloomPositions(fp)
+      val admit = ps.exists(p => (bits(p >>> 3) & (1 << (p & 7))) == 0)
+      ps.foreach(p => bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte)
+      DocAdmit(docId, key, if (admit) 1 else 0)
+    }
+    state.update(bits)
+    out.iterator
+  }
+}
+
 /** Structured Streaming surface. The reference is pure batch
   * (SURVEY.md §2.9), so streaming is an engine capability, not a parity
   * requirement: these transforms are written against an unbounded
@@ -192,6 +241,31 @@ object EventStreams {
     events.selectExpr("event_type", "v").as[(String, Double)]
       .groupByKey(_._1)
       .transformWithState(new QuantileSketchProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The cross-engine position device for [[BloomAdmissionProcessor]]:
+    * pos_i = first 15 hex chars of md5("i:fp") as a 60-bit integer,
+    * mod 128 — byte-identical to Spark
+    * `conv(substr(md5(...),1,15),16,10) % 128` and DuckDB
+    * `('0x'||substr(md5(...),1,15))::BIGINT % 128`. Distinct
+    * positions (two hashes may collide on one slot). */
+  def bloomPositions(fp: String): Array[Int] = {
+    val md5 = graft.ops.Hashing.newMd5()
+    (0 to 2).map { i =>
+      (java.lang.Long.parseLong(md5.hex(s"$i:$fp").substring(0, 15), 16)
+        % 128L).toInt
+    }.distinct.toArray
+  }
+
+  /** Per-source streaming Bloom admission via [[BloomAdmissionProcessor]];
+    * expects (source, doc_id, fp) columns. */
+  def streamingBloomAdmission(docs: DataFrame): Dataset[DocAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("source", "doc_id", "fp").as[(String, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new BloomAdmissionProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 
