@@ -294,6 +294,25 @@ object EventQueries {
 
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` with spark.sql.shuffle.partitions pinned to `n`,
+    * restoring the session value after. The streaming-proof rows stage
+    * ~60k-row micro-batches, but every stateful operator materializes
+    * one state store PER shuffle partition PER run — e24's three
+    * AvailableNow runs × 4 join state stores × 32 partitions was 384
+    * store load/commit cycles of pure fixed overhead (measured round
+    * 12: 29 s → single digits at n=8 with identical hashed output; the
+    * partition count is recorded in the checkpoint at first start, so
+    * it must be set BEFORE the first runOnce). Parallelism is a plan
+    * property, not a semantics one: results are order-enforced by each
+    * row's final orderBy. A real cluster sizes streaming shuffle
+    * partitions to expected state, exactly like this. */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Shared replay harness for the stream-batch equivalence rows (e10,
     * e11): readStream over the events parquet (file-source streams need
     * an explicit schema and take a directory — glob-select the one
@@ -305,7 +324,7 @@ object EventQueries {
     */
   private def replayToMemorySink(s: SparkSession, dir: String, tag: String,
       mode: String = "complete")(
-      agg: DataFrame => DataFrame): DataFrame = {
+      agg: DataFrame => DataFrame): DataFrame = withShufflePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = graft.ops.Tables.normalizeTs(
@@ -416,7 +435,7 @@ object EventQueries {
     */
   private val e15 = Q(
     "e15_foreachbatch_sink_equiv",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       val out = System.getProperty("java.io.tmpdir") +
         s"/graft_fb_sink_${streamRun.incrementAndGet()}"
@@ -461,7 +480,7 @@ object EventQueries {
     */
   private val e16 = Q(
     "e16_stream_checkpoint_resume",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -531,7 +550,7 @@ object EventQueries {
     */
   private val e17 = Q(
     "e17_watermark_late_drop",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -647,7 +666,7 @@ object EventQueries {
     */
   private val e19 = Q(
     "e19_stream_stream_join",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = graft.ops.Tables.normalizeTs(
@@ -938,7 +957,7 @@ object EventQueries {
     */
   private val e23 = Q(
     "e23_stream_rate_limit",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1004,7 +1023,7 @@ object EventQueries {
     */
   private val e24 = Q(
     "e24_stream_stream_left_outer",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1722,7 +1741,7 @@ object EventQueries {
     */
   private val e37 = Q(
     "e37_file_sink_txn_log",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1796,7 +1815,7 @@ object EventQueries {
     */
   private val e38 = Q(
     "e38_append_window_file_sink",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1892,7 +1911,7 @@ object EventQueries {
     */
   private val e39 = Q(
     "e39_stream_quantile_sketch",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -2013,7 +2032,7 @@ object EventQueries {
     */
   private val e40 = Q(
     "e40_stream_bloom_dedup",
-    (s, dir) => {
+    (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       s.conf.set("spark.sql.streaming.stateStore.providerClass",

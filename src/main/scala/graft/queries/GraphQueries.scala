@@ -136,6 +136,13 @@ object GraphQueries {
           Iterator.single(w)
         }
         .treeReduce(LongBloom.or, depth = 2))
+    // Per-center kernel emits ONE primitive Array[Long] row per center,
+    // exploded to rows by codegen. The former spelling flatMapped an
+    // ArrayBuffer[Long] through the Dataset encoder — every one of the
+    // ~35M wedge pks boxed to java.lang.Long on the way out (measured
+    // round 12: 3× kernel slowdown plus GC churn that inflated LATER
+    // queries in the same bench JVM). The primitive-array encoder
+    // writes UnsafeArrayData with zero per-element allocation.
     val wedgePk = orientedE
       .groupBy("src")
       .agg(sort_array(collect_list(struct(col("ddst"), col("dst")))).as("xs"))
@@ -143,9 +150,10 @@ object GraphQueries {
       .as[Seq[(Long, Long)]]
       .mapPartitions { part =>
         val bloom = bloomBc.value
-        part.flatMap { xs =>
+        part.map { xs =>
           val a = xs.toArray // sorted by (ddst, dst) — the orientation order
-          val out = new scala.collection.mutable.ArrayBuffer[Long]()
+          val out = new scala.collection.mutable.ArrayBuilder.ofLong
+          out.sizeHint(math.min(a.length * (a.length - 1) / 2, 1 << 16))
           var i = 0
           while (i < a.length) {
             var j = i + 1
@@ -156,10 +164,11 @@ object GraphQueries {
             }
             i += 1
           }
-          out
+          out.result()
         }
       }
-      .toDF("pk")
+      .toDF("xs")
+      .select(explode(col("xs")).as("pk"))
     joinEdgeSet(wedgePk, edgePk, nEdges, "inner")
       .agg(count(lit(1)).as("n_triangles"))
   }
@@ -434,25 +443,30 @@ object GraphQueries {
       val e0 = coEdges(s, dir)
       val nbr = e0.select(col("p1").as("c"), col("p2").as("x"))
         .unionByName(e0.select(col("p2").as("c"), col("p1").as("x")))
+      // One primitive Array[Long] per center + codegen'd explode — the
+      // same no-boxing emission as [[triangleCount]] (the flatMapped
+      // ArrayBuffer it replaces boxed all 148M wedge pks; measured 3×
+      // kernel win and far less GC debris carried into later queries).
       val pairPk = nbr
         .groupBy("c").agg(sort_array(collect_list(col("x"))).as("xs"))
         .select(col("xs")).as[Seq[Long]]
-        .mapPartitions(_.flatMap { xs =>
+        .mapPartitions(_.map { xs =>
           val a = xs.toArray // sorted ascending -> packed key has p1 < p2
-          val out = new scala.collection.mutable.ArrayBuffer[Long](
-            math.max(0, a.length * (a.length - 1) / 2))
+          val out = new Array[Long](math.max(0, a.length * (a.length - 1) / 2))
+          var k = 0
           var i = 0
           while (i < a.length) {
             var j = i + 1
             while (j < a.length) {
-              out += (a(i) << 32) | a(j)
+              out(k) = (a(i) << 32) | a(j); k += 1
               j += 1
             }
             i += 1
           }
           out
         })
-        .toDF("pk")
+        .toDF("xs")
+        .select(explode(col("xs")).as("pk"))
       val edgePk = e0
         .select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk"))
       // Explicit repartition BEFORE the aggregate: with ~101M distinct
