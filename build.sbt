@@ -54,4 +54,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench-harness config, not library behavior: a real cluster sets
   // spark.local.dir to its NVMe array the same way.
   s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMPDIR", "/dev/shm")}",
+  // Quiet-logging config lives in src/test/resources (on the TEST
+  // classpath for `sbt test` JVMs) and is passed explicitly to the
+  // run JVMs here — NOT on the main classpath, where a published jar
+  // would silently override downstream consumers' logging defaults
+  // (round-11 advice).
+  s"-Dlog4j2.configurationFile=${baseDirectory.value}/src/test/resources/log4j2.properties",
 )

@@ -23,10 +23,11 @@ object Bench {
     val only = args.toSet
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-    // Semantics-proof rows (real streaming micro-batch runs) are timed
-    // ONCE: their wall-time is trigger/checkpoint latency, not engine
-    // throughput, and re-running them cost ~80 s of the round-7 bench.
-    val onceNames = Registry.timeOnceNames
+    // Semantics-proof rows (real streaming micro-batch runs) report
+    // trigger/checkpoint latency, not engine throughput. They used to
+    // be timed once (pass 2 only); since round 12 both executions are
+    // recorded (see the pass-1 note below) — Registry.timeOnceNames
+    // remains the documentation of which rows are proofs.
     // Accumulated state the emitter reads — kept up to date as passes
     // complete so a late crash still reports everything measured so far.
     val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
@@ -117,14 +118,36 @@ object Bench {
           catch { case _: Throwable => if (timed) failed.add(name); false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // clearCache only releases SQL-cached plans. localCheckpoint()
+        // — which the iterative/graph/dedup queries call per round —
+        // persists RDD blocks (MEMORY_AND_DISK) that are otherwise
+        // freed only when the GC collects the RDD object and the
+        // ContextCleaner notices: on a 24g heap old-gen collections
+        // are rare, so hundreds of dead checkpoint RDDs pile up in
+        // unified memory, squeezing execution memory and forcing later
+        // queries to spill (round-12 full-run measurement: the same
+        // streaming rows ran 3× slower after ~300 queries than in a
+        // 16-query session; block-manager logs showed rdd ids past
+        // 16k still resident). Unpersist them deterministically —
+        // nothing outside the finished query references them.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (ok && timed) {
           val prev = Option(results.get(name))
           results.put(name, prev.fold(dt)(math.min(_, dt)))
         }
       }
-      // pass 1: warm (untimed) for proofs, timed for throughput rows
+      // pass 1: timed for everyone since round 12 — semantics-proof
+      // (timeOnce) rows were previously warm-run UNTIMED here, which
+      // left their single recorded number exposed to whatever ambient
+      // slowness hits pass 2 (the round-11 driver bench ran during a
+      // disk-throughput trough and every streaming proof inflated
+      // 10-40× with no second sample to save it). They execute in this
+      // pass either way, so recording the time costs zero extra wall;
+      // the min still lands on the warm pass-2 number in normal runs,
+      // preserving the historical warm-latency semantics.
       queries.foreach { case (name, fn) =>
-        runOne(name, fn, timed = !onceNames(name))
+        runOne(name, fn, timed = true)
       }
       drainStreaming()
       // pass 2: timed for everyone; min applies to throughput rows

@@ -45,6 +45,11 @@ object Verify {
       // Release per-query persists: the CacheManager holds them until an
       // explicit clear, and 93 queries' caches would otherwise accumulate.
       spark.catalog.clearCache()
+      // ... and the localCheckpoint RDD blocks, which clearCache does
+      // not touch and the GC-driven ContextCleaner frees too late on a
+      // big heap (see the identical note in Bench.scala).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
