@@ -367,6 +367,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("REPARTITION_BY_COL") ||
       "Exchange hashpartitioning\\(pk".r.findFirstIn(p).isDefined,
       p.take(3000))
+    // wedges leave the kernel as ONE primitive Array[Long] row per
+    // center expanded by a codegen'd Generate explode — the round-12
+    // fix for per-element Long boxing through the Dataset encoder
+    // (148M boxed pks = 3x kernel tax + JVM-wide GC debt)
+    assert(p.contains("Generate explode"), p.take(3000))
+  }
+
+  test("g6 clustering coefficient emits wedges through the same " +
+      "no-boxing Generate explode as g5 (round-12 pin)") {
+    val p = plan("g6_clustering_coefficient")
+    assert(p.contains("Generate explode"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("d18 sorted-neighborhood adjacency is an exploded-offset " +
