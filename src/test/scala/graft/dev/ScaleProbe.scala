@@ -25,6 +25,7 @@ object ScaleProbe {
     if (args.headOption.contains("asof")) { asofProbe(); return }
     if (args.headOption.contains("band")) { bandProbe(); return }
     if (args.headOption.contains("stream")) { streamProbe(); return }
+    if (args.headOption.contains("streamparts")) { streamPartsProbe(); return }
     if (args.headOption.contains("sf1wide")) { sf1WideProbe(); return }
     if (args.headOption.contains("sf1")) { sf1Probe(); return }
     if (args.headOption.contains("sketch")) { sketchProbe(); return }
@@ -354,6 +355,100 @@ object ScaleProbe {
         ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))
       }
+    }
+    spark.stop()
+  }
+
+  /** Streaming shuffle-partition sweep — the measurement behind the
+    * registry's `withShufflePartitions(s, 8)` pin on the streaming
+    * proof rows. Every stateful operator loads+commits ONE state store
+    * per shuffle partition per micro-batch, so at proof scale (60k
+    * rows) the per-store fixed overhead dominates and fewer partitions
+    * win; as volume grows the per-row work amortizes it and the curve
+    * flattens — which is the production sizing rule (partitions track
+    * expected STATE, not batch CPU width). Workload: the e24-shaped
+    * stream-stream inner join (4 state stores), staged chunk files,
+    * AvailableNow. usage: Test/runMain graft.dev.ScaleProbe streamparts
+    */
+  private def streamPartsProbe(): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.hadoop.fs.Path
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    for (m <- Seq(1, 8)) {
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_scale_sparts_x$m"
+      val fs = new Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val inDir = s"$base/in"
+      fs.mkdirs(new Path(inDir))
+      val ev0 = graft.ops.Tables
+        .normalizeTs(spark.read.parquet(s"$src/events.parquet"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+        .withColumn("us", unix_micros(col("ts")))
+      val mn = ev0.agg(min("us")).first().getLong(0)
+      val span = ev0.agg(max("us")).first().getLong(0) - mn + 1
+      val n = ev0.count()
+      val chunkUs = 5L * 24 * 3600 * 1000000
+      val nChunks = ((m * span + chunkUs - 1) / chunkUs).toInt
+      val staged = (0 until m).map(i => ev0
+          .withColumn("event_id", col("event_id") + lit(i * n))
+          .withColumn("us", col("us") + lit(i * span)))
+        .reduce(_ unionByName _)
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withColumn("chunk",
+          ((col("us") - lit(mn)) / lit(chunkUs)).cast("int"))
+        .drop("us")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      staged.count()
+      for (cid <- 0 until nChunks) {
+        val tmp = s"$base/stage_$cid"
+        staged.filter(col("chunk") === cid).drop("chunk")
+          .coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(f"$inDir/chunk_$cid%04d.parquet"))
+      }
+      staged.unpersist()
+      val schema = spark.read.parquet(s"$inDir/chunk_0000.parquet").schema
+      for (parts <- Seq(4, 8, 16, 32)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        val t0 = System.nanoTime()
+        val q = joined.writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt_p$parts")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress
+        val rows = prog.map(_.numInputRows).sum
+        println(f"SPARTS x$m%-2d parts=$parts%-3d batches=${prog.length}%-3d " +
+          f"rows=$rows%-8d $sec%7.2fs")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
     spark.stop()
   }
