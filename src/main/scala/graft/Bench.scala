@@ -16,6 +16,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Broadcast blocks (dim tables, packed edge sets, Bloom bit
+      // arrays, ANN matrices) are freed ONLY by the ContextCleaner,
+      // which waits for a GC to clear weak references — and a 24g
+      // ParallelGC heap may not old-gen-collect for the whole run, so
+      // ~350 queries' broadcasts pile up in storage memory (round-12:
+      // g5 crept 14 -> 44 s across full runs while staying ~14 s
+      // isolated). Spark's own remedy is this periodic System.gc()
+      // on the cleaner thread; the default 30min never fires inside a
+      // ~13min run.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional dev filter: `runMain graft.Bench d7_jaccard_dfcap d8_...`
