@@ -52,8 +52,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the round-11 driver bench), while /dev/shm is 126 GiB of RAM that
   // sf0.1 runs never fill (peak observed scratch < 10 GiB). This is
   // bench-harness config, not library behavior: a real cluster sets
-  // spark.local.dir to its NVMe array the same way.
-  s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMPDIR", "/dev/shm")}",
+  // spark.local.dir to its NVMe array the same way. On hosts whose
+  // tmpfs is small (typically RAM/2) a spilling run could exhaust it
+  // with confusing no-space errors, so fall back to the OS tmpdir
+  // unless /dev/shm exists with >= 32 GiB usable; SPARK_GRAFT_TMPDIR
+  // overrides either way.
+  s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMPDIR", {
+    val shm = file("/dev/shm")
+    if (shm.isDirectory && shm.getUsableSpace >= 32L * 1024 * 1024 * 1024)
+      "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+  })}",
   // Quiet-logging config lives in src/test/resources (on the TEST
   // classpath for `sbt test` JVMs) and is passed explicitly to the
   // run JVMs here — NOT on the main classpath, where a published jar

@@ -97,17 +97,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
     try {
-      // Two executions per query — down from the original warmup+2
-      // passes, which at 256 registry queries cost ~45 min wall (the
-      // round-7 driver bench hit a 33-min thread-pool death mid-run):
-      //   - semantics-proof (timeOnce) rows: one UNTIMED warm run (pays
-      //     the one-off Janino/stream-setup costs), one timed run — the
-      //     reported number is warm micro-batch latency, comparable with
-      //     the historical warm-min numbers.
-      //   - throughput rows: two TIMED passes, keep the min. Pass 1
-      //     doubles as the warmup (its number carries one-time codegen
-      //     compile cost); the min almost always lands on the warm pass
-      //     2, matching the old warm-min semantics at 2/3 the wall.
+      // Two executions per query, BOTH timed, min recorded (since
+      // round 12 — see the pass-1 note below) — down from the original
+      // warmup+2 passes, which at 256 registry queries cost ~45 min
+      // wall (the round-7 driver bench hit a 33-min thread-pool death
+      // mid-run). Pass 1 doubles as the warmup (its number carries
+      // one-time codegen compile / stream-setup cost); the min almost
+      // always lands on the warm pass 2, matching the old warm-min
+      // semantics at 2/3 the wall, and the second sample protects
+      // every row — including the streaming semantics proofs — from a
+      // one-off ambient trough.
       //
       // clearCache after every query: Dataset.persist registers the plan
       // with the session CacheManager, which holds a strong reference

@@ -452,7 +452,17 @@ object GraphQueries {
         .select(col("xs")).as[Seq[Long]]
         .mapPartitions(_.map { xs =>
           val a = xs.toArray // sorted ascending -> packed key has p1 < p2
-          val out = new Array[Long](math.max(0, a.length * (a.length - 1) / 2))
+          // Size the primitive array in LONG arithmetic: d(d-1)/2 in Int
+          // overflows negative at center degree >= 46341, and a hub that
+          // big is exactly what a larger scale factor produces. Degrees
+          // past the Int array limit (~65536, > 2^31 wedges from ONE
+          // center) cannot be materialized as a single row at all — fail
+          // loudly rather than corrupt the count.
+          val n = a.length.toLong * (a.length - 1) / 2
+          require(n <= Int.MaxValue,
+            s"g5 wedge kernel: center degree ${a.length} emits $n wedges; " +
+              "split heavy centers before the pair kernel")
+          val out = new Array[Long](n.toInt)
           var k = 0
           var i = 0
           while (i < a.length) {
