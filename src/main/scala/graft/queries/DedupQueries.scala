@@ -1644,7 +1644,140 @@ object DedupQueries {
              |LEFT JOIN best b ON d.doc_id = b.bdoc
              |ORDER BY d.doc_id""".stripMargin))
 
+  /** X310 d24: SUBSTRING-LEVEL exact dedup — the Lee-et-al
+    * "duplicate spans ≥ k tokens" operator (ExactSubstr,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * remove from each document every span of ≥ 20 tokens that also
+    * appears in an EARLIER document, keeping the first-document copy.
+    * Doc-level fingerprints (d2) and aligned boilerplate chunks (d14,
+    * `DedupQueries.scala` chunk geometry) both miss spans repeated at
+    * arbitrary offsets inside otherwise-unique documents — this is the
+    * operator that catches them.
+    *
+    * Plan (all fingerprint-keyed — TEXT never shuffles):
+    *   1. scan-local kernel emits every positional 20-token window as
+    *      (doc_id, pos, md5) — one pass, O(tokens) windows;
+    *   2. one md5-keyed aggregate finds each window's MINIMUM doc_id
+    *      (the canonical copy);
+    *   3. windows whose doc_id > min_doc are drop-marked (first
+    *      occurrence survives, so the corpus keeps the content once);
+    *   4. per-doc run-merge: sorted drop positions expand to covered
+    *      token intervals [p, p+19] and merge into MAXIMAL spans in a
+    *      single linear kernel pass that also rebuilds the cleaned
+    *      document.
+    * 100 TB: steps 1+4 are scan-local; the only shuffles are the
+    * fingerprint aggregate and the fingerprint join — both sized by
+    * window COUNT (≈ token count), never corpus², and the per-doc
+    * drop-position state is bounded by document length. Cost tracks
+    * duplicated-span volume (the join output), which the `substr`
+    * ScaleProbe measures directly. Production note: the 128-bit md5 is
+    * deliberate — a 64-bit hash collides at corpus scale (~2³² windows)
+    * and a false positive here DELETES text.
+    */
+  private val d24 = Q(
+    "d24_substring_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val K = 20
+      val wins = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          (0 to toks.length - K).iterator.map { p =>
+            (id, p, toks.slice(p, p + K).mkString(" "))
+          }
+        }).toDF("doc_id", "pos", "win")
+        .select(col("doc_id"), col("pos"), md5(col("win")).as("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val mins = wins.groupBy("fp").agg(min("doc_id").as("min_doc"))
+      val drops = wins.join(mins, Seq("fp"))
+        .filter(col("doc_id") > col("min_doc"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("drops"))
+      Tables.load(s, dir, "documents").select("doc_id", "text")
+        .join(drops, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("drops"), typedLit(Seq.empty[Int])).as("drops"))
+        .as[(Long, String, Seq[Int])]
+        .mapPartitions(_.map { case (id, text, dropPos) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          val covered = new Array[Boolean](toks.length)
+          dropPos.foreach { p =>
+            var i = p
+            val hi = math.min(p + K, toks.length)
+            while (i < hi) { covered(i) = true; i += 1 }
+          }
+          var removed = 0L
+          var spans = 0L
+          var i = 0
+          val kept = new StringBuilder
+          while (i < toks.length) {
+            if (covered(i)) {
+              removed += 1
+              if (i == 0 || !covered(i - 1)) spans += 1
+            } else {
+              if (kept.nonEmpty) kept.append(' ')
+              kept.append(toks(i))
+            }
+            i += 1
+          }
+          (id, toks.length.toLong, removed, spans, kept.toString)
+        })
+        .toDF("doc_id", "n_tokens", "n_removed", "n_spans", "cleaned")
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("n_spans"), md5(col("cleaned")).as("cleaned_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents),
+            wins AS (
+              SELECT doc_id, ts,
+                     unnest(range(0, greatest(len(ts) - 19, 0))) AS pos
+              FROM toks),
+            fps AS (
+              SELECT doc_id, pos,
+                     md5(array_to_string(
+                       list_slice(ts, pos + 1, pos + 20), ' ')) AS fp
+              FROM wins),
+            mins AS (SELECT fp, min(doc_id) AS min_doc FROM fps GROUP BY fp),
+            drops AS (
+              SELECT f.doc_id, f.pos
+              FROM fps f JOIN mins m
+                ON f.fp = m.fp AND f.doc_id > m.min_doc),
+            offs AS (
+              SELECT doc_id, pos, unnest(range(0, 20)) AS off FROM drops),
+            covered AS (SELECT DISTINCT doc_id, pos + off AS tok FROM offs),
+            spans AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+              FROM (SELECT doc_id, tok,
+                           lag(tok) OVER (PARTITION BY doc_id
+                                          ORDER BY tok) AS prev
+                    FROM covered)
+              WHERE prev IS NULL OR tok - prev > 1
+              GROUP BY doc_id),
+            tokrows AS (
+              SELECT doc_id, ts, unnest(range(0, len(ts))) AS j FROM toks),
+            kept AS (
+              SELECT t.doc_id,
+                     coalesce(string_agg(ts[j + 1], ' ' ORDER BY j)
+                       FILTER (WHERE c.tok IS NULL), '') AS cleaned,
+                     CAST(count(*) FILTER (WHERE c.tok IS NOT NULL)
+                       AS BIGINT) AS n_removed
+              FROM tokrows t LEFT JOIN covered c
+                ON t.doc_id = c.doc_id AND t.j = c.tok
+              GROUP BY t.doc_id)
+            SELECT t0.doc_id, CAST(len(t0.ts) AS BIGINT) AS n_tokens,
+                   coalesce(k.n_removed, 0) AS n_removed,
+                   coalesce(s.n_spans, 0) AS n_spans,
+                   md5(coalesce(k.cleaned, '')) AS cleaned_fp
+            FROM toks t0
+            LEFT JOIN kept k ON t0.doc_id = k.doc_id
+            LEFT JOIN spans s ON t0.doc_id = s.doc_id
+            ORDER BY t0.doc_id"""))
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24)
 }

@@ -29,6 +29,7 @@ object ScaleProbe {
     if (args.headOption.contains("sf1wide")) { sf1WideProbe(); return }
     if (args.headOption.contains("sf1")) { sf1Probe(); return }
     if (args.headOption.contains("sketch")) { sketchProbe(); return }
+    if (args.headOption.contains("substr")) { substrProbe(); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -673,6 +674,64 @@ object ScaleProbe {
       run("exact", """SELECT grp, percentile(v,
                      |  array(0.25d, 0.5d, 0.75d, 0.95d)) AS q
                      |FROM sk_probe GROUP BY grp""".stripMargin)
+    }
+    spark.stop()
+  }
+
+  /** Substring-dedup (d24) scaling — the claim: cost tracks WINDOW
+    * count (linear in corpus) plus duplicated-span volume (the join
+    * output), never corpus². Two arms at each multiple m:
+    *   - dup-heavy: replicas prefixed with one tag token, so every
+    *     interior 20-token window of every replica duplicates the
+    *     original — drop volume grows ~m× corpus (the adversarial
+    *     direction: nearly everything gets removed);
+    *   - unique: every TOKEN carries a per-replica suffix, so replicas
+    *     share no windows — drop volume stays the per-replica planted
+    *     dups only.
+    * Both arms must grow ~linearly in m; a corpus² term (all-pairs
+    * comparison) would show the dup-heavy arm exploding instead.
+    * usage: Test/runMain graft.dev.ScaleProbe substr
+    */
+  private def substrProbe(): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val fn = graft.SparkEntry.queries("d24_substring_dedup")
+    for (m <- Seq(1, 2, 4, 8)) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val n = docs.count()
+      for ((arm, perturb) <- Seq[(String, Int => org.apache.spark.sql.Column)](
+        "dup-heavy" -> (i =>
+          if (i == 0) col("text") else concat(lit(s"rep$i "), col("text"))),
+        "unique" -> (i =>
+          if (i == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_r$i"))), " ")))) {
+        val dir = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_scale_substr_${arm}_x$m"
+        (0 until m).map(i =>
+            docs.withColumn("doc_id", col("doc_id") + lit(i * n))
+              .withColumn("text", perturb(i)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime()
+        val removed = fn(spark, dir)
+          .agg(sum("n_removed")).first().getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        println(f"SUBSTR x$m%-2d $arm%-10s docs=${m * n}%-7d " +
+          f"tokens_removed=$removed%-9d $sec%6.2fs")
+      }
     }
     spark.stop()
   }
