@@ -803,7 +803,54 @@ object SourceQueries {
                           AS codec) c
             ORDER BY c.codec, a.l_returnflag"""))
 
+  /** S18 (X311, beyond the reference): the src15 fixed-width format
+    * promoted to a real DataSource V2 TABLE —
+    * [[graft.sources.FixedWidthDataSource]] (`graft-fixedwidth`), the
+    * connector tier that completes the Catalyst extension catalog
+    * (Expression / aggregate / Generator / physical operator /
+    * optimizer rule / session extensions / DSv2 source). The row
+    * exercises the full scan contract end-to-end: supplier encodes to
+    * copybook lines (same geometry as src15), the connector INFERS the
+    * untyped fields' types by sampling (s_nationkey, acctbal_cents →
+    * long), the `s_nationkey >= 10 AND acctbal_cents > 0` predicate
+    * pushes into the scan (evaluated during line decode — PlanSpec
+    * pins `PushedFilters` in the executed plan), and the projection
+    * prunes s_nationkey out of the read schema even though the filter
+    * references it. Hash-parity vs DuckDB on the ORIGINAL parquet
+    * proves encode → infer → push → prune → decode loses nothing.
+    * Scale: record-aligned byte slicing gives full scan parallelism;
+    * pruning+pushdown run before any row object exists.
+    */
+  private val s18 = Q(
+    "src18_dsv2_fixed_width",
+    (s, dir) => {
+      val out = tmpDir("supplier_fixedwidth_s18")
+      Tables.load(s, dir, "supplier")
+        .select(concat(
+          lpad(col("s_suppkey").cast("string"), 10, " "),
+          rpad(col("s_name"), 25, " "),
+          lpad(col("s_nationkey").cast("string"), 5, " "),
+          lpad(expr("cast(floor(s_acctbal * 100 + 0.5) as bigint)")
+            .cast("string"), 15, " ")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.format("graft-fixedwidth")
+        .option("columns",
+          "s_suppkey:1:10:long,s_name:11:25:string," +
+            "s_nationkey:36:5,acctbal_cents:41:15")
+        .load(out)
+        .filter(col("s_nationkey") >= 10 && col("acctbal_cents") > 0)
+        .select("s_suppkey", "s_name", "acctbal_cents")
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name,
+                   CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+                     AS acctbal_cents
+            FROM supplier
+            WHERE s_nationkey >= 10
+              AND floor(s_acctbal * 100 + 0.5) > 0
+            ORDER BY s_suppkey"""))
+
   def all: Seq[Q] =
     Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14,
-      s15, s16, s17)
+      s15, s16, s17, s18)
 }

@@ -42,6 +42,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "l_quantity:double,l_extendedprice:double>"), p.take(2000))
   }
 
+  test("src18 DSv2 scan shows pushed filters and a pruned read schema") {
+    val p = plan("src18_dsv2_fixed_width")
+    // both predicates reach the custom scan (evaluated during line decode)
+    assert(p.contains("GraftFixedWidth"), p.take(2000))
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThanOrEqual(s_nationkey,10)") &&
+      p.contains("GreaterThan(acctbal_cents,0)"), p.take(2000))
+    // the projection prunes s_nationkey OUT of the read schema even
+    // though the pushed filter references it
+    assert(p.contains("ReadSchema: [s_suppkey,s_name,acctbal_cents]"),
+      p.take(2000))
+  }
+
   test("j2 joins the customer dim with a broadcast hash join") {
     val p = plan("j2_inner_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
