@@ -313,6 +313,21 @@ object EventQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** The production spelling of the pin above: DERIVE the partition
+    * count from the state volume the query's stores are expected to
+    * carry (keys × windows in the watermark horizon, or buffered join
+    * rows in the time-range bound), via the measured
+    * [[graft.streaming.StatePartitioning]] rule. Every proof row's
+    * estimate is documented at its call-site; at proof scale they all
+    * derive the rule's floor (4 stores), which the streamparts sweep
+    * measured FASTER than the old hand-pinned 8 at both 1× and 8×
+    * volume (9.6 vs 12.6 s, 44.6 vs 69.8 s).
+    */
+  private def withStateSizedPartitions[A](s: SparkSession,
+      expectedStateRows: Long)(body: => A): A =
+    withShufflePartitions(s,
+      graft.streaming.StatePartitioning.forExpectedState(expectedStateRows))(body)
+
   /** Shared replay harness for the stream-batch equivalence rows (e10,
     * e11): readStream over the events parquet (file-source streams need
     * an explicit schema and take a directory — glob-select the one
@@ -324,7 +339,7 @@ object EventQueries {
     */
   private def replayToMemorySink(s: SparkSession, dir: String, tag: String,
       mode: String = "complete")(
-      agg: DataFrame => DataFrame): DataFrame = withShufflePartitions(s, 8) {
+      agg: DataFrame => DataFrame): DataFrame = withStateSizedPartitions(s, expectedStateRows = 2000) {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = graft.ops.Tables.normalizeTs(
@@ -435,7 +450,7 @@ object EventQueries {
     */
   private val e15 = Q(
     "e15_foreachbatch_sink_equiv",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
       import org.apache.spark.sql.streaming.Trigger
       val out = System.getProperty("java.io.tmpdir") +
         s"/graft_fb_sink_${streamRun.incrementAndGet()}"
@@ -480,7 +495,7 @@ object EventQueries {
     */
   private val e16 = Q(
     "e16_stream_checkpoint_resume",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -550,7 +565,7 @@ object EventQueries {
     */
   private val e17 = Q(
     "e17_watermark_late_drop",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -666,7 +681,7 @@ object EventQueries {
     */
   private val e19 = Q(
     "e19_stream_stream_join",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 7000) {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = graft.ops.Tables.normalizeTs(
@@ -957,7 +972,7 @@ object EventQueries {
     */
   private val e23 = Q(
     "e23_stream_rate_limit",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1023,7 +1038,7 @@ object EventQueries {
     */
   private val e24 = Q(
     "e24_stream_stream_left_outer",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 7000) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1741,7 +1756,7 @@ object EventQueries {
     */
   private val e37 = Q(
     "e37_file_sink_txn_log",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1815,7 +1830,7 @@ object EventQueries {
     */
   private val e38 = Q(
     "e38_append_window_file_sink",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1911,7 +1926,7 @@ object EventQueries {
     */
   private val e39 = Q(
     "e39_stream_quantile_sketch",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -2032,7 +2047,7 @@ object EventQueries {
     */
   private val e40 = Q(
     "e40_stream_bloom_dedup",
-    (s, dir) => withShufflePartitions(s, 8) {
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       s.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -422,7 +422,12 @@ object ScaleProbe {
       }
       staged.unpersist()
       val schema = spark.read.parquet(s"$inDir/chunk_0000.parquet").schema
-      for (parts <- Seq(4, 8, 16, 32)) {
+      // the rule's derivation for this workload (measured buffered join
+      // rows ≈ 6.9k at 1×, grows with the watermark horizon, not m)
+      val auto = graft.streaming.StatePartitioning.forExpectedState(7000L)
+      println(f"SPARTS x$m%-2d auto-rule derives parts=$auto " +
+        "(expectedState=7000)")
+      for (parts <- (Seq(auto) ++ Seq(4, 8, 16, 32)).distinct) {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
