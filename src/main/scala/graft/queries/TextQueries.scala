@@ -1819,8 +1819,142 @@ object TextQueries {
              .mkString(" UNION ALL\n")}
          |) ORDER BY iter""".stripMargin))
 
+  /** One EM-iteration block of the t32 oracle: candidate lattice edges
+    * precomputed OUTSIDE the recursion (hash-joinable on (word, pos) —
+    * joining vocab inside the recursive term was measured minutes, this
+    * shape 4 s), full path enumeration left-to-right (score multiplies
+    * in the same association as the trainer's Viterbi), winner per word
+    * by the (score desc, pieces asc, boundary-mask asc) total order,
+    * then the M-step recount. MATERIALIZED throughout — each m{i} is
+    * referenced by the next iteration AND the trace, and re-evaluating
+    * it would nest the whole recursion exponentially.
+    */
+  private def t32IterBlock(i: Int, prevVocab: String, prevTotal: String) =
+    s"""cand$i AS MATERIALIZED (
+       |  SELECT w.w AS cw, CAST(ts.s - 1 AS BIGINT) AS cpos,
+       |         CAST(tl.l AS BIGINT) AS cl, v.piece AS cpiece,
+       |         (CASE WHEN v.c = 0 THEN CAST(1e-20 AS DOUBLE)
+       |          ELSE CAST(v.c AS DOUBLE) / CAST(t.total AS DOUBLE) END) AS cp
+       |  FROM words w, range(1, 13) ts(s), range(1, 7) tl(l),
+       |       $prevVocab v, $prevTotal t
+       |  WHERE ts.s + tl.l <= len(w.w) + 1
+       |    AND v.piece = substring(w.w, CAST(ts.s AS INT), CAST(tl.l AS INT))),
+       |paths$i AS (
+       |  SELECT w.w, w.cnt, CAST(0 AS BIGINT) AS pos,
+       |         CAST(1.0 AS DOUBLE) AS score, 0 AS np,
+       |         CAST(0 AS BIGINT) AS mask, CAST([] AS VARCHAR[]) AS pieces
+       |  FROM words w
+       |  UNION ALL
+       |  SELECT p.w, p.cnt, p.pos + c.cl, p.score * c.cp, p.np + 1,
+       |         p.mask + (CASE WHEN p.pos + c.cl < len(p.w)
+       |                   THEN (CAST(1 AS BIGINT) << CAST(p.pos + c.cl AS INT))
+       |                   ELSE 0 END),
+       |         list_append(p.pieces, c.cpiece)
+       |  FROM paths$i p JOIN cand$i c ON c.cw = p.w AND c.cpos = p.pos),
+       |win$i AS MATERIALIZED (
+       |  SELECT w, cnt, pieces FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY w
+       |      ORDER BY score DESC, np, mask) AS rk
+       |    FROM paths$i WHERE pos = len(w)) WHERE rk = 1),
+       |use$i AS MATERIALIZED (
+       |  SELECT unnest(pieces) AS piece, cnt FROM win$i),
+       |m$i AS MATERIALIZED (
+       |  SELECT v.piece, CAST(coalesce(sum(u.cnt), 0) AS BIGINT) AS c
+       |  FROM $prevVocab v LEFT JOIN use$i u ON v.piece = u.piece
+       |  GROUP BY 1),
+       |t$i AS MATERIALIZED (
+       |  SELECT CAST(sum(c) AS BIGINT) AS total FROM m$i),
+       |tr$i AS MATERIALIZED (
+       |  SELECT $i AS iter, piece, c AS cnt,
+       |         CAST(c AS DOUBLE)
+       |           / CAST((SELECT total FROM t$i) AS DOUBLE) AS prob
+       |  FROM (SELECT *, row_number() OVER (ORDER BY c DESC, piece) AS rk
+       |        FROM m$i)
+       |  WHERE rk <= 10)""".stripMargin
+
+  private val t32Oracle =
+    s"""WITH RECURSIVE
+       |wpos AS MATERIALIZED (
+       |  SELECT doc_id, j, lower(ws[j]) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents) t,
+       |       unnest(range(1, len(ws) + 1)) AS u(j)
+       |  WHERE regexp_matches(lower(ws[j]), '^[a-z]+$$')
+       |    AND len(ws[j]) >= 2),
+       |words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT a.w || '_' || b.w AS w
+       |    FROM wpos a JOIN wpos b
+       |      ON a.doc_id = b.doc_id AND b.j = a.j + 1)
+       |  WHERE len(w) <= 12 GROUP BY 1),
+       |subs AS MATERIALIZED (
+       |  SELECT substring(w.w, CAST(ts.s AS INT), CAST(tl.l AS INT)) AS piece,
+       |         CAST(sum(w.cnt) AS BIGINT) AS c
+       |  FROM words w, range(1, 13) ts(s), range(1, 7) tl(l)
+       |  WHERE ts.s + tl.l <= len(w.w) + 1
+       |  GROUP BY 1),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM subs WHERE len(piece) >= 2) WHERE rk <= 500
+       |  UNION ALL
+       |  SELECT piece, c FROM subs WHERE len(piece) = 1),
+       |t0 AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab0),
+       |${t32IterBlock(1, "vocab0", "t0")},
+       |${t32IterBlock(2, "m1", "t1")},
+       |${t32IterBlock(3, "m2", "t2")}
+       |SELECT * FROM (SELECT * FROM tr1 UNION ALL SELECT * FROM tr2
+       |               UNION ALL SELECT * FROM tr3)
+       |ORDER BY iter, cnt DESC, piece""".stripMargin
+
+  /** X312 t32: UNIGRAM-LM (SentencePiece-EM) TOKENIZER TRAINING — the
+    * other tokenizer family real pipelines train (Kudo 2018), as BPE's
+    * sibling: seed substring vocabulary (top-500 multi-char pieces by
+    * weighted occurrence + all single chars), then 3 EM rounds — E-step
+    * Viterbi segmentation over the vocab lattice, M-step probability
+    * re-estimation, unused pieces decaying to a floor (soft prune) —
+    * over t31's SentencePiece-style cross-word unit table, length-capped
+    * at 12 chars so the oracle's lattice REPLAY (full segmentation
+    * enumeration per word, ≤ 2^11 paths) stays tractable; the trainer
+    * itself has no such limit ([[graft.ops.UnigramLm]], spec-covered on
+    * longer words). Emits each round's top-10 (count desc, piece asc)
+    * rows with EXACT integer usage counts and bit-identical probability
+    * doubles (products/divisions only — no transcendentals; the E-step
+    * argmax is a total order both engines compute identically, see the
+    * UnigramLm scaladoc). Two-phase scale posture like t31: one
+    * distributed pass builds the unit table (the only corpus touch),
+    * EM runs task-local over the collected ~800-row table (bounded
+    * driver state).
+    */
+  private val t32 = Q(
+    "t32_unigram_lm_train",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("j0", "w0")))
+        .select(col("doc_id"), (col("j0") + 1).as("j"),
+          lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      val wnd = Window.partitionBy("doc_id").orderBy("j")
+      val units = toks
+        .withColumn("nj", lead("j", 1).over(wnd))
+        .withColumn("nw", lead("w", 1).over(wnd))
+        .filter(col("nj") === col("j") + 1)
+        .select(concat(col("w"), lit("_"), col("nw")).as("u"))
+        .filter(length(col("u")) <= 12)
+        .groupBy("u").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      val trace = graft.ops.UnigramLm.train(units.toIndexedSeq,
+        maxPieceLen = 6, seedTopK = 500, iters = 3, top = 10)
+      trace.map(r => (r.iter, r.piece, r.cnt, r.prob))
+        .toDF("iter", "piece", "cnt", "prob")
+        .orderBy(col("iter"), col("cnt").desc, col("piece"))
+    },
+    Some(t32Oracle))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31)
+      t29, t30, t31, t32)
 }
