@@ -485,11 +485,20 @@ object GraphQueries {
       // spill-thrash made the final agg the whole query (measured 65 s
       // for groupBy alone). Pre-shuffling the raw packed longs makes
       // the partial+final pair run AFTER the exchange on co-located
-      // small partitions: 65 s → 12 s at sf0.1. 2× parallelism keeps
-      // per-partition group counts ~1M at any executor count.
+      // small partitions: 65 s → 12 s at sf0.1. The partition count
+      // must scale with WEDGE volume, not executor width: a fixed
+      // 2×parallelism put 23M rows in each partition at 10× (1.48B
+      // wedges) and the aggregate spilled per task (round-13 sf1 run:
+      // 892 s; ~2M wedges/partition restores the measured sf0.1
+      // per-task shape at any scale). The wedge count is one cheap
+      // aggregate over the checkpointed adjacency — Σd(d−1)/2.
+      val wedgeCount = nbr.groupBy("c").agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) DIV 2"))).first().getLong(0)
+      val nParts = math.max(s.sparkContext.defaultParallelism * 2L,
+        math.min(4096L, wedgeCount / 2000000L)).toInt
       joinEdgeSet(
         pairPk
-          .repartition(s.sparkContext.defaultParallelism * 2, col("pk"))
+          .repartition(nParts, col("pk"))
           .groupBy("pk").agg(count(lit(1)).as("common_neighbors"))
           .filter(col("common_neighbors") >= 2),
         edgePk, e0.count(), "left_anti")

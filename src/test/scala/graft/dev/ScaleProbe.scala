@@ -2,6 +2,7 @@ package graft.dev
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Scaling-curve probe for the dedup family: replicate the sf0.1
   * documents table m× (fresh doc_ids) into /tmp parquet and time the
@@ -30,6 +31,7 @@ object ScaleProbe {
     if (args.headOption.contains("sf1")) { sf1Probe(); return }
     if (args.headOption.contains("sketch")) { sketchProbe(); return }
     if (args.headOption.contains("substr")) { substrProbe(); return }
+    if (args.headOption.contains("sf1full")) { sf1FullProbe(args.drop(1)); return }
     val queries =
       if (args.nonEmpty) args.toSeq
       else Seq("d2_exact_dedup", "d4_minhash_lsh", "d5_simhash",
@@ -680,6 +682,166 @@ object ScaleProbe {
                      |  array(0.25d, 0.5d, 0.75d, 0.95d)) AS q
                      |FROM sk_probe GROUP BY grp""".stripMargin)
     }
+    spark.stop()
+  }
+
+  /** FULL registry at sf1 (10× sf0.1) — round-13 ask: the sf1wide probe
+    * ran 4 rows at 10×; this runs ALL of them once, Bench-hygiene per
+    * query (clearCache + checkpoint-block release + stream drain), and
+    * writes BENCH_SF1.json (per-query seconds + failures) for the
+    * committed SURVEY §8 table. Dataset shape (the faithful 10×):
+    *   - facts ×10 with offset keys: lineitem/orders share an orderkey
+    *     stride; part/supplier/customer replicate WITH matching key
+    *     offsets so dim joins stay total AND the co-purchase graph
+    *     stays disjoint (shared orderkeys would densify it
+    *     quadratically — the sf1wide lesson);
+    *   - customer names get per-replica suffixes (linkage blocks stay
+    *     tight, true matches stay planted);
+    *   - events ×10 time-shifted end-to-end (stream lifetime grows
+    *     10×, per-batch work constant);
+    *   - documents/embeddings ×10 with offset ids and perturbed
+    *     content (replica tag prefix / 1+i/100 vector scale);
+    *   - nation/region stay fixed (they are fixed at any scale).
+    * usage: Test/runMain graft.dev.ScaleProbe sf1full [q...]
+    */
+  private def sf1FullProbe(only: Seq[String]): Unit = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val m = 10
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sf1full"
+    // The testdata contract is one parquet FILE per table (e15 streams
+    // the events table with pathGlobFilter=events.parquet, which never
+    // matches part files inside a directory — the round-13 sf1 run's
+    // one failure). Stage each table as a directory, then promote the
+    // single part file to the contract name.
+    def writeSingle(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val tmp = s"$dir/_stage_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.delete(new Path(s"$dir/$table.parquet"), true)
+      fs.rename(part, new Path(s"$dir/$table.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
+    if (!new java.io.File(s"$dir/_built").exists()) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val part = spark.read.parquet(s"$src/part.parquet")
+      val supp = spark.read.parquet(s"$src/supplier.parquet")
+      val oStride = o.agg(max("o_orderkey")).first().getLong(0) + 1
+      val pStride = part.agg(max("p_partkey")).first().getLong(0) + 1
+      val sStride = supp.agg(max("s_suppkey")).first().getLong(0) + 1
+      val cStride = cust.agg(max("c_custkey")).first().getLong(0) + 1
+      (0 until m).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * pStride))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride)))
+        .reduce(_ unionByName _)
+        .pipe(d => writeSingle(d, "lineitem"))
+      (0 until m).map(i => o
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * cStride)))
+        .reduce(_ unionByName _)
+        .pipe(d => writeSingle(d, "orders"))
+      (0 until m).map(i => part
+          .withColumn("p_partkey", col("p_partkey") + lit(i * pStride)))
+        .reduce(_ unionByName _)
+        .pipe(d => writeSingle(d, "part"))
+      (0 until m).map(i => supp
+          .withColumn("s_suppkey", col("s_suppkey") + lit(i * sStride)))
+        .reduce(_ unionByName _)
+        .pipe(d => writeSingle(d, "supplier"))
+      (0 until m).map(i => cust
+          .withColumn("c_custkey", col("c_custkey") + lit(i * cStride))
+          .withColumn("c_name",
+            when(lit(i) === 0, col("c_name"))
+              .otherwise(concat(col("c_name"), lit(i.toString)))))
+        .reduce(_ unionByName _)
+        .pipe(d => writeSingle(d, "customer"))
+      for (t <- Seq("nation", "region"))
+        writeSingle(spark.read.parquet(s"$src/$t.parquet"), t)
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val nd = docs.count()
+      (0 until m).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * nd))
+            .withColumn("text",
+              when(lit(i) === 0, col("text"))
+                .otherwise(concat(lit(s"rep$i "), col("text")))))
+        .reduce(_ unionByName _)
+        .pipe(d => writeSingle(d, "documents"))
+      val e = spark.read.parquet(s"$src/embeddings.parquet")
+      val ne = e.count()
+      (0 until m).map(i =>
+          e.withColumn("vec_id", col("vec_id") + lit(i * ne))
+            .withColumn("embedding",
+              if (i == 0) col("embedding")
+              else transform(col("embedding"),
+                x => x * lit(1.0f + i / 100.0f))))
+        .reduce(_ unionByName _)
+        .pipe(d => writeSingle(d, "embeddings"))
+      val ev = graft.ops.Tables
+        .normalizeTs(spark.read.parquet(s"$src/events.parquet"))
+        .withColumn("us", unix_micros(col("ts")))
+      val span = ev.agg(max("us") - min("us")).first().getLong(0) + 1
+      val nev = ev.count()
+      (0 until m).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * nev))
+          .withColumn("ts", timestamp_micros(col("us") + lit(i * span))))
+        .reduce(_ unionByName _)
+        .drop("us")
+        .pipe(d => writeSingle(d, "events"))
+      new java.io.File(s"$dir/_built").createNewFile()
+      println(s"SF1FULL built $dir")
+    }
+    val queries = graft.SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    def emit(): Unit = {
+      val qs = results.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val line = s"""{"metric":"total","value":${results.values.sum},""" +
+        s""""unit":"sec","queries":$qs,"failed":$fj,"sf":"sf1(10x)"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SF1.json"), line + "\n")
+    }
+    for ((name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      try {
+        val rows = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        results(name) = math.round(sec * 1000.0) / 1000.0
+        println(f"SF1FULL $name%-36s rows=$rows%-9d $sec%8.2fs")
+      } catch {
+        case e: Throwable =>
+          failed += name
+          println(f"SF1FULL $name%-36s FAILED ${e.getClass.getSimpleName}: " +
+            e.getMessage.take(200))
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.streams.active.foreach(q =>
+        try q.stop() catch { case _: Throwable => () })
+      emit()
+    }
+    println(f"SF1FULL total=${results.values.sum}%.1f failed=${failed.size}")
+    emit()
     spark.stop()
   }
 
