@@ -1237,7 +1237,89 @@ object WindowQueries {
                        / CAST(count(*) AS DOUBLE)) AS tail_ratio
             FROM base GROUP BY user_id ORDER BY user_id"""))
 
+  /** X314 w37: PAIR-SAMPLED Theil–Sen — the scale posture for w23's
+    * one definitional quadratic (exact Theil-Sen is all-pairs-slopes;
+    * the round-13 sf1 run measured group depth ×10 → 44× runtime).
+    * Production estimators sample a fixed pair budget per series; this
+    * row does it DETERMINISTICALLY so both engines sample the identical
+    * set: pair (i,j) of a user with np total pairs is kept iff
+    * h·np < B·2³² where h = (i·2654435761 + j·40503 +
+    * user_id·2246822519) mod 2³² (Knuth multiplicative constants) and
+    * B = 500 — an exact cross-multiplied integer predicate (no FP
+    * rate, no md5 in the hot path; pure codegen arithmetic), giving
+    * keep-probability min(1, B/np) uniformly over pairs. The estimate
+    * is the same discrete rank-(ns+1)/2 selection as w23 under the
+    * (slope, i, j) total order. Scale: pair enumeration stays O(n²)
+    * map-side CPU, but nothing quadratic ever SHUFFLES or SORTS — the
+    * rank selection runs on ≤B rows per user, which is the part that
+    * actually breaks at depth (w23's sort of n² slopes). Small series
+    * (np ≤ B) keep every pair, so the estimate equals the exact w23
+    * slope there.
+    */
+  private val w37 = Q(
+    "w37_theil_sen_sampled",
+    (s, dir) => {
+      val B = 500L
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("user_id")))
+        .select(col("user_id"), col("rn"), col("value"), col("n"))
+      val pairs = seq0.as("a").join(seq0.as("b"), Seq("user_id"))
+        .filter(col("a.rn") < col("b.rn"))
+        .select(col("user_id"), col("a.rn").as("i"), col("b.rn").as("j"),
+          col("a.value").as("va"), col("b.value").as("vb"),
+          (col("a.n") * (col("a.n") - 1) / lit(2)).cast("long").as("np"))
+        .withColumn("h",
+          pmod(col("i") * lit(2654435761L) + col("j") * lit(40503L)
+            + col("user_id") * lit(2246822519L), lit(4294967296L)))
+        .filter(col("h") * col("np") < lit(B * 4294967296L))
+        .select(col("user_id"), col("i"), col("j"), col("np"),
+          ((col("vb") - col("va")) /
+            (col("j") - col("i")).cast("double")).as("slope"))
+      val wRank = Window.partitionBy("user_id")
+        .orderBy(col("slope"), col("i"), col("j"))
+      pairs
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("ns",
+          count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rk") === expr("(ns + 1) DIV 2"))
+        .select(col("user_id"), col("np").as("n_pairs"),
+          col("ns").as("n_sampled"), col("slope").as("ts_slope_est"))
+        .orderBy("user_id")
+    },
+    Some("""WITH seq0 AS (
+              SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+              FROM events),
+            pairs AS (
+              SELECT a.user_id, a.rn AS i, b.rn AS j,
+                     a.n * (a.n - 1) // 2 AS np,
+                     (b.value - a.value) /
+                       CAST(b.rn - a.rn AS DOUBLE) AS slope
+              FROM seq0 a JOIN seq0 b
+                ON a.user_id = b.user_id AND a.rn < b.rn
+              WHERE (a.rn * 2654435761 + b.rn * 40503
+                     + a.user_id * 2246822519) % 4294967296
+                      * (a.n * (a.n - 1) // 2)
+                    < 500 * 4294967296),
+            ranked AS (
+              SELECT user_id, np, slope,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY slope, i, j) AS rk,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS ns
+              FROM pairs)
+            SELECT user_id, np AS n_pairs, ns AS n_sampled,
+                   slope AS ts_slope_est
+            FROM ranked WHERE rk = (ns + 1) // 2
+            ORDER BY user_id"""))
+
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
-      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33, w34, w35, w36)
+      w22, w23, w24, w25, w26, w28, w30, w31, w32, w33, w34, w35, w36,
+      w37)
 }
