@@ -70,6 +70,15 @@ object UnigramLm {
   def viterbi(w: String, pm: collection.Map[String, Double],
       maxPieceLen: Int): Seq[String] = {
     val n = w.length
+    // The tie-break mask is one bit per split boundary in a Long;
+    // `1L << e` wraps mod 64, so boundary 64+ would COLLIDE with
+    // boundary 0+ and silently break the (score, pieces, mask) total
+    // order that makes segmentation replayable. Fail loudly like the
+    // unsegmentable case (t32's corpus cap is 12 chars; anything near
+    // 64 is not a word, it's unsplit garbage the caller should chunk).
+    require(n <= 64,
+      s"viterbi: word of length $n exceeds the 64-boundary tie-break " +
+        "mask — pre-chunk inputs longer than 64 chars")
     val score = Array.fill(n + 1)(-1.0) // -1 = unreachable
     val np = new Array[Int](n + 1)
     val mask = new Array[Long](n + 1)

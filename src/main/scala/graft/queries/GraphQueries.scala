@@ -492,8 +492,11 @@ object GraphQueries {
       // 892 s; ~2M wedges/partition restores the measured sf0.1
       // per-task shape at any scale). The wedge count is one cheap
       // aggregate over the checkpointed adjacency — Σd(d−1)/2.
+      // coalesce: SUM over zero rows is SQL NULL — an empty adjacency
+      // table must size to the parallelism floor, not NPE in getLong.
       val wedgeCount = nbr.groupBy("c").agg(count(lit(1)).as("d"))
-        .agg(sum(expr("d * (d - 1) DIV 2"))).first().getLong(0)
+        .agg(coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)))
+        .first().getLong(0)
       val nParts = math.max(s.sparkContext.defaultParallelism * 2L,
         math.min(4096L, wedgeCount / 2000000L)).toInt
       joinEdgeSet(

@@ -1237,27 +1237,37 @@ object WindowQueries {
                        / CAST(count(*) AS DOUBLE)) AS tail_ratio
             FROM base GROUP BY user_id ORDER BY user_id"""))
 
-  /** X314 w37: PAIR-SAMPLED Theil–Sen — the scale posture for w23's
+  /** X314 w38: PAIR-SAMPLED Theil–Sen — the scale posture for w23's
     * one definitional quadratic (exact Theil-Sen is all-pairs-slopes;
     * the round-13 sf1 run measured group depth ×10 → 44× runtime).
     * Production estimators sample a fixed pair budget per series; this
     * row does it DETERMINISTICALLY so both engines sample the identical
     * set: pair (i,j) of a user with np total pairs is kept iff
-    * h·np < B·2³² where h = (i·2654435761 + j·40503 +
-    * user_id·2246822519) mod 2³² (Knuth multiplicative constants) and
-    * B = 500 — an exact cross-multiplied integer predicate (no FP
-    * rate, no md5 in the hot path; pure codegen arithmetic), giving
-    * keep-probability min(1, B/np) uniformly over pairs. The estimate
-    * is the same discrete rank-(ns+1)/2 selection as w23 under the
-    * (slope, i, j) total order. Scale: pair enumeration stays O(n²)
-    * map-side CPU, but nothing quadratic ever SHUFFLES or SORTS — the
-    * rank selection runs on ≤B rows per user, which is the part that
-    * actually breaks at depth (w23's sort of n² slopes). Small series
-    * (np ≤ B) keep every pair, so the estimate equals the exact w23
-    * slope there.
+    * h < (B·2³²) div np where h = ((i mod 2²⁰)·2654435761 +
+    * (j mod 2²⁰)·40503 + (user_id mod 2²⁰)·2246822519) mod 2³²
+    * (Knuth multiplicative constants) and B = 500 — an exact integer
+    * predicate (no FP rate, no md5 in the hot path; pure codegen
+    * arithmetic), giving keep-probability ≈ min(1, B/np) uniformly
+    * over pairs. Every term is overflow-safe at ANY input magnitude:
+    * operands are reduced mod 2²⁰ BEFORE the multiply (max product
+    * ~2.8e15, sum of three ~8.4e15 « 2⁶³) and the budget compare uses
+    * integer division instead of the cross-multiply h·np (which would
+    * wrap silently in non-ANSI Spark and RAISE in DuckDB once
+    * np > 2³¹ — i.e. at exactly the series depth this scale-posture
+    * row exists for). Spark DIV and DuckDB // agree on non-negative
+    * longs. The estimate is the same discrete rank-(ns+1)/2 selection
+    * as w23 under the (slope, i, j) total order. Scale: pair
+    * enumeration stays O(n²) map-side CPU, but nothing quadratic ever
+    * SHUFFLES or SORTS — the rank selection runs on ≈B rows per user,
+    * which is the part that actually breaks at depth (w23's sort of
+    * n² slopes). Small series (np ≤ B) keep every pair ((B·2³²) div
+    * np ≥ 2³² > every h), so the estimate equals the exact w23 slope
+    * there — WindowSpec proves that equality on the sf0.001 events.
+    * (Registry id w38: the round-13 snapshot shipped this row as a
+    * second "w37_*", colliding with w37_dtw_distance's index.)
     */
-  private val w37 = Q(
-    "w37_theil_sen_sampled",
+  private val w38 = Q(
+    "w38_theil_sen_sampled",
     (s, dir) => {
       val B = 500L
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1270,11 +1280,13 @@ object WindowQueries {
         .filter(col("a.rn") < col("b.rn"))
         .select(col("user_id"), col("a.rn").as("i"), col("b.rn").as("j"),
           col("a.value").as("va"), col("b.value").as("vb"),
-          (col("a.n") * (col("a.n") - 1) / lit(2)).cast("long").as("np"))
+          expr("a.n * (a.n - 1) DIV 2").as("np"))
         .withColumn("h",
-          pmod(col("i") * lit(2654435761L) + col("j") * lit(40503L)
-            + col("user_id") * lit(2246822519L), lit(4294967296L)))
-        .filter(col("h") * col("np") < lit(B * 4294967296L))
+          pmod(pmod(col("i"), lit(1048576L)) * lit(2654435761L)
+            + pmod(col("j"), lit(1048576L)) * lit(40503L)
+            + pmod(col("user_id"), lit(1048576L)) * lit(2246822519L),
+            lit(4294967296L)))
+        .filter(col("h") < expr(s"${B * 4294967296L} DIV np"))
         .select(col("user_id"), col("i"), col("j"), col("np"),
           ((col("vb") - col("va")) /
             (col("j") - col("i")).cast("double")).as("slope"))
@@ -1302,10 +1314,10 @@ object WindowQueries {
                        CAST(b.rn - a.rn AS DOUBLE) AS slope
               FROM seq0 a JOIN seq0 b
                 ON a.user_id = b.user_id AND a.rn < b.rn
-              WHERE (a.rn * 2654435761 + b.rn * 40503
-                     + a.user_id * 2246822519) % 4294967296
-                      * (a.n * (a.n - 1) // 2)
-                    < 500 * 4294967296),
+              WHERE ((a.rn % 1048576) * 2654435761
+                     + (b.rn % 1048576) * 40503
+                     + (a.user_id % 1048576) * 2246822519) % 4294967296
+                    < (500 * 4294967296) // (a.n * (a.n - 1) // 2)),
             ranked AS (
               SELECT user_id, np, slope,
                 row_number() OVER (PARTITION BY user_id
@@ -1321,5 +1333,5 @@ object WindowQueries {
   def all: Seq[Q] =
     Seq(w1w2, w3, w4, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18,
       w22, w23, w24, w25, w26, w28, w30, w31, w32, w33, w34, w35, w36,
-      w37)
+      w38)
 }

@@ -354,7 +354,14 @@ class FixedWidthReaderFactory(fullSchema: StructType, required: StructType,
 }
 
 /** Exact executor-side evaluation of the pushed v1 filters over decoded
-  * field values. Comparisons are null-rejecting (SQL semantics).
+  * field values, in SQL THREE-VALUED logic: a comparison over a null
+  * field is UNKNOWN (None), not false — `Not(unknown)` must stay
+  * unknown, not flip to true. Two-valued `!eval(...)` would KEEP rows
+  * with blank numeric fields under e.g. `col =!= v` inside an Or
+  * (Spark never re-checks pushed filters, so the wrong keep would be
+  * silent). The DSv2 contract is "return rows iff all pushed filters
+  * match", and SQL's match is `eval3 == Some(true)` — unknown rows
+  * are dropped, exactly as a post-scan Filter would drop them.
   */
 object FixedWidthFilters {
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
@@ -367,19 +374,39 @@ object FixedWidthFilters {
     case _              => None
   }
 
-  def eval(f: Filter, get: String => Any): Boolean = f match {
-    case sources.EqualTo(a, v)            => cmp(get(a), v).contains(0)
-    case sources.GreaterThan(a, v)        => cmp(get(a), v).exists(_ > 0)
-    case sources.GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
-    case sources.LessThan(a, v)           => cmp(get(a), v).exists(_ < 0)
-    case sources.LessThanOrEqual(a, v)    => cmp(get(a), v).exists(_ <= 0)
-    case sources.IsNull(a)                => get(a) == null
-    case sources.IsNotNull(a)             => get(a) != null
+  /** Kleene three-valued evaluation; None = SQL unknown. */
+  def eval3(f: Filter, get: String => Any): Option[Boolean] = f match {
+    case sources.EqualTo(a, v)            => cmp(get(a), v).map(_ == 0)
+    case sources.GreaterThan(a, v)        => cmp(get(a), v).map(_ > 0)
+    case sources.GreaterThanOrEqual(a, v) => cmp(get(a), v).map(_ >= 0)
+    case sources.LessThan(a, v)           => cmp(get(a), v).map(_ < 0)
+    case sources.LessThanOrEqual(a, v)    => cmp(get(a), v).map(_ <= 0)
+    case sources.IsNull(a)                => Some(get(a) == null)
+    case sources.IsNotNull(a)             => Some(get(a) != null)
     case sources.StringStartsWith(a, p) =>
-      get(a) match { case s: String => s.startsWith(p); case _ => false }
-    case sources.And(l, r) => eval(l, get) && eval(r, get)
-    case sources.Or(l, r)  => eval(l, get) || eval(r, get)
-    case sources.Not(c)    => !eval(c, get)
-    case _                 => false
+      get(a) match {
+        case s: String => Some(s.startsWith(p))
+        case null      => None
+        case _         => Some(false)
+      }
+    case sources.And(l, r) =>
+      (eval3(l, get), eval3(r, get)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+    case sources.Or(l, r) =>
+      (eval3(l, get), eval3(r, get)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+    case sources.Not(c) => eval3(c, get).map(!_)
+    // Unreachable: pushFilters only accepts the shapes above (anything
+    // else stays a Spark-side residual and never arrives here).
+    case _ => None
   }
+
+  def eval(f: Filter, get: String => Any): Boolean =
+    eval3(f, get).contains(true)
 }

@@ -121,4 +121,52 @@ class FixedWidthSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getLong(0)).toSet ==
       (0 until 500).filter(i => s"name_$i".endsWith("_7")).map(_.toLong).toSet)
   }
+
+  test("Not over a null field is SQL unknown, not true (3-valued eval)") {
+    import org.apache.spark.sql.sources._
+    val get: String => Any = {
+      case "x" => null
+      case "y" => java.lang.Long.valueOf(5L)
+      case "s" => null
+    }
+    val F = graft.sources.FixedWidthFilters
+    // the round-13 bug: two-valued !eval flipped unknown to KEEP
+    assert(F.eval3(Not(EqualTo("x", 3L)), get).isEmpty)
+    assert(!F.eval(Not(EqualTo("x", 3L)), get), "null x must not match <> 3")
+    assert(F.eval3(Not(GreaterThan("x", 3L)), get).isEmpty)
+    assert(F.eval3(Not(StringStartsWith("s", "a")), get).isEmpty)
+    // Not(IsNull)/Not(IsNotNull) stay definite
+    assert(F.eval(Not(IsNotNull("x")), get))
+    assert(!F.eval(Not(IsNull("x")), get))
+    // Kleene And/Or with an unknown operand
+    assert(F.eval(Or(EqualTo("y", 5L), EqualTo("x", 1L)), get)) // T or U = T
+    assert(F.eval3(Or(EqualTo("y", 4L), EqualTo("x", 1L)), get).isEmpty) // F or U
+    assert(F.eval3(And(EqualTo("y", 5L), EqualTo("x", 1L)), get).isEmpty) // T and U
+    assert(!F.eval(And(EqualTo("y", 4L), EqualTo("x", 1L)), get)) // F and U = F
+    assert(F.eval3(Not(Or(EqualTo("y", 4L), EqualTo("x", 1L))), get).isEmpty)
+  }
+
+  test("pushed Not inside Or drops blank-numeric rows end-to-end") {
+    import spark.implicits._
+    // blank cents field for k % 5 == 0 -> decodes to null
+    val out = java.nio.file.Files
+      .createTempDirectory("fixedwidth_null_spec").toString + "/data"
+    (0 until 100).map { i =>
+      val cents = if (i % 5 == 0) "" else (i * 13 - 200).toString
+      f"$i%10d" + ("name_" + i).padTo(25, ' ') +
+        f"${i % 7}%5d" + cents.reverse.padTo(15, ' ').reverse
+    }.toDF("value").coalesce(1).write.mode("overwrite").text(out)
+    val df = spark.read.format("graft-fixedwidth")
+      .option("columns", cols).load(out)
+      // Or blocks the inferred-IsNotNull rescue: the Not must be
+      // three-valued INSIDE the scan or null-cents rows leak through
+      .filter(($"cents" =!= 0L) || ($"grp" === 99L)).select("k")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Not(EqualTo(cents,0))"), s"Not not pushed:\n$plan")
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    val expect = (0 until 100)
+      .filter(i => i % 5 != 0 && i * 13 - 200 != 0).map(_.toLong)
+    assert(got == expect, s"null-cents rows leaked: got=${got.size} " +
+      s"expect=${expect.size}")
+  }
 }

@@ -93,4 +93,17 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(trace.nonEmpty)
     assert(trace.filter(_.iter == 2).head.cnt > 0)
   }
+
+  test("viterbi fails loudly past the 64-boundary tie-break mask") {
+    // `1L << e` wraps mod 64: boundary 64 would collide with boundary 0
+    // and silently break the replayable (score, pieces, mask) order —
+    // the guard turns that into a loud require, like unsegmentable words
+    val w64 = "ab" * 32 // exactly 64 chars: every boundary < 64, legal
+    val pm = Map("a" -> 0.3, "b" -> 0.3, "ab" -> 0.4)
+    assert(UnigramLm.viterbi(w64, pm, maxPieceLen = 2).mkString == w64)
+    val w65 = w64 + "a"
+    val e = intercept[IllegalArgumentException](
+      UnigramLm.viterbi(w65, pm, maxPieceLen = 2))
+    assert(e.getMessage.contains("64-boundary"))
+  }
 }
