@@ -127,19 +127,48 @@ object UnigramLm {
     var vocab: IndexedSeq[(String, Long)] = seed(words, maxPieceLen, seedTopK)
     val out = Seq.newBuilder[TraceRow]
     for (it <- 1 to iters) {
-      val total = vocab.iterator.map(_._2).sum
-      val pm: Map[String, Double] = vocab.iterator.map { case (p, c) =>
-        p -> (if (c == 0L) floorProb else c.toDouble / total)
-      }.toMap
-      val usage = mutable.HashMap.empty[String, Long]
-      for ((w, wc) <- words; p <- viterbi(w, pm, maxPieceLen))
-        usage.update(p, usage.getOrElse(p, 0L) + wc)
-      vocab = vocab.map { case (p, _) => p -> usage.getOrElse(p, 0L) }
+      vocab = emStep(words, vocab, maxPieceLen)
       val newTotal = vocab.iterator.map(_._2).sum
       vocab.sortBy { case (p, c) => (-c, p) }.take(top).foreach {
         case (p, c) => out += TraceRow(it, p, c, c.toDouble / newTotal)
       }
     }
     out.result()
+  }
+
+  /** One EM round: build piece probabilities from the current counts
+    * (floor for unused pieces), Viterbi-segment every word, recount.
+    */
+  private def emStep(words: IndexedSeq[(String, Long)],
+      vocab: IndexedSeq[(String, Long)],
+      maxPieceLen: Int): IndexedSeq[(String, Long)] = {
+    val pm = probs(vocab)
+    val usage = mutable.HashMap.empty[String, Long]
+    for ((w, wc) <- words; p <- viterbi(w, pm, maxPieceLen))
+      usage.update(p, usage.getOrElse(p, 0L) + wc)
+    vocab.map { case (p, _) => p -> usage.getOrElse(p, 0L) }
+  }
+
+  /** Counts → segmentation probabilities, exactly as the E-step builds
+    * them: c/total, with the strictly-positive floor for c = 0 (soft
+    * prune). This is the map to broadcast when APPLYING a trained
+    * table (t33's corpus encode).
+    */
+  def probs(vocab: IndexedSeq[(String, Long)]): Map[String, Double] = {
+    val total = vocab.iterator.map(_._2).sum
+    vocab.iterator.map { case (p, c) =>
+      p -> (if (c == 0L) floorProb else c.toDouble / total)
+    }.toMap
+  }
+
+  /** Train and return the FINAL vocabulary counts (the state after
+    * `iters` M-steps — the same table whose per-round top rows `train`
+    * traces; t33 broadcasts `probs(trainFinal(...))` to encode).
+    */
+  def trainFinal(words: IndexedSeq[(String, Long)], maxPieceLen: Int = 6,
+      seedTopK: Int = 500, iters: Int = 3): IndexedSeq[(String, Long)] = {
+    var vocab: IndexedSeq[(String, Long)] = seed(words, maxPieceLen, seedTopK)
+    for (_ <- 1 to iters) vocab = emStep(words, vocab, maxPieceLen)
+    vocab
   }
 }

@@ -1829,13 +1829,14 @@ object TextQueries {
     * referenced by the next iteration AND the trace, and re-evaluating
     * it would nest the whole recursion exponentially.
     */
-  private def t32IterBlock(i: Int, prevVocab: String, prevTotal: String) =
+  private def t32IterBlock(i: Int, prevVocab: String, prevTotal: String,
+      wordsName: String = "words") =
     s"""cand$i AS MATERIALIZED (
        |  SELECT w.w AS cw, CAST(ts.s - 1 AS BIGINT) AS cpos,
        |         CAST(tl.l AS BIGINT) AS cl, v.piece AS cpiece,
        |         (CASE WHEN v.c = 0 THEN CAST(1e-20 AS DOUBLE)
        |          ELSE CAST(v.c AS DOUBLE) / CAST(t.total AS DOUBLE) END) AS cp
-       |  FROM words w, range(1, 13) ts(s), range(1, 7) tl(l),
+       |  FROM $wordsName w, range(1, 13) ts(s), range(1, 7) tl(l),
        |       $prevVocab v, $prevTotal t
        |  WHERE ts.s + tl.l <= len(w.w) + 1
        |    AND v.piece = substring(w.w, CAST(ts.s AS INT), CAST(tl.l AS INT))),
@@ -1843,7 +1844,7 @@ object TextQueries {
        |  SELECT w.w, w.cnt, CAST(0 AS BIGINT) AS pos,
        |         CAST(1.0 AS DOUBLE) AS score, 0 AS np,
        |         CAST(0 AS BIGINT) AS mask, CAST([] AS VARCHAR[]) AS pieces
-       |  FROM words w
+       |  FROM $wordsName w
        |  UNION ALL
        |  SELECT p.w, p.cnt, p.pos + c.cl, p.score * c.cp, p.np + 1,
        |         p.mask + (CASE WHEN p.pos + c.cl < len(p.w)
@@ -1926,26 +1927,37 @@ object TextQueries {
     * EM runs task-local over the collected ~800-row table (bounded
     * driver state).
     */
+  /** The t32 unit-frequency table: ONE distributed corpus pass building
+    * the SentencePiece-style cross-word bigram units (≤ 12 chars so the
+    * oracle lattice replay stays ≤ 2¹¹ paths/unit), collected
+    * KB-sized and sorted for deterministic trainer input. Shared by
+    * the trainer row (t32) and the encoder row (t33).
+    */
+  private def unigramUnits(s: org.apache.spark.sql.SparkSession,
+      dir: String): IndexedSeq[(String, Long)] = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("j0", "w0")))
+      .select(col("doc_id"), (col("j0") + 1).as("j"),
+        lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+    val wnd = Window.partitionBy("doc_id").orderBy("j")
+    toks
+      .withColumn("nj", lead("j", 1).over(wnd))
+      .withColumn("nw", lead("w", 1).over(wnd))
+      .filter(col("nj") === col("j") + 1)
+      .select(concat(col("w"), lit("_"), col("nw")).as("u"))
+      .filter(length(col("u")) <= 12)
+      .groupBy("u").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().sortBy(_._1).toIndexedSeq
+  }
+
   private val t32 = Q(
     "t32_unigram_lm_train",
     (s, dir) => {
       import s.implicits._
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("j0", "w0")))
-        .select(col("doc_id"), (col("j0") + 1).as("j"),
-          lower(col("w0")).as("w"))
-        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-      val wnd = Window.partitionBy("doc_id").orderBy("j")
-      val units = toks
-        .withColumn("nj", lead("j", 1).over(wnd))
-        .withColumn("nw", lead("w", 1).over(wnd))
-        .filter(col("nj") === col("j") + 1)
-        .select(concat(col("w"), lit("_"), col("nw")).as("u"))
-        .filter(length(col("u")) <= 12)
-        .groupBy("u").agg(count(lit(1)).as("cnt"))
-        .as[(String, Long)].collect().sortBy(_._1)
-      val trace = graft.ops.UnigramLm.train(units.toIndexedSeq,
+      val trace = graft.ops.UnigramLm.train(unigramUnits(s, dir),
         maxPieceLen = 6, seedTopK = 500, iters = 3, top = 10)
       trace.map(r => (r.iter, r.piece, r.cnt, r.prob))
         .toDF("iter", "piece", "cnt", "prob")
@@ -1953,8 +1965,154 @@ object TextQueries {
     },
     Some(t32Oracle))
 
+  /** The t33 oracle: the full t32 3-round EM replay (over `units`, the
+    * renamed cross-word table so it can coexist with the BPE chain's
+    * plain-word `words` CTE), the BPE merge chain (bseg), then ONE more
+    * lattice sweep — this time over the corpus's distinct clean WORDS,
+    * scored with the TRAINED table m3/t3 — and the per-source encode
+    * join both segmentations feed.
+    */
+  private val t33Oracle =
+    s"""WITH RECURSIVE
+       |${bpeDuckCtes.stripPrefix("WITH ")},
+       |bseg AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS bpe_tokens
+       |  FROM w$bpeMerges),
+       |wpos AS MATERIALIZED (
+       |  SELECT doc_id, j, lower(ws[j]) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents) t,
+       |       unnest(range(1, len(ws) + 1)) AS u(j)
+       |  WHERE regexp_matches(lower(ws[j]), '^[a-z]+$$')
+       |    AND len(ws[j]) >= 2),
+       |units AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT a.w || '_' || b.w AS w
+       |    FROM wpos a JOIN wpos b
+       |      ON a.doc_id = b.doc_id AND b.j = a.j + 1)
+       |  WHERE len(w) <= 12 GROUP BY 1),
+       |subs AS MATERIALIZED (
+       |  SELECT substring(w.w, CAST(ts.s AS INT), CAST(tl.l AS INT)) AS piece,
+       |         CAST(sum(w.cnt) AS BIGINT) AS c
+       |  FROM units w, range(1, 13) ts(s), range(1, 7) tl(l)
+       |  WHERE ts.s + tl.l <= len(w.w) + 1
+       |  GROUP BY 1),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM subs WHERE len(piece) >= 2) WHERE rk <= 500
+       |  UNION ALL
+       |  SELECT piece, c FROM subs WHERE len(piece) = 1),
+       |t0 AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab0),
+       |${t32IterBlock(1, "vocab0", "t0", "units")},
+       |${t32IterBlock(2, "m1", "t1", "units")},
+       |${t32IterBlock(3, "m2", "t2", "units")},
+       |candw AS MATERIALIZED (
+       |  SELECT w.w AS cw, CAST(ts.s - 1 AS BIGINT) AS cpos,
+       |         CAST(tl.l AS BIGINT) AS cl,
+       |         (CASE WHEN v.c = 0 THEN CAST(1e-20 AS DOUBLE)
+       |          ELSE CAST(v.c AS DOUBLE) / CAST(t.total AS DOUBLE) END) AS cp
+       |  FROM words w, range(1, 13) ts(s), range(1, 7) tl(l), m3 v, t3 t
+       |  WHERE ts.s + tl.l <= len(w.w) + 1
+       |    AND v.piece = substring(w.w, CAST(ts.s AS INT), CAST(tl.l AS INT))),
+       |pathsw AS (
+       |  SELECT w.w, CAST(0 AS BIGINT) AS pos, CAST(1.0 AS DOUBLE) AS score,
+       |         0 AS np, CAST(0 AS BIGINT) AS mask
+       |  FROM words w
+       |  UNION ALL
+       |  SELECT p.w, p.pos + c.cl, p.score * c.cp, p.np + 1,
+       |         p.mask + (CASE WHEN p.pos + c.cl < len(p.w)
+       |                   THEN (CAST(1 AS BIGINT) << CAST(p.pos + c.cl AS INT))
+       |                   ELSE 0 END)
+       |  FROM pathsw p JOIN candw c ON c.cw = p.w AND c.cpos = p.pos),
+       |useg AS MATERIALIZED (
+       |  SELECT w, CAST(np AS BIGINT) AS uni_tokens FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY w
+       |      ORDER BY score DESC, np, mask) AS rk
+       |    FROM pathsw WHERE pos = len(w)) WHERE rk = 1),
+       |docw AS (
+       |  SELECT source, lower(w0) AS w FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w0
+       |    FROM documents) t
+       |  WHERE regexp_matches(lower(w0), '^[a-z]+$$')
+       |    AND len(w0) BETWEEN 2 AND 12)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(d.w)) AS BIGINT) AS sum_chars,
+       |       CAST(sum(u.uni_tokens) AS BIGINT) AS sum_uni_tokens,
+       |       CAST(sum(b.bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+       |       round(CAST(sum(len(d.w)) AS DOUBLE)
+       |         / CAST(sum(u.uni_tokens) AS DOUBLE), 4)
+       |         AS uni_chars_per_token,
+       |       round(CAST(sum(len(d.w)) AS DOUBLE)
+       |         / CAST(sum(b.bpe_tokens) AS DOUBLE), 4)
+       |         AS bpe_chars_per_token
+       |FROM docw d JOIN useg u USING (w) JOIN bseg b USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** X315 t33: UNIGRAM-LM ENCODE — the apply half of t32 (and the
+    * direct tokenizer-choice measurement a data lead wants next to
+    * t29's BPE encode): broadcast the TRAINED piece table (t32's final
+    * EM counts → probabilities, floor for soft-pruned pieces), Viterbi-
+    * segment the corpus's distinct clean words DISTRIBUTED (each task
+    * holds only the KB-sized table; the corpus itself never carries
+    * segmentation state), then one vocabulary-keyed broadcast join back
+    * to the word occurrences — the t29 shape — reporting per-source
+    * token counts and chars-per-token compression for BOTH tokenizer
+    * families side by side. At 100 TB: the piece table is KB-sized
+    * (broadcast), distinct-word segmentation is embarrassingly parallel
+    * over a vocabulary-sized frame, and the corpus is touched by
+    * exactly two scans (unit table + encode) with no corpus-sized
+    * shuffle — per-source totals are one partial-aggregated groupBy.
+    * Word length capped at 12 (= the unit cap) so the oracle's lattice
+    * sweep over distinct words stays ≤ 2¹¹ paths/word; unsegmentable
+    * words (char never seen in any unit) fail LOUDLY in viterbi rather
+    * than skewing counts silently.
+    */
+  private val t33 = Q(
+    "t33_unigram_encode",
+    (s, dir) => {
+      import s.implicits._
+      val pm = graft.ops.UnigramLm.probs(graft.ops.UnigramLm.trainFinal(
+        unigramUnits(s, dir), maxPieceLen = 6, seedTopK = 500, iters = 3))
+      val pmB = s.sparkContext.broadcast(pm)
+      val (_, fin) = bpeTrain(s, dir)
+      val bseg = fin.select(col("w"),
+        size(split(col("s"), " ")).cast("long").as("bpe_tokens"))
+      val docw = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w0"))
+        .select(col("source"), lower(col("w0")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") &&
+          length(col("w")).between(2, 12))
+      val useg = docw.select("w").distinct().as[String]
+        .mapPartitions { it =>
+          it.map(w => (w,
+            graft.ops.UnigramLm.viterbi(w, pmB.value, 6).length.toLong))
+        }.toDF("w", "uni_tokens")
+      val out = docw
+        .join(broadcast(useg), Seq("w"))
+        .join(broadcast(bseg), Seq("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("sum_chars"),
+          sum("uni_tokens").as("sum_uni_tokens"),
+          sum("bpe_tokens").as("sum_bpe_tokens"))
+        .select(col("source"), col("n_words"), col("sum_chars"),
+          col("sum_uni_tokens"), col("sum_bpe_tokens"),
+          round(col("sum_chars").cast("double")
+            / col("sum_uni_tokens").cast("double"), 4)
+            .as("uni_chars_per_token"),
+          round(col("sum_chars").cast("double")
+            / col("sum_bpe_tokens").cast("double"), 4)
+            .as("bpe_chars_per_token"))
+        .orderBy("source")
+      fin.unpersist() // lineage recomputes if the action lands later (t29)
+      out
+    },
+    Some(t33Oracle))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32)
+      t29, t30, t31, t32, t33)
 }

@@ -94,6 +94,27 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(trace.filter(_.iter == 2).head.cnt > 0)
   }
 
+  test("trainFinal equals the traced final round (shared EM loop)") {
+    val words = IndexedSeq(("abcab", 5L), ("bca", 3L), ("cab", 2L),
+      ("aabb", 4L))
+    val trace = UnigramLm.train(words, maxPieceLen = 4, seedTopK = 20,
+      iters = 3, top = 10)
+    val fin = UnigramLm.trainFinal(words, maxPieceLen = 4, seedTopK = 20,
+      iters = 3)
+    val total = fin.map(_._2).sum
+    val top = fin.sortBy { case (p, c) => (-c, p) }.take(10)
+    val t3 = trace.filter(_.iter == 3)
+    assert(top.map(_._1) == t3.map(_.piece))
+    assert(top.map(_._2) == t3.map(_.cnt))
+    assert(t3.forall(r => r.prob == r.cnt.toDouble / total))
+    // probs (the broadcast table t33 encodes with): floor iff count 0
+    val pm = UnigramLm.probs(fin)
+    fin.foreach { case (p, c) =>
+      assert(pm(p) ==
+        (if (c == 0L) UnigramLm.floorProb else c.toDouble / total))
+    }
+  }
+
   test("viterbi fails loudly past the 64-boundary tie-break mask") {
     // `1L << e` wraps mod 64: boundary 64 would collide with boundary 0
     // and silently break the replayable (score, pieces, mask) order —
