@@ -1777,7 +1777,145 @@ object DedupQueries {
             LEFT JOIN spans s ON t0.doc_id = s.doc_id
             ORDER BY t0.doc_id"""))
 
+  /** X316 d25: NEAR-DUP TOP-K SUMMARY — the bounded-output reporting
+    * posture for d3's exact Jaccard enumeration. d3 faithfully emits
+    * the FULL pair list, so its output (and the sf1-measured cost of
+    * sorting/writing it) grows ~replica² with true duplication; at
+    * 100 TB a data lead wants the d23/s13 shape instead: per document,
+    * HOW MANY near-dups it has and its top-k best matches — output
+    * bounded at k rows per doc at ANY duplication rate.
+    *
+    * Same inverted-index verify as d3 (shared-shingle equi-join → one
+    * pair-keyed aggregate; only pairs sharing ≥1 shingle ever exist),
+    * both directions so every doc sees its full partner set. The
+    * summary head is where the posture differs: n_matches is a plain
+    * count, and the top-3 runs through the k-bounded
+    * [[graft.functions.TopKAggregator]] — map-side partials carry ≤k
+    * rows per doc per task through the shuffle and the global sort of
+    * the whole pair list disappears, so everything downstream of the
+    * intrinsic pair verify is O(k·docs) instead of O(pairs). Ordering
+    * is the aggregator's engine-neutral total order (jaccard DESC,
+    * partner ASC), which the oracle's row_number replays exactly.
+    */
+  private val d25 = Q(
+    "d25_neardup_topk",
+    (s, dir) => {
+      import s.implicits._
+      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("sh"))
+      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard", round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val counts = pairs.groupBy(col("doc_a").as("cdoc"))
+        .agg(count(lit(1)).as("n_matches"))
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      pairs.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topk.name("top"))
+        .toDF("doc_id", "top")
+        .join(counts, col("doc_id") === col("cdoc"))
+        .select(col("doc_id"), col("n_matches"),
+          posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("doc_id"), col("n_matches"), (col("i") + 1).as("rank"),
+          col("t._1").as("match_id"), col("t._2").as("jaccard"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH sets AS (
+             |  SELECT doc_id, $duckShingles AS shs FROM documents),
+             |ex AS (
+             |  SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         round(count(*) * 1.0
+             |           / (a.nsh + b.nsh - count(*)), 4) AS jaccard
+             |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+             |  HAVING round(count(*) * 1.0
+             |           / (a.nsh + b.nsh - count(*)), 4) >= 0.5),
+             |rk AS (
+             |  SELECT doc_a, doc_b, jaccard,
+             |         CAST(count(*) OVER (PARTITION BY doc_a) AS BIGINT)
+             |           AS n_matches,
+             |         row_number() OVER (PARTITION BY doc_a
+             |           ORDER BY jaccard DESC, doc_b) AS rank
+             |  FROM pairs)
+             |SELECT doc_a AS doc_id, n_matches, CAST(rank AS INT) AS rank,
+             |       doc_b AS match_id, jaccard
+             |FROM rk WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin))
+
+  /** X317 d26: CONTAINMENT TOP-K SUMMARY — the same bounded-output
+    * posture for d16's asymmetric containment enumeration (the other
+    * exact row the sf1 run measured output-bound: 452 s at 10×, all of
+    * it true pair volume). Per document: how many docs CONTAIN it
+    * (C(a→b) = |A∩B|/|A| ≥ 0.8, the d16 integer-compared threshold and
+    * |A| ≥ 5 floor unchanged) and the top-3 containers by containment
+    * DESC, container ASC through the k-bounded aggregator — ≤3 output
+    * rows per doc where d16 emits every (contained, container) pair.
+    */
+  private val d26 = Q(
+    "d26_containment_topk",
+    (s, dir) => {
+      import s.implicits._
+      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val a = ex.select(col("doc_id").as("doc_a"),
+        col("nsh").cast("long").as("na"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("sh"))
+      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("na") >= 5 &&
+          col("shared") * 5 >= col("na") * 4)
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared").cast("double") / col("na").cast("double"))
+            .as("containment"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val counts = pairs.groupBy(col("doc_a").as("cdoc"))
+        .agg(count(lit(1)).as("n_containers"))
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      pairs.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topk.name("top"))
+        .toDF("doc_id", "top")
+        .join(counts, col("doc_id") === col("cdoc"))
+        .select(col("doc_id"), col("n_containers"),
+          posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("doc_id"), col("n_containers"), (col("i") + 1).as("rank"),
+          col("t._1").as("container_id"), col("t._2").as("containment"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH sets AS (
+             |  SELECT doc_id, $duckShingles AS shs FROM documents),
+             |ex AS (
+             |  SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         CAST(count(*) AS DOUBLE) / CAST(a.nsh AS DOUBLE)
+             |           AS containment
+             |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id, a.nsh
+             |  HAVING a.nsh >= 5 AND count(*) * 5 >= a.nsh * 4),
+             |rk AS (
+             |  SELECT doc_a, doc_b, containment,
+             |         CAST(count(*) OVER (PARTITION BY doc_a) AS BIGINT)
+             |           AS n_containers,
+             |         row_number() OVER (PARTITION BY doc_a
+             |           ORDER BY containment DESC, doc_b) AS rank
+             |  FROM pairs)
+             |SELECT doc_a AS doc_id, n_containers, CAST(rank AS INT) AS rank,
+             |       doc_b AS container_id, containment
+             |FROM rk WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin))
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23, d24)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26)
 }

@@ -317,16 +317,22 @@ object EventQueries {
     * count from the state volume the query's stores are expected to
     * carry (keys × windows in the watermark horizon, or buffered join
     * rows in the time-range bound), via the measured
-    * [[graft.streaming.StatePartitioning]] rule. Every proof row's
-    * estimate is documented at its call-site; at proof scale they all
-    * derive the rule's floor (4 stores), which the streamparts sweep
-    * measured FASTER than the old hand-pinned 8 at both 1× and 8×
-    * volume (9.6 vs 12.6 s, 44.6 vs 69.8 s).
+    * [[graft.streaming.StatePartitioning]] rule. Since round 14 the
+    * expected-state input itself is COMPUTED from the replayed batch
+    * table by the estimator matching each operator's state shape
+    * ([[graft.streaming.StateEstimates]]) — no hand-supplied counts
+    * left. At proof scale every estimator derives the rule's floor
+    * (4 stores, asserted in StreamingSpec against the r13 hand
+    * estimates), which the streamparts sweep measured FASTER than the
+    * old hand-pinned 8 at both 1× and 8× volume (9.6 vs 12.6 s,
+    * 44.6 vs 69.8 s).
     */
   private def withStateSizedPartitions[A](s: SparkSession,
       expectedStateRows: Long)(body: => A): A =
     withShufflePartitions(s,
       graft.streaming.StatePartitioning.forExpectedState(expectedStateRows))(body)
+
+  private def est = graft.streaming.StateEstimates
 
   /** Shared replay harness for the stream-batch equivalence rows (e10,
     * e11): readStream over the events parquet (file-source streams need
@@ -338,8 +344,9 @@ object EventQueries {
     * table. Complete mode because the memory sink holds final state.
     */
   private def replayToMemorySink(s: SparkSession, dir: String, tag: String,
-      mode: String = "complete")(
-      agg: DataFrame => DataFrame): DataFrame = withStateSizedPartitions(s, expectedStateRows = 2000) {
+      mode: String = "complete",
+      stateRows: Long)(
+      agg: DataFrame => DataFrame): DataFrame = withStateSizedPartitions(s, expectedStateRows = stateRows) {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = graft.ops.Tables.normalizeTs(
@@ -370,7 +377,8 @@ object EventQueries {
   private val e10 = Q(
     "e10_stream_batch_equiv",
     (s, dir) => {
-      replayToMemorySink(s, dir, "stream_equiv")(
+      replayToMemorySink(s, dir, "stream_equiv",
+        stateRows = est.hourWindowKeys(s, dir))(
         graft.streaming.EventStreams.tumblingCounts)
         .select(col("event_type"),
           col("window_start").as("hour_window"),
@@ -393,7 +401,8 @@ object EventQueries {
   private val e11 = Q(
     "e11_stream_session_equiv",
     (s, dir) => {
-      replayToMemorySink(s, dir, "stream_sess")(
+      replayToMemorySink(s, dir, "stream_sess",
+        stateRows = est.sessionCount(s, dir))(
         graft.streaming.EventStreams.sessionCounts)
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start"),
@@ -421,7 +430,8 @@ object EventQueries {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val sink = replayToMemorySink(s, dir, "stream_tws", "update")(
+        val sink = replayToMemorySink(s, dir, "stream_tws", "update",
+          stateRows = est.approxKeys(s, dir, "user_id"))(
           ev => graft.streaming.EventStreams.runningUserTotalsTws(ev).toDF())
         val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
         sink.withColumn("rk", row_number().over(w))
@@ -450,7 +460,8 @@ object EventQueries {
     */
   private val e15 = Q(
     "e15_foreachbatch_sink_equiv",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
+    // stateless passthrough sink: no keyed state -> rule floor
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 0L) {
       import org.apache.spark.sql.streaming.Trigger
       val out = System.getProperty("java.io.tmpdir") +
         s"/graft_fb_sink_${streamRun.incrementAndGet()}"
@@ -495,7 +506,8 @@ object EventQueries {
     */
   private val e16 = Q(
     "e16_stream_checkpoint_resume",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
+    // stateless passthrough: offsets only, no keyed state -> rule floor
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 0L) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -565,7 +577,8 @@ object EventQueries {
     */
   private val e17 = Q(
     "e17_watermark_late_drop",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
+    (s, dir) => withStateSizedPartitions(s,
+        expectedStateRows = est.hourWindowKeys(s, dir)) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -655,7 +668,8 @@ object EventQueries {
   private val e18 = Q(
     "e18_stream_fmgws_equiv",
     (s, dir) => {
-      val sink = replayToMemorySink(s, dir, "stream_fmgws", "update")(
+      val sink = replayToMemorySink(s, dir, "stream_fmgws", "update",
+        stateRows = est.approxKeys(s, dir, "user_id"))(
         ev => graft.streaming.EventStreams.runningUserTotals(ev).toDF())
       val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
       sink.withColumn("rk", row_number().over(w))
@@ -681,7 +695,9 @@ object EventQueries {
     */
   private val e19 = Q(
     "e19_stream_stream_join",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 7000) {
+    (s, dir) => withStateSizedPartitions(s,
+        expectedStateRows = est.joinBufferRows(s, dir,
+          Seq("click", "purchase"))) {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = graft.ops.Tables.normalizeTs(
@@ -864,7 +880,8 @@ object EventQueries {
   private val e20 = Q(
     "e20_stream_dedup_equiv",
     (s, dir) => {
-      replayToMemorySink(s, dir, "stream_dedup", "append")(
+      replayToMemorySink(s, dir, "stream_dedup", "append",
+        stateRows = est.approxKeys(s, dir, "concat(user_id, '|', event_type)"))(
         graft.streaming.EventStreams.dedupWithinWatermark)
         .groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n_emitted"))
@@ -891,7 +908,8 @@ object EventQueries {
     (s, dir) => {
       val dim = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      replayToMemorySink(s, dir, "stream_enrich", "append")(ev =>
+      replayToMemorySink(s, dir, "stream_enrich", "append",
+        stateRows = 0L)(ev => // broadcast join: no state store
         graft.streaming.EventStreams
           .enrichWithDim(ev, dim, "user_id", "c_custkey"))
         .withColumn("segment",
@@ -972,7 +990,8 @@ object EventQueries {
     */
   private val e23 = Q(
     "e23_stream_rate_limit",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
+    // stateless passthrough: pacing proof, no keyed state -> rule floor
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 0L) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1038,7 +1057,9 @@ object EventQueries {
     */
   private val e24 = Q(
     "e24_stream_stream_left_outer",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 7000) {
+    (s, dir) => withStateSizedPartitions(s,
+        expectedStateRows = est.joinBufferRows(s, dir,
+          Seq("click", "purchase"))) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1756,7 +1777,8 @@ object EventQueries {
     */
   private val e37 = Q(
     "e37_file_sink_txn_log",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
+    // stateless passthrough: commit-log proof, no keyed state -> rule floor
+    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 0L) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1830,7 +1852,8 @@ object EventQueries {
     */
   private val e38 = Q(
     "e38_append_window_file_sink",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
+    (s, dir) => withStateSizedPartitions(s,
+        expectedStateRows = est.hourWindowKeys(s, dir)) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       val base = System.getProperty("java.io.tmpdir") +
@@ -1926,7 +1949,9 @@ object EventQueries {
     */
   private val e39 = Q(
     "e39_stream_quantile_sketch",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
+    // one log-sized sketch row per key
+    (s, dir) => withStateSizedPartitions(s,
+        expectedStateRows = est.approxKeys(s, dir, "event_type")) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -2047,7 +2072,10 @@ object EventQueries {
     */
   private val e40 = Q(
     "e40_stream_bloom_dedup",
-    (s, dir) => withStateSizedPartitions(s, expectedStateRows = 1000) {
+    // one bloom-bitset state row per source (documents stream)
+    (s, dir) => withStateSizedPartitions(s,
+        expectedStateRows = est.approxKeys(s, dir, "source",
+          table = "documents")) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.hadoop.fs.Path
       s.conf.set("spark.sql.streaming.stateStore.providerClass",

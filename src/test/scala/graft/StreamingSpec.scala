@@ -13,6 +13,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  private val sfDir = "/root/testdata/sf0.001"
+
   private lazy val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
@@ -247,5 +249,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // lag with which the watermark trails event time)
     assert(bounded.max <= 4L, bounded.mkString(","))
     assert(bounded.last <= 4L, bounded.mkString(","))
+  }
+
+  test("data-derived state estimates reproduce the r13 hand estimates' " +
+      "partition counts at proof scale") {
+    import graft.streaming.{StateEstimates => SE, StatePartitioning => SP}
+    // Each streaming proof row's StatePartitioning input is now computed
+    // from the batch-side table (SURVEY §2.9 / EventQueries call-sites).
+    // The round-13 hand estimates at proof scale were 0–7000 rows, all of
+    // which the rule maps to its floor of 4 — the derived values must
+    // land on the same pin, and each must be a sane non-degenerate count.
+    val derived = Map(
+      "hour_windows (e10/e17/e38)" -> SE.hourWindowKeys(spark, sfDir),
+      "sessions (e11)" -> SE.sessionCount(spark, sfDir),
+      "user keys (e14/e18)" -> SE.approxKeys(spark, sfDir, "user_id"),
+      "dedup keys (e20)" ->
+        SE.approxKeys(spark, sfDir, "concat(user_id, '|', event_type)"),
+      "join buffer (e19/e24)" ->
+        SE.joinBufferRows(spark, sfDir, Seq("click", "purchase")),
+      "sketch keys (e39)" -> SE.approxKeys(spark, sfDir, "event_type"),
+      "bloom keys (e40)" ->
+        SE.approxKeys(spark, sfDir, "source", table = "documents"))
+    derived.foreach { case (site, rows) =>
+      info(f"$site%-28s -> $rows rows -> ${SP.forExpectedState(rows)} parts")
+      assert(rows > 0L, s"$site derived a degenerate state estimate")
+      assert(SP.forExpectedState(rows) == 4,
+        s"$site: derived $rows rows no longer lands on the floor pin " +
+          "the r13 hand estimates produced at proof scale")
+    }
+    // the estimates stay ordered the way the state shapes are nested:
+    // per-(user,type) dedup keys >= per-user keys >= per-type sketch keys
+    assert(derived("dedup keys (e20)") >= derived("user keys (e14/e18)"))
+    assert(derived("user keys (e14/e18)") >= derived("sketch keys (e39)"))
+    // stateless passthroughs pin the floor by definition
+    assert(SP.forExpectedState(0L) == 4)
   }
 }
