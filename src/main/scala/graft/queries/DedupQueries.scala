@@ -1786,8 +1786,11 @@ object DedupQueries {
     * bounded at k rows per doc at ANY duplication rate.
     *
     * Same inverted-index verify as d3 (shared-shingle equi-join → one
-    * pair-keyed aggregate; only pairs sharing ≥1 shingle ever exist),
-    * both directions so every doc sees its full partner set. The
+    * UNDIRECTED pair-keyed aggregate; only pairs sharing ≥1 shingle
+    * ever exist) — every doc then sees its full partner set by
+    * MIRRORING the small post-threshold pair list, not by aggregating
+    * both directions (Jaccard is symmetric; the directional aggregate
+    * costs 2× the shuffle for the same survivors). The
     * summary head is where the posture differs: n_matches is a plain
     * count, and the top-3 runs through the k-bounded
     * [[graft.functions.TopKAggregator]] — map-side partials carry ≤k
@@ -1804,7 +1807,12 @@ object DedupQueries {
       val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
       val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("sh"))
-      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") =!= col("doc_b"))
+      // Aggregate UNDIRECTED (a < b, d3's volume) and mirror the small
+      // post-threshold pair list instead of aggregating both directions:
+      // Jaccard is symmetric, and the directional aggregate costs 2× the
+      // shuffle for the same surviving pairs (sf1 measured: 426 s
+      // directional vs d3's 235 s on the identical join).
+      val und = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("shared"))
         .withColumn("jaccard", round(col("shared").cast("double")
@@ -1812,6 +1820,8 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = und.union(und.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b"), col("jaccard")))
       val counts = pairs.groupBy(col("doc_a").as("cdoc"))
         .agg(count(lit(1)).as("n_matches"))
       val topk = new graft.functions.TopKAggregator(3).toColumn
@@ -1867,16 +1877,29 @@ object DedupQueries {
       val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val a = ex.select(col("doc_id").as("doc_a"),
         col("nsh").cast("long").as("na"), col("sh"))
-      val b = ex.select(col("doc_id").as("doc_b"), col("sh"))
-      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") =!= col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na")
+      val b = ex.select(col("doc_id").as("doc_b"),
+        col("nsh").cast("long").as("nb"), col("sh"))
+      // Shared-shingle counts are symmetric even though containment is
+      // not: aggregate UNDIRECTED (a < b, half the shuffle of the a ≠ b
+      // spelling), keep pairs passing EITHER direction's threshold, then
+      // emit each direction from the small surviving set with its own
+      // denominator (a→b over na, b→a over nb).
+      val und = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("shared"))
-        .filter(col("na") >= 5 &&
-          col("shared") * 5 >= col("na") * 4)
+        .filter((col("na") >= 5 && col("shared") * 5 >= col("na") * 4) ||
+          (col("nb") >= 5 && col("shared") * 5 >= col("nb") * 4))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = und
+        .filter(col("na") >= 5 && col("shared") * 5 >= col("na") * 4)
         .select(col("doc_a"), col("doc_b"),
           (col("shared").cast("double") / col("na").cast("double"))
             .as("containment"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .union(und
+          .filter(col("nb") >= 5 && col("shared") * 5 >= col("nb") * 4)
+          .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+            (col("shared").cast("double") / col("nb").cast("double"))
+              .as("containment")))
       val counts = pairs.groupBy(col("doc_a").as("cdoc"))
         .agg(count(lit(1)).as("n_containers"))
       val topk = new graft.functions.TopKAggregator(3).toColumn
@@ -1915,7 +1938,146 @@ object DedupQueries {
              |FROM rk WHERE rank <= 3
              |ORDER BY doc_id, rank""".stripMargin))
 
+  /** X319 d27: ANCHOR-SAMPLED LSH TUNING — the scale posture for d20,
+    * whose exact recall/precision measurement computes the FULL truth
+    * pair set (the one remaining d-family row whose intermediate volume
+    * grows with true match volume; sf1: 259.6 s). The fix is the w38
+    * device applied to documents instead of index pairs: a DETERMINISTIC
+    * fixed-budget anchor sample both engines compute identically — doc
+    * kept iff h(doc_id) < (A·2³²) div n, h = ((doc_id mod 2²⁰)·
+    * 2654435761) mod 2³², A = 2000 — and every truth/candidate pair is
+    * counted iff its SMALLER-id member is an anchor. Keep-probability
+    * ≈ min(1, A/n), so the shared-shingle truth join's left side (and
+    * with it the quadratic intermediate) shrinks by A/n while the
+    * recall/precision ESTIMATES stay unbiased over the anchored-pair
+    * population; corpora with n ≤ A anchor every doc and the estimates
+    * EQUAL d20's exact numbers (DedupTopkSpec proves the equality at
+    * proof scale and that sampling engages past the budget). Overflow-
+    * safe at any magnitude: operands reduced mod 2²⁰ before multiply,
+    * budget compare via integer division (A·2³² ≤ 2⁴³ ≪ 2⁶³).
+    */
+  private val d27 = Q(
+    "d27_lsh_tuning_sampled",
+    (s, dir) => {
+      val A = 2000L
+      val nDocs = Tables.load(s, dir, "documents").count()
+      val thr = (A * 4294967296L) / math.max(nDocs, 1L)
+      def anchored(c: Column): Column =
+        pmod(pmod(c, lit(1048576L)) * lit(2654435761L),
+          lit(4294967296L)) < lit(thr)
+      val sig = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val a = ex.filter(anchored(col("doc_id")))
+        .select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("sh"))
+      val truth = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .filter(lit(2L) * col("shared")
+          >= col("na") + col("nb") - col("shared"))
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val truthTotal = truth.agg(count(lit(1)).as("n_true_sampled"))
+      val nAnchors = Tables.load(s, dir, "documents")
+        .filter(anchored(col("doc_id")))
+        .agg(count(lit(1)).as("n_anchors"))
+      val cfgs = Seq(("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4),
+        ("b1r8", 1, 8))
+      cfgs.map { case (cfg, nb, r) =>
+        val bands = sig.select(col("doc_id"), explode(array(
+          (0 until nb).map { j =>
+            val key = md5(concat(
+              (0 until r).map(i => col(s"mh${j * r + i}")): _*))
+            struct(lit(j).as("bi"), key.as("bk"))
+          }: _*)).as("bd"))
+          .select(col("doc_id"), col("bd.bi"), col("bd.bk"))
+        val cand = bands.filter(anchored(col("doc_id"))).as("x")
+          .join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val nc = cand.agg(count(lit(1)).as("n_candidates_sampled"))
+        val caught = cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_caught_sampled"))
+        nc.crossJoin(caught).crossJoin(truthTotal).crossJoin(nAnchors)
+          .select(lit(cfg).as("cfg"), col("n_anchors"),
+            col("n_candidates_sampled"),
+            col("n_true_sampled"), col("n_caught_sampled"),
+            when(col("n_true_sampled") > 0L,
+              col("n_caught_sampled").cast("double")
+                / col("n_true_sampled").cast("double")).as("recall_est"),
+            when(col("n_candidates_sampled") > 0L,
+              col("n_caught_sampled").cast("double")
+                / col("n_candidates_sampled").cast("double"))
+              .as("precision_est"))
+      }.reduce(_ unionByName _).orderBy("cfg")
+    },
+    Some {
+      val bandSql = (cfg: String, nb: Int, r: Int) =>
+        (0 until nb).map { j =>
+          val key = (0 until r).map(i => s"mh${j * r + i}").mkString(" || ")
+          s"SELECT doc_id, $j AS bi, md5($key) AS bk FROM sigs"
+        }.mkString(" UNION ALL ")
+      val candSql = (cfg: String) =>
+        s"""c_$cfg AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM b_$cfg x JOIN b_$cfg y
+           |    ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id
+           |  WHERE x.doc_id IN (SELECT doc_id FROM anchors))"""
+          .stripMargin
+      val rowSql = (cfg: String) =>
+        s"""SELECT '$cfg' AS cfg,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM anchors) AS n_anchors,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c_$cfg)
+           |    AS n_candidates_sampled,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth)
+           |    AS n_true_sampled,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c_$cfg c
+           |   JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+           |    AS n_caught_sampled,
+           |  CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+           |    (SELECT CAST(count(*) AS DOUBLE) FROM c_$cfg c
+           |     JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+           |    / (SELECT CAST(count(*) AS DOUBLE) FROM truth) END
+           |    AS recall_est,
+           |  CASE WHEN (SELECT count(*) FROM c_$cfg) > 0 THEN
+           |    (SELECT CAST(count(*) AS DOUBLE) FROM c_$cfg c
+           |     JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+           |    / (SELECT CAST(count(*) AS DOUBLE) FROM c_$cfg) END
+           |    AS precision_est""".stripMargin
+      val cfgs = Seq(("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4),
+        ("b1r8", 1, 8))
+      s"""WITH sets AS (
+         |  SELECT doc_id, $duckShingles AS shs FROM documents),
+         |ex AS (
+         |  SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(i =>
+               s"min(md5(sh || '|$i')) AS mh$i").mkString(", ")}
+         |  FROM ex GROUP BY 1),
+         |anchors AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE ((doc_id % 1048576) * 2654435761) % 4294967296
+         |        < (2000 * 4294967296)
+         |          // greatest((SELECT count(*) FROM documents), 1)),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM anchors)
+         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+         |  HAVING 2 * count(*) >= a.nsh + b.nsh - count(*)),
+         |${cfgs.map { case (c, nb, r) =>
+             s"b_$c AS (${bandSql(c, nb, r)})" }.mkString(",\n")},
+         |${cfgs.map { case (c, _, _) => candSql(c) }.mkString(",\n")}
+         |${cfgs.map { case (c, _, _) => rowSql(c) }
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY cfg""".stripMargin
+    })
+
   def all: Seq[Q] =
     Seq(d1, d2, d3, d4, d5, d7, d8, d9, d10, d11, d12, d13, d14, d15,
-      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26)
+      d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27)
 }

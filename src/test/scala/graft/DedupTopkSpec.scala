@@ -121,6 +121,62 @@ class DedupTopkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.exists(t => t._1 == 100L && t._4 == 101L))
   }
 
+  test("d27 equals exact d20 when every doc fits the anchor budget") {
+    // sf0.001 has ~500 docs < A=2000: the anchor predicate keeps every
+    // doc and the sampled estimates must EQUAL d20's exact numbers
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("d20_lsh_tuning")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    val sampled = SparkEntry.queries("d27_lsh_tuning_sampled")(spark, dir)
+      .collect().map { r =>
+        val nDocs = spark.read
+          .parquet(s"$dir/documents.parquet").count()
+        assert(r.getLong(1) == nDocs, "expected every doc anchored")
+        r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6)))
+      }.toMap
+    assert(sampled.keySet == exact.keySet)
+    for (cfg <- exact.keys) assert(sampled(cfg) == exact(cfg), cfg)
+  }
+
+  test("d27 sampling engages past the anchor budget and stays exact on " +
+      "the anchored population") {
+    import spark.implicits._
+    // 4000 docs > A=2000: doc i and doc i+2000 are identical (disjoint
+    // token vocabularies across seeds), so truth = the 2000 identical
+    // pairs and every LSH cfg catches exactly the anchored ones
+    val n = 4000
+    val docs = (0 until n).map { i =>
+      val seed = i % 2000
+      (i.toLong, (0 until 5).map(k => s"w${seed}_$k").mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("d27_budget_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d27_lsh_tuning_sampled")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.length == 4)
+    val nAnchors = out.head._2
+    info(s"anchors: $nAnchors of $n docs")
+    // a true subsample: more than the budget floor, fewer than all docs
+    assert(nAnchors > 0 && nAnchors < n)
+    for ((cfg, _, nCand, nTrue, nCaught, recall, precision) <- out) {
+      // truth = anchored identical pairs only; every cfg catches all of
+      // them with no false candidates (disjoint vocabularies)
+      assert(nTrue > 0 && nTrue < 2000L, s"$cfg: $nTrue")
+      assert(nCaught == nTrue, cfg)
+      assert(nCand == nTrue, cfg)
+      assert(recall == 1.0 && precision == 1.0, cfg)
+    }
+  }
+
   test("output stays <= 3 rows per doc while the full pair lists grow " +
       "with the clique square") {
     for (r <- Seq(8, 16)) {
