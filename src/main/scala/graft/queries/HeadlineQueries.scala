@@ -29,36 +29,57 @@ object HeadlineQueries {
 
   /** TPC-H Q1: pricing summary report. Cutoff 1998-09-02 keeps ~54% of
     * lineitem, matching the spec's intent (bulk-of-table scan+agg).
+    *
+    * Money/quantity aggregates sum DECIMAL(30,6), not DOUBLE: a double
+    * SUM is accumulation-order-dependent, and the round-14 sampled sf1
+    * oracle audit caught exactly that — at 6M rows Spark's partial-agg
+    * tree and DuckDB's accumulator drifted 1e-14 relative on
+    * sum_disc_price, enough for the rounded 4th decimal to straddle
+    * (…16.25 vs …16.2499). The per-row product stays IEEE double
+    * (identical in both engines), is cast once to DECIMAL(30,6)
+    * (exact at 6M × 1e5 magnitude), summed exactly/associatively, and
+    * cast back to double for the reported rounding — deterministic at
+    * ANY row count and parallelism, which is the 100 TB contract.
+    * Averages divide the same exact sum by the group count.
     */
   private val h1 = Q(
     "h1_pricing_summary",
     (s, dir) => {
+      val dec = "decimal(30,6)"
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          round(dsum(col("l_quantity")), 4).as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
             .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          round(dsum(col("l_extendedprice")) / count(lit(1)), 4)
+            .as("avg_price"),
+          round(dsum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-              round(sum(l_quantity), 4) AS sum_qty,
-              round(sum(l_extendedprice), 4) AS sum_base_price,
-              round(sum(l_extendedprice * (1 - l_discount)), 4)
-                AS sum_disc_price,
-              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4)
+                AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6)))
+                    AS DOUBLE), 4) AS sum_base_price,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_disc_price,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE), 4)
                 AS sum_charge,
-              round(avg(l_quantity), 4) AS avg_qty,
-              round(avg(l_extendedprice), 4) AS avg_price,
-              round(avg(l_discount), 4) AS avg_disc,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                    / count(*), 4) AS avg_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6)))
+                    AS DOUBLE) / count(*), 4) AS avg_price,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)
+                    / count(*), 4) AS avg_disc,
               CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE l_shipdate <= '1998-09-02'
