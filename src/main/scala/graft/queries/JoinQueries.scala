@@ -58,11 +58,13 @@ object JoinQueries {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 4).as("total"))
+          round(graft.ops.ExactNum.dsum(col("o_totalprice")), 4)
+            .as("total"))
         .orderBy("c_mktsegment")
     },
     Some("""SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 4) AS total
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                         AS DOUBLE), 4) AS total
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1 ORDER BY 1"""))
 
@@ -202,12 +204,14 @@ object JoinQueries {
       li.join(o, li("l_orderkey") === o("o_orderkey") &&
           li("salt") === o("salt"))
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .agg(round(graft.ops.ExactNum.dsum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"), count(lit(1)).as("n_lines"))
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                   round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE), 4)
                      AS revenue,
                    count(*) AS n_lines
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -309,7 +313,8 @@ object JoinQueries {
       o.join(broadcast(dim), o("k") <=> dim("k"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 4).as("total"))
+          round(graft.ops.ExactNum.dsum(col("o_totalprice")), 4)
+            .as("total"))
         .orderBy("label")
     },
     Some("""WITH o AS (
@@ -319,7 +324,8 @@ object JoinQueries {
             dim(k, label) AS (
               VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
             SELECT label, count(*) AS n,
-                   round(sum(o_totalprice), 4) AS total
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                         AS DOUBLE), 4) AS total
             FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
             GROUP BY 1 ORDER BY 1"""))
 

@@ -38,12 +38,14 @@ object SourceQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_price"))
+          round(graft.ops.ExactNum.dsum(col("l_extendedprice")), 4)
+            .as("sum_price"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS n,
                    round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_price
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6)))
+                         AS DOUBLE), 4) AS sum_price
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   /** S2: glob multi-file scan with a filename predicate — the
@@ -66,9 +68,12 @@ object SourceQueries {
         .filter(col("fname").contains("yr=1996") ||
           col("fname").contains("yr=1997"))
         .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 4).as("total"))
+          round(graft.ops.ExactNum.dsum(col("o_totalprice")), 4)
+            .as("total"))
     },
-    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total
+    Some("""SELECT count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                         AS DOUBLE), 4) AS total
             FROM orders
             WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)"""))
 
@@ -169,7 +174,8 @@ object SourceQueries {
       fact.join(broadcast(dim), fact("yr") === dim("d_yr"))
         .groupBy("yr")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 4).as("total"),
+          round(graft.ops.ExactNum.dsum(col("o_totalprice")), 4)
+            .as("total"),
           max("n_urgent").as("n_urgent"))
         .orderBy("yr")
     },
@@ -180,7 +186,8 @@ object SourceQueries {
               GROUP BY 1 HAVING count(*) >= 400)
             SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 4) AS total,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                         AS DOUBLE), 4) AS total,
                    CAST(max(n_urgent) AS BIGINT) AS n_urgent
             FROM orders JOIN dim ON year(CAST(o_orderdate AS DATE)) = d_yr
             GROUP BY 1 ORDER BY 1"""))
@@ -293,12 +300,14 @@ object SourceQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum("l_quantity").as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_price"))
+          round(graft.ops.ExactNum.dsum(col("l_extendedprice")), 4)
+            .as("sum_price"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS n,
                    sum(l_quantity) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_price
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6)))
+                         AS DOUBLE), 4) AS sum_price
             FROM lineitem WHERE l_quantity >= 25.0
             GROUP BY 1 ORDER BY 1"""))
 
@@ -375,15 +384,18 @@ object SourceQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           count(col("o_totalprice")).as("n_with_price"),
-          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 4)
+          round(graft.ops.ExactNum.dsum(
+              coalesce(col("o_totalprice"), lit(0.0))), 4)
             .as("sum_price"))
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority, count(*) AS n_rows,
                    CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
-                   round(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
-                     THEN o_totalprice ELSE 0.0 END), 4) AS sum_price
+                   round(CAST(sum(CAST(CASE
+                       WHEN o_orderdate >= DATE '1998-01-01'
+                       THEN o_totalprice ELSE 0.0 END
+                       AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_price
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
