@@ -2089,7 +2089,130 @@ object PipelineQueries {
                    c.corpus_hash
             FROM src s CROSS JOIN corpus c ORDER BY s.source"""))
 
+  /** X320 pl15: ANCHOR-SAMPLED SPLIT-LEAKAGE AUDIT — the scale posture
+    * for pl7, whose exact audit computes the FULL near-dup truth pair
+    * set (the last top-cost sf1 row without a bounded flavor: 261–
+    * 433 s at 10× across the two runs). The d27 device verbatim: a
+    * deterministic fixed-budget anchor sample over doc_id (kept iff
+    * h(doc_id) < (A·2³²) div n, A = 2000, both engines computing the
+    * identical integers), leakage counted over pairs whose SMALLER-id
+    * member is an anchor — the quadratic truth intermediate shrinks by
+    * ~A/n while the cross-split leak RATE estimate stays exact on the
+    * anchored population (and EQUALS pl7 when n ≤ A; proven in
+    * DedupTopkSpec at sf0.001). Both split strategies audited on the
+    * same anchored pair set, with the leak rate as one division of the
+    * two exact counts.
+    */
+  private val pl15 = Q(
+    "pl15_split_leakage_sampled",
+    (s, dir) => {
+      val A = 2000L
+      val nDocs = Tables.load(s, dir, "documents").count()
+      val thr = (A * 4294967296L) / math.max(nDocs, 1L)
+      def anchored(c: org.apache.spark.sql.Column) =
+        pmod(pmod(c, lit(1048576L)) * lit(2654435761L),
+          lit(4294967296L)) < lit(thr)
+      val ex = DedupQueries.shingled(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = ex.filter(anchored(col("doc_id")))
+        .select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("sh"))
+      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .filter(lit(2L) * col("shared")
+          >= col("na") + col("nb") - col("shared"))
+        .select("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sp = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("g_split",
+          when(substring(md5(col("source")), 1, 1) < "c", "train")
+            .otherwise("val"))
+        .withColumn("n_split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+            "train").otherwise("val"))
+      val nAnchors = Tables.load(s, dir, "documents")
+        .filter(anchored(col("doc_id")))
+        .agg(count(lit(1)).as("n_anchors"))
+      def audit(strategy: String, splitCol: String) = {
+        val sa = sp.select(col("doc_id").as("doc_a"),
+          col(splitCol).as("sp_a"))
+        val sb = sp.select(col("doc_id").as("doc_b"),
+          col(splitCol).as("sp_b"))
+        val pairAgg = pairs.join(broadcast(sa), Seq("doc_a"))
+          .join(broadcast(sb), Seq("doc_b"))
+          .agg(count(lit(1)).as("n_neardup_sampled"),
+            sum(when(col("sp_a") =!= col("sp_b"), 1L).otherwise(0L))
+              .as("n_cross_sampled"))
+        pairAgg.crossJoin(nAnchors).select(lit(strategy).as("strategy"),
+          col("n_anchors"), col("n_neardup_sampled"),
+          col("n_cross_sampled"),
+          when(col("n_neardup_sampled") > 0L,
+            col("n_cross_sampled").cast("double")
+              / col("n_neardup_sampled").cast("double"))
+            .as("leak_rate_est"))
+      }
+      audit("group_by_source", "g_split")
+        .unionByName(audit("naive_by_doc", "n_split"))
+        .orderBy("strategy")
+    },
+    Some(s"""WITH sets AS (
+             |  SELECT doc_id, ${DedupQueries.duckShingles} AS shs
+             |  FROM documents),
+             |ex AS (
+             |  SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh
+             |  FROM sets),
+             |anchors AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE ((doc_id % 1048576) * 2654435761) % 4294967296
+             |        < (2000 * 4294967296)
+             |          // greatest((SELECT count(*) FROM documents), 1)),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  WHERE a.doc_id IN (SELECT doc_id FROM anchors)
+             |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+             |  HAVING 2 * count(*) >= a.nsh + b.nsh - count(*)),
+             |sp AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN substr(md5(source), 1, 1) < 'c'
+             |         THEN 'train' ELSE 'val' END AS g_split,
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+             |         THEN 'train' ELSE 'val' END AS n_split,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM anchors)
+             |      AS n_anchors
+             |  FROM documents),
+             |g AS (
+             |  SELECT 'group_by_source' AS strategy,
+             |    min(sa.n_anchors) AS n_anchors,
+             |    CAST(count(*) AS BIGINT) AS n_neardup_sampled,
+             |    CAST(sum(CASE WHEN sa.g_split <> sb.g_split
+             |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_sampled
+             |  FROM pairs p
+             |  JOIN sp sa ON p.doc_a = sa.doc_id
+             |  JOIN sp sb ON p.doc_b = sb.doc_id),
+             |n AS (
+             |  SELECT 'naive_by_doc' AS strategy,
+             |    min(sa.n_anchors) AS n_anchors,
+             |    CAST(count(*) AS BIGINT) AS n_neardup_sampled,
+             |    CAST(sum(CASE WHEN sa.n_split <> sb.n_split
+             |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_sampled
+             |  FROM pairs p
+             |  JOIN sp sa ON p.doc_a = sa.doc_id
+             |  JOIN sp sb ON p.doc_b = sb.doc_id)
+             |SELECT strategy, n_anchors, n_neardup_sampled,
+             |       n_cross_sampled,
+             |       CASE WHEN n_neardup_sampled > 0 THEN
+             |         CAST(n_cross_sampled AS DOUBLE)
+             |         / CAST(n_neardup_sampled AS DOUBLE) END
+             |         AS leak_rate_est
+             |FROM (SELECT * FROM g UNION ALL SELECT * FROM n)
+             |ORDER BY strategy""".stripMargin))
+
   def all: Seq[Q] =
     Seq(pl1, pl2, mm1, pl3, mm2, pl4, mm3, mm4, mm5, pl5, mm6, mm7, pl6,
-      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, mm11, pl12, pl13, plt1, pl14)
+      pl7, pl8, pl9, pl10, mm8, mm9, pl11, mm10, mm11, pl12, pl13, plt1,
+      pl14, pl15)
 }

@@ -177,6 +177,19 @@ class DedupTopkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pl15 equals exact pl7 when every doc fits the anchor budget") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("pl7_group_split_leakage")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap   // (n_neardup, n_cross)
+    val sampled = SparkEntry.queries("pl15_split_leakage_sampled")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(sampled.keySet == exact.keySet)
+    for (strategy <- exact.keys)
+      assert(sampled(strategy) == exact(strategy), strategy)
+  }
+
   test("output stays <= 3 rows per doc while the full pair lists grow " +
       "with the clique square") {
     for (r <- Seq(8, 16)) {
