@@ -38,24 +38,23 @@ object AggQueries {
   private val a2a3 = Q(
     "a2_group_sum_max",
     (s, dir) => {
-      // DECIMAL-backed sum: a double SUM is accumulation-order-dependent
-      // and the sf1 oracle audit measured Spark/DuckDB drifting 1e-14
-      // relative at 1.5M rows — enough to straddle the rounded 4th
-      // decimal. Exact decimal summation is deterministic at any scale
-      // and parallelism (full rationale at h1_pricing_summary).
+      // DECIMAL-backed sum (graft.ops.ExactNum): a double SUM is
+      // accumulation-order-dependent and the sf1 oracle audit measured
+      // Spark/DuckDB drifting 1e-14 relative at 1.5M rows — enough to
+      // straddle the rounded 4th decimal.
       Tables.load(s, dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("o_totalprice").cast("decimal(30,6)"))
-            .cast("double"), 4).as("sum_price"),
+        .agg(round(graft.ops.ExactNum.dsum(col("o_totalprice")), 4)
+            .as("sum_price"),
           max("o_orderdate").as("max_date"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     },
-    Some("""SELECT o_orderpriority,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
-                         AS DOUBLE), 4) AS sum_price,
-                   max(o_orderdate) AS max_date, count(*) AS n
-            FROM orders GROUP BY 1 ORDER BY 1"""))
+    Some(s"""SELECT o_orderpriority,
+                    round(${graft.ops.ExactNum.dsumSql("o_totalprice")}, 4)
+                      AS sum_price,
+                    max(o_orderdate) AS max_date, count(*) AS n
+             FROM orders GROUP BY 1 ORDER BY 1"""))
 
   /** A4 global scalar aggregates (min/mean/std/max pulled to driver).
     * Ref: covid_data_transform.py:127; covid_simulator.py:72,102. */

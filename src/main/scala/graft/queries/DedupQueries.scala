@@ -1786,17 +1786,23 @@ object DedupQueries {
     * bounded at k rows per doc at ANY duplication rate.
     *
     * Same inverted-index verify as d3 (shared-shingle equi-join → one
-    * UNDIRECTED pair-keyed aggregate; only pairs sharing ≥1 shingle
-    * ever exist) — every doc then sees its full partner set by
-    * MIRRORING the small post-threshold pair list, not by aggregating
-    * both directions (Jaccard is symmetric; the directional aggregate
-    * costs 2× the shuffle for the same survivors). The
-    * summary head is where the posture differs: n_matches is a plain
+    * pair-keyed aggregate; only pairs sharing ≥1 shingle ever exist),
+    * but the VERIFY itself is bounded, not just the output: the
+    * reported-doc side of the join is the deterministic fixed-budget
+    * anchor sample ([[graft.ops.Anchors]], A = 2000 — the d27/pl15
+    * device), so the quadratic shared-shingle intermediate shrinks by
+    * ~A/n (sf1 measured: 189.7 s full-verify → anchored re-measure in
+    * SURVEY §8) while every ANCHORED doc still sees its EXACT full
+    * partner set, n_matches, and top-3 (the join's right side stays
+    * the whole corpus). Corpora with n ≤ A anchor every doc and the
+    * output equals the unsampled summary — DedupTopkSpec proves that
+    * equality and that the sample engages past the budget. The
+    * summary head is the d23/s13 posture: n_matches is a plain
     * count, and the top-3 runs through the k-bounded
     * [[graft.functions.TopKAggregator]] — map-side partials carry ≤k
     * rows per doc per task through the shuffle and the global sort of
     * the whole pair list disappears, so everything downstream of the
-    * intrinsic pair verify is O(k·docs) instead of O(pairs). Ordering
+    * pair verify is O(k·anchors) instead of O(pairs). Ordering
     * is the aggregator's engine-neutral total order (jaccard DESC,
     * partner ASC), which the oracle's row_number replays exactly.
     */
@@ -1804,15 +1810,19 @@ object DedupQueries {
     "d25_neardup_topk",
     (s, dir) => {
       import s.implicits._
+      val nDocs = Tables.load(s, dir, "documents").count()
       val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
+      // Anchored docs on the LEFT of the inverted-index join (the side
+      // that is reported), full corpus on the right (the side reported
+      // AGAINST): join volume is A/n of the all-pairs verify, and the
+      // directional aggregate is exact per anchored doc — no mirroring
+      // step (the pre-anchor spelling aggregated undirected and
+      // mirrored to halve the full join's shuffle; with the left side
+      // budget-bounded the directional join is the smaller plan).
+      val a = ex.filter(graft.ops.Anchors.keep(col("doc_id"), nDocs))
+        .select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("sh"))
       val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("sh"))
-      // Aggregate UNDIRECTED (a < b, d3's volume) and mirror the small
-      // post-threshold pair list instead of aggregating both directions:
-      // Jaccard is symmetric, and the directional aggregate costs 2× the
-      // shuffle for the same surviving pairs (sf1 measured: 426 s
-      // directional vs d3's 235 s on the identical join).
-      val und = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") =!= col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(count(lit(1)).as("shared"))
         .withColumn("jaccard", round(col("shared").cast("double")
@@ -1820,8 +1830,6 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val pairs = und.union(und.select(col("doc_b").as("doc_a"),
-        col("doc_a").as("doc_b"), col("jaccard")))
       val counts = pairs.groupBy(col("doc_a").as("cdoc"))
         .agg(count(lit(1)).as("n_matches"))
       val topk = new graft.functions.TopKAggregator(3).toColumn
@@ -1841,11 +1849,16 @@ object DedupQueries {
              |  SELECT doc_id, $duckShingles AS shs FROM documents),
              |ex AS (
              |  SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+             |anchors AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE ${graft.ops.Anchors.keepSql("doc_id",
+                  "SELECT count(*) FROM documents")}),
              |pairs AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |         round(count(*) * 1.0
              |           / (a.nsh + b.nsh - count(*)), 4) AS jaccard
              |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+             |  WHERE a.doc_id IN (SELECT doc_id FROM anchors)
              |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
              |  HAVING round(count(*) * 1.0
              |           / (a.nsh + b.nsh - count(*)), 4) >= 0.5),
@@ -1864,42 +1877,41 @@ object DedupQueries {
   /** X317 d26: CONTAINMENT TOP-K SUMMARY — the same bounded-output
     * posture for d16's asymmetric containment enumeration (the other
     * exact row the sf1 run measured output-bound: 452 s at 10×, all of
-    * it true pair volume). Per document: how many docs CONTAIN it
-    * (C(a→b) = |A∩B|/|A| ≥ 0.8, the d16 integer-compared threshold and
-    * |A| ≥ 5 floor unchanged) and the top-3 containers by containment
-    * DESC, container ASC through the k-bounded aggregator — ≤3 output
-    * rows per doc where d16 emits every (contained, container) pair.
+    * it true pair volume). Per ANCHORED document ([[graft.ops.Anchors]]
+    * budget A = 2000, the same bounded-verify device as d25): how many
+    * docs CONTAIN it (C(a→b) = |A∩B|/|A| ≥ 0.8, the d16 integer-
+    * compared threshold and |A| ≥ 5 floor unchanged) and the top-3
+    * containers by containment DESC, container ASC through the
+    * k-bounded aggregator — ≤3 output rows per anchored doc where d16
+    * emits every (contained, container) pair, with the shared-shingle
+    * verify join itself shrunk to ~A/n of the all-pairs volume (the
+    * contained side is anchored; the container side stays the whole
+    * corpus, so each anchored doc's n_containers/top-3 are EXACT).
+    * Equals the unsampled summary when n ≤ A (DedupTopkSpec).
     */
   private val d26 = Q(
     "d26_containment_topk",
     (s, dir) => {
       import s.implicits._
+      val nDocs = Tables.load(s, dir, "documents").count()
       val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val a = ex.select(col("doc_id").as("doc_a"),
-        col("nsh").cast("long").as("na"), col("sh"))
-      val b = ex.select(col("doc_id").as("doc_b"),
-        col("nsh").cast("long").as("nb"), col("sh"))
-      // Shared-shingle counts are symmetric even though containment is
-      // not: aggregate UNDIRECTED (a < b, half the shuffle of the a ≠ b
-      // spelling), keep pairs passing EITHER direction's threshold, then
-      // emit each direction from the small surviving set with its own
-      // denominator (a→b over na, b→a over nb).
-      val und = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
+      // Contained (reported) side anchored, container side full — the
+      // directional aggregate with containment's own denominator |A|.
+      // (The pre-anchor spelling aggregated undirected and emitted both
+      // directions to halve the full join; with the left side budget-
+      // bounded the directional join is the smaller plan.)
+      val a = ex.filter(graft.ops.Anchors.keep(col("doc_id"), nDocs))
+        .select(col("doc_id").as("doc_a"),
+          col("nsh").cast("long").as("na"), col("sh"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("sh"))
+      val pairs = a.join(b, Seq("sh")).filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na")
         .agg(count(lit(1)).as("shared"))
-        .filter((col("na") >= 5 && col("shared") * 5 >= col("na") * 4) ||
-          (col("nb") >= 5 && col("shared") * 5 >= col("nb") * 4))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val pairs = und
         .filter(col("na") >= 5 && col("shared") * 5 >= col("na") * 4)
         .select(col("doc_a"), col("doc_b"),
           (col("shared").cast("double") / col("na").cast("double"))
             .as("containment"))
-        .union(und
-          .filter(col("nb") >= 5 && col("shared") * 5 >= col("nb") * 4)
-          .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
-            (col("shared").cast("double") / col("nb").cast("double"))
-              .as("containment")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val counts = pairs.groupBy(col("doc_a").as("cdoc"))
         .agg(count(lit(1)).as("n_containers"))
       val topk = new graft.functions.TopKAggregator(3).toColumn
@@ -1919,11 +1931,16 @@ object DedupQueries {
              |  SELECT doc_id, $duckShingles AS shs FROM documents),
              |ex AS (
              |  SELECT doc_id, len(shs) AS nsh, unnest(shs) AS sh FROM sets),
+             |anchors AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE ${graft.ops.Anchors.keepSql("doc_id",
+                  "SELECT count(*) FROM documents")}),
              |pairs AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |         CAST(count(*) AS DOUBLE) / CAST(a.nsh AS DOUBLE)
              |           AS containment
              |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+             |  WHERE a.doc_id IN (SELECT doc_id FROM anchors)
              |  GROUP BY a.doc_id, b.doc_id, a.nsh
              |  HAVING a.nsh >= 5 AND count(*) * 5 >= a.nsh * 4),
              |rk AS (
@@ -1943,28 +1960,24 @@ object DedupQueries {
     * pair set (the one remaining d-family row whose intermediate volume
     * grows with true match volume; sf1: 259.6 s). The fix is the w38
     * device applied to documents instead of index pairs: a DETERMINISTIC
-    * fixed-budget anchor sample both engines compute identically — doc
-    * kept iff h(doc_id) < (A·2³²) div n, h = ((doc_id mod 2²⁰)·
-    * 2654435761) mod 2³², A = 2000 — and every truth/candidate pair is
-    * counted iff its SMALLER-id member is an anchor. Keep-probability
-    * ≈ min(1, A/n), so the shared-shingle truth join's left side (and
-    * with it the quadratic intermediate) shrinks by A/n while the
-    * recall/precision ESTIMATES stay unbiased over the anchored-pair
-    * population; corpora with n ≤ A anchor every doc and the estimates
-    * EQUAL d20's exact numbers (DedupTopkSpec proves the equality at
-    * proof scale and that sampling engages past the budget). Overflow-
-    * safe at any magnitude: operands reduced mod 2²⁰ before multiply,
-    * budget compare via integer division (A·2³² ≤ 2⁴³ ≪ 2⁶³).
+    * fixed-budget anchor sample both engines compute identically
+    * ([[graft.ops.Anchors]]: doc kept iff h(doc_id) < (A·2³²) div n,
+    * h the full-64-bit limb-mixed multiplicative hash, A = 2000) —
+    * and every truth/candidate pair is counted iff its SMALLER-id
+    * member is an anchor. Keep-probability ≈ min(1, A/n), so the
+    * shared-shingle truth join's left side (and with it the quadratic
+    * intermediate) shrinks by A/n while the recall/precision ESTIMATES
+    * stay unbiased over the anchored-pair population; corpora with
+    * n ≤ A anchor every doc and the estimates EQUAL d20's exact
+    * numbers (DedupTopkSpec proves the equality at proof scale and
+    * that sampling engages past the budget). Overflow-safety and the
+    * full-width mixing rationale live at [[graft.ops.Anchors]].
     */
   private val d27 = Q(
     "d27_lsh_tuning_sampled",
     (s, dir) => {
-      val A = 2000L
       val nDocs = Tables.load(s, dir, "documents").count()
-      val thr = (A * 4294967296L) / math.max(nDocs, 1L)
-      def anchored(c: Column): Column =
-        pmod(pmod(c, lit(1048576L)) * lit(2654435761L),
-          lit(4294967296L)) < lit(thr)
+      def anchored(c: Column): Column = graft.ops.Anchors.keep(c, nDocs)
       val sig = minhashSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val ex = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val a = ex.filter(anchored(col("doc_id")))
@@ -2060,9 +2073,8 @@ object DedupQueries {
          |  FROM ex GROUP BY 1),
          |anchors AS (
          |  SELECT doc_id FROM documents
-         |  WHERE ((doc_id % 1048576) * 2654435761) % 4294967296
-         |        < (2000 * 4294967296)
-         |          // greatest((SELECT count(*) FROM documents), 1)),
+         |  WHERE ${graft.ops.Anchors.keepSql("doc_id",
+                "SELECT count(*) FROM documents")}),
          |truth AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -30,7 +30,8 @@ object HeadlineQueries {
   /** TPC-H Q1: pricing summary report. Cutoff 1998-09-02 keeps ~54% of
     * lineitem, matching the spec's intent (bulk-of-table scan+agg).
     *
-    * Money/quantity aggregates sum DECIMAL(30,6), not DOUBLE: a double
+    * Money/quantity aggregates sum DECIMAL(30,6)
+    * ([[graft.ops.ExactNum]]), not DOUBLE: a double
     * SUM is accumulation-order-dependent, and the round-14 sampled sf1
     * oracle audit caught exactly that — at 6M rows Spark's partial-agg
     * tree and DuckDB's accumulator drifted 1e-14 relative on
@@ -45,8 +46,7 @@ object HeadlineQueries {
   private val h1 = Q(
     "h1_pricing_summary",
     (s, dir) => {
-      val dec = "decimal(30,6)"
-      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+      import graft.ops.ExactNum.dsum
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
@@ -64,27 +64,25 @@ object HeadlineQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
-    Some("""SELECT l_returnflag, l_linestatus,
-              round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4)
-                AS sum_qty,
-              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6)))
-                    AS DOUBLE), 4) AS sum_base_price,
-              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                    AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_disc_price,
-              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                    * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE), 4)
-                AS sum_charge,
-              round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
-                    / count(*), 4) AS avg_qty,
-              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6)))
-                    AS DOUBLE) / count(*), 4) AS avg_price,
-              round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)
-                    / count(*), 4) AS avg_disc,
-              CAST(count(*) AS BIGINT) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus"""))
+    Some {
+      import graft.ops.ExactNum.dsumSql
+      s"""SELECT l_returnflag, l_linestatus,
+            round(${dsumSql("l_quantity")}, 4) AS sum_qty,
+            round(${dsumSql("l_extendedprice")}, 4) AS sum_base_price,
+            round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4)
+              AS sum_disc_price,
+            round(${dsumSql(
+              "l_extendedprice * (1 - l_discount) * (1 + l_tax)")}, 4)
+              AS sum_charge,
+            round(${dsumSql("l_quantity")} / count(*), 4) AS avg_qty,
+            round(${dsumSql("l_extendedprice")} / count(*), 4) AS avg_price,
+            round(${dsumSql("l_discount")} / count(*), 4) AS avg_disc,
+            CAST(count(*) AS BIGINT) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus"""
+    })
 
   /** TPC-H Q3: shipping priority — top 10 unshipped BUILDING-segment
     * orders by potential revenue as of 1998-03-15. (The testdata has no

@@ -2092,9 +2092,9 @@ object PipelineQueries {
   /** X320 pl15: ANCHOR-SAMPLED SPLIT-LEAKAGE AUDIT — the scale posture
     * for pl7, whose exact audit computes the FULL near-dup truth pair
     * set (the last top-cost sf1 row without a bounded flavor: 261–
-    * 433 s at 10× across the two runs). The d27 device verbatim: a
-    * deterministic fixed-budget anchor sample over doc_id (kept iff
-    * h(doc_id) < (A·2³²) div n, A = 2000, both engines computing the
+    * 433 s at 10× across the two runs). The d27 device verbatim
+    * ([[graft.ops.Anchors]]: a deterministic fixed-budget anchor
+    * sample over doc_id, A = 2000, both engines computing the
     * identical integers), leakage counted over pairs whose SMALLER-id
     * member is an anchor — the quadratic truth intermediate shrinks by
     * ~A/n while the cross-split leak RATE estimate stays exact on the
@@ -2106,12 +2106,9 @@ object PipelineQueries {
   private val pl15 = Q(
     "pl15_split_leakage_sampled",
     (s, dir) => {
-      val A = 2000L
       val nDocs = Tables.load(s, dir, "documents").count()
-      val thr = (A * 4294967296L) / math.max(nDocs, 1L)
       def anchored(c: org.apache.spark.sql.Column) =
-        pmod(pmod(c, lit(1048576L)) * lit(2654435761L),
-          lit(4294967296L)) < lit(thr)
+        graft.ops.Anchors.keep(c, nDocs)
       val ex = DedupQueries.shingled(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = ex.filter(anchored(col("doc_id")))
@@ -2166,9 +2163,8 @@ object PipelineQueries {
              |  FROM sets),
              |anchors AS (
              |  SELECT doc_id FROM documents
-             |  WHERE ((doc_id % 1048576) * 2654435761) % 4294967296
-             |        < (2000 * 4294967296)
-             |          // greatest((SELECT count(*) FROM documents), 1)),
+             |  WHERE ${graft.ops.Anchors.keepSql("doc_id",
+                  "SELECT count(*) FROM documents")}),
              |pairs AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -2180,13 +2176,12 @@ object PipelineQueries {
              |    CASE WHEN substr(md5(source), 1, 1) < 'c'
              |         THEN 'train' ELSE 'val' END AS g_split,
              |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-             |         THEN 'train' ELSE 'val' END AS n_split,
-             |    (SELECT CAST(count(*) AS BIGINT) FROM anchors)
-             |      AS n_anchors
+             |         THEN 'train' ELSE 'val' END AS n_split
              |  FROM documents),
              |g AS (
              |  SELECT 'group_by_source' AS strategy,
-             |    min(sa.n_anchors) AS n_anchors,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM anchors)
+             |      AS n_anchors,
              |    CAST(count(*) AS BIGINT) AS n_neardup_sampled,
              |    CAST(sum(CASE WHEN sa.g_split <> sb.g_split
              |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_sampled
@@ -2195,7 +2190,8 @@ object PipelineQueries {
              |  JOIN sp sb ON p.doc_b = sb.doc_id),
              |n AS (
              |  SELECT 'naive_by_doc' AS strategy,
-             |    min(sa.n_anchors) AS n_anchors,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM anchors)
+             |      AS n_anchors,
              |    CAST(count(*) AS BIGINT) AS n_neardup_sampled,
              |    CAST(sum(CASE WHEN sa.n_split <> sb.n_split
              |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_sampled

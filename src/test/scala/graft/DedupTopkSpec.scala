@@ -15,7 +15,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *  2. output stays ≤ k rows per doc on a duplicate-heavy corpus where
   *     the full enumerators' pair lists grow ~clique² — the reason the
   *     summary posture exists (sf1 measured d3/d16's full output at
-  *     ~50% of the 10× wall).
+  *     ~50% of the 10× wall);
+  *  3. the VERIFY join itself is anchor-bounded (round 15,
+  *     [[graft.ops.Anchors]]): corpora within the budget report every
+  *     doc (contracts 1–2 above run there), corpora past it report
+  *     exactly the anchored docs with their exact unsampled summaries.
   */
 class DedupTopkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -174,6 +178,46 @@ class DedupTopkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(nCaught == nTrue, cfg)
       assert(nCand == nTrue, cfg)
       assert(recall == 1.0 && precision == 1.0, cfg)
+    }
+  }
+
+  test("d25/d26 anchor sampling engages past the budget and stays exact " +
+      "per anchored doc") {
+    import spark.implicits._
+    // 4000 docs > A=2000; doc i and doc i+2000 are identical 10-token
+    // docs (8 distinct shingles ≥ the d26 |A| ≥ 5 floor; disjoint
+    // vocabularies across seeds), so every doc's exact partner set is
+    // exactly its twin at jaccard = containment = 1.0.
+    val n = 4000
+    val docs = (0 until n).map { i =>
+      val seed = i % 2000
+      (i.toLong, (0 until 10).map(k => s"w${seed}_$k").mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("d25_budget_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out25 = SparkEntry.queries("d25_neardup_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))
+    val out26 = SparkEntry.queries("d26_containment_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))
+    // the anchor set, computed independently of the queries
+    val anchors = spark.range(n).toDF("id")
+      .filter(graft.ops.Anchors.keep(col("id"), n.toLong))
+      .collect().map(_.getLong(0)).toSet
+    info(s"anchors: ${anchors.size} of $n docs")
+    // a true subsample: more than zero, fewer than all docs
+    assert(anchors.nonEmpty && anchors.size < n)
+    // exactly the anchored docs are reported, each with its EXACT
+    // (unsampled) partner summary: one twin at score 1.0
+    for (out <- Seq(out25, out26)) {
+      assert(out.map(_._1).toSet == anchors)
+      assert(out.forall(t => t._2 == 1L && t._3 == 1 && t._5 == 1.0))
+      assert(out.forall(t => t._4 == (t._1 + 2000) % 4000))
     }
   }
 
