@@ -2111,8 +2111,95 @@ object TextQueries {
     },
     Some(t33Oracle))
 
+  /** X321 t34: SEQUENCE PACKING — the step between a cleaned corpus
+    * and an LLM training run: pack documents into fixed-capacity
+    * training sequences (C = 512 whitespace tokens, the T5/GPT
+    * "concatenate docs in corpus order, cut a new sequence when the
+    * budget would overflow" discipline), whole docs only (no
+    * mid-document splits; docs longer than C get a bin of their own
+    * and are counted as oversize). Packing is inherently SEQUENTIAL
+    * per stream (each doc's bin depends on everything before it), so
+    * the plan is the W5–W7 fold shape: token counts computed in the
+    * codegen'd scan pass (t1's regexp spelling — only (source,
+    * doc_id, ntok) ever shuffles, never text), ONE shuffle on source,
+    * then a task-local O(group) fold per source emitting the packing
+    * summary: bins used, fill rate vs the C·bins budget, oversize
+    * count, and an assignment CHECKSUM (Σ doc_id·(bin+1)) that pins
+    * every doc's bin against the oracle without emitting per-doc
+    * rows. 100 TB posture: parallelism = stream (source) count by
+    * definition; an industrial packer shards each stream into bounded
+    * chunks at pre-agreed doc-id cuts (each chunk packs
+    * independently, chunk boundary = sequence boundary) — the fold
+    * here is that per-chunk kernel. Checksum stays < 2⁶³ while
+    * Σ doc_id·bins fits — at 1e9 docs × 1e6 bins it would not, and a
+    * production audit would checksum mod a prime; the oracle replays
+    * the identical arithmetic either way.
+    */
+  private val t34 = Q(
+    "t34_sequence_packing",
+    (s, dir) => {
+      import s.implicits._
+      val C = 512L
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("ntok"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (src, it) =>
+          val docs = it.map { case (_, id, nt) => (id, nt) }
+            .toIndexedSeq.sortBy(_._1)
+          var bin = 0L; var fill = 0L; var first = true
+          var nDocs = 0L; var sumTok = 0L; var nOver = 0L; var ck = 0L
+          docs.foreach { case (id, nt) =>
+            if (first) { fill = nt; first = false }
+            else if (fill + nt > C) { bin += 1; fill = nt }
+            else fill += nt
+            nDocs += 1; sumTok += nt
+            if (nt > C) nOver += 1
+            ck += id * (bin + 1)
+          }
+          if (nDocs == 0) Iterator.empty
+          else Iterator((src, nDocs, bin + 1, sumTok, nOver,
+            sumTok.toDouble / ((bin + 1).toDouble * C), ck))
+        }
+        .toDF("source", "n_docs", "n_bins", "sum_tokens", "n_oversize",
+          "fill_rate", "assign_checksum")
+        .orderBy("source")
+    },
+    Some("""WITH RECURSIVE toks AS (
+              SELECT source, doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                  AS ntok,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS rn,
+                count(*) OVER (PARTITION BY source) AS cnt
+              FROM documents),
+            pack AS (
+              SELECT source, doc_id, ntok, rn,
+                     CAST(0 AS BIGINT) AS bin, ntok AS fill
+              FROM toks WHERE rn = 1
+              UNION ALL
+              SELECT t.source, t.doc_id, t.ntok, t.rn,
+                CASE WHEN p.fill + t.ntok > 512
+                     THEN p.bin + 1 ELSE p.bin END,
+                CASE WHEN p.fill + t.ntok > 512
+                     THEN t.ntok ELSE p.fill + t.ntok END
+              FROM pack p JOIN toks t
+                ON t.source = p.source AND t.rn = p.rn + 1)
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+              CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+              CAST(sum(CASE WHEN ntok > 512 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversize,
+              CAST(sum(ntok) AS DOUBLE)
+                / (CAST(max(bin) + 1 AS DOUBLE) * 512) AS fill_rate,
+              CAST(sum(doc_id * (bin + 1)) AS BIGINT) AS assign_checksum
+            FROM pack GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] =
     Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
       t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33)
+      t29, t30, t31, t32, t33, t34)
 }

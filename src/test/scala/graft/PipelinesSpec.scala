@@ -315,4 +315,64 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("gap").isNotNull)
     assert(steps.filter(col("gap") =!= 1).count() == 0)
   }
+
+  /** POPULATION-level LSTM parity (round-15 ask): the 3-series value
+    * test above pins the protocol on hand-picked examples; this one
+    * pins it at population level on a DETERMINISTIC 25-of-250 sample
+    * (series ordered by md5(name), first 25 — no RNG, same set every
+    * run and engine) trained with the identical 120/16/250/25
+    * protocol, RMSE joined against the committed rsme_score.csv.
+    * Per-series the committed golden is ONE unseeded Keras draw (see
+    * the contract test above), so the parity claims are distributional:
+    * each sampled series lands within 2.5× its committed score OR
+    * under the committed corpus p75 (0.0829 — i.e., "as good as the
+    * reference's typical fit"), and the sample MEDIAN of our scores
+    * stays under that p75. The sample's committed scores span
+    * 0.032–0.21 (median 0.077), so the band is exercised across the
+    * corpus's quality range, not just easy series. flatMapGroups
+    * trains the 25 models task-parallel — wall clock is the slowest
+    * series, not the sum.
+    */
+  test("LSTM sampled-population parity: 25 md5-ordered series vs committed rsme_score.csv") {
+    import spark.implicits._
+    val all = spark.read.option("header", true).option("inferSchema", true)
+      .csv(s"$refDir/output/weather_output/future_pred.csv")
+      .select(concat(col("country"), lit(" : "), col("state")).as("series"),
+        col("date").cast("int").as("date"),
+        col("TAVG_pred").cast("double").as("value"))
+    val picked = all.select("series").distinct()
+      .orderBy(md5(col("series"))).limit(25)
+      .as[String].collect().toSeq
+    assert(picked.size == 25)
+    val src = all.filter(col("series").isin(picked: _*))
+    val (_, fp, rs) = WeatherForecast.run(spark, src,
+      minRows = 60, nTest = 10, horizon = 30,
+      nSteps = 120, hidden = 16, epochs = 250, patience = 25)
+    val scores = rs.select("series", "rmse").as[(String, Double)]
+      .collect().toMap
+    assert(scores.size == 25)
+    assert(scores.values.forall(r => r >= 0 && r < 1.0 && !r.isNaN),
+      s"scores $scores")
+    val committed = spark.read.option("header", true)
+      .option("inferSchema", true)
+      .csv(s"$refDir/output/weather_output/rsme_score.csv")
+      .select(concat(col("country"), lit(" : "), col("state")).as("series"),
+        col("TAVG_rmse").cast("double").as("rmse_gold"))
+      .filter(col("series").isin(picked: _*))
+      .as[(String, Double)].collect().toMap
+    assert(committed.keySet == scores.keySet)
+    val p75 = 0.0829 // committed corpus p75 across all 250 series
+    scores.toSeq.sortBy(_._1).foreach { case (k, r) =>
+      info(f"$k: ours $r%.4f vs committed ${committed(k)}%.4f")
+      assert(r <= math.max(committed(k) * 2.5, p75) + 1e-9,
+        f"$k: RMSE $r%.4f not comparable to committed ${committed(k)}%.4f")
+    }
+    val ourMedian = scores.values.toSeq.sorted.apply(scores.size / 2)
+    info(f"sample median: ours $ourMedian%.4f vs corpus p75 $p75%.4f")
+    assert(ourMedian <= p75 + 1e-9,
+      f"sample median $ourMedian%.4f above committed corpus p75")
+    // rollouts stay in each series' de-normalized range
+    val mx = src.agg(max(abs(col("value")))).first().getDouble(0)
+    assert(fp.filter(abs(col("pred")) > mx * 1.01).count() == 0)
+  }
 }

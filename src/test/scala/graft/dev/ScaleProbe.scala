@@ -27,6 +27,7 @@ object ScaleProbe {
     if (args.headOption.contains("band")) { bandProbe(); return }
     if (args.headOption.contains("stream")) { streamProbe(); return }
     if (args.headOption.contains("streamparts")) { streamPartsProbe(); return }
+    if (args.headOption.contains("decade")) { decadeProbe(args.drop(1)); return }
     if (args.headOption.contains("sf1wide")) { sf1WideProbe(); return }
     if (args.headOption.contains("sf1")) { sf1Probe(); return }
     if (args.headOption.contains("sketch")) { sketchProbe(); return }
@@ -683,6 +684,173 @@ object ScaleProbe {
                      |FROM sk_probe GROUP BY grp""".stripMargin)
     }
     spark.stop()
+  }
+
+  /** SECOND-DECADE probe (round-15 ask): everything above 10× was
+    * extrapolation until now — build sf3 (30×) and sf10 (100×)
+    * equivalents of the sf1full dataset (same faithful construction:
+    * offset keys keep dim joins total and the co-purchase graph
+    * disjoint; docs/embeddings perturbed per replica; events
+    * time-shifted end-to-end) and MEASURE the top shuffle-bound rows
+    * there. The rows chosen are the ones whose 100 TB posture is a
+    * scaling CLAIM: the anchored/sampled verifies (d25/d26/d27/pl15 —
+    * claim: ~linear in corpus at fixed budget), the LSH/cluster path
+    * (d4/d9 — claim: candidate-bounded, pair-volume-priced), the
+    * wedge kernel (g5 — claim: Σdeg²-priced with volume-scaled
+    * repartition), stream-stream join (e24), the star joins (h5/h9),
+    * and the depth-sampled Theil–Sen (w38).
+    * usage: Test/runMain graft.dev.ScaleProbe decade <m> [q...]
+    * emits dev/bench_decade_m<m>.json incrementally.
+    */
+  private def decadeProbe(args: Seq[String]): Unit = {
+    val m = args.headOption.map(_.toInt).getOrElse(30)
+    val names = args.drop(1)
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_decade_m$m"
+    buildScaled(spark, "/root/testdata/sf0.1", m, dir)
+    val defaults = Seq("d25_neardup_topk", "d26_containment_topk",
+      "d27_lsh_tuning_sampled", "pl15_split_leakage_sampled",
+      "d4_minhash_lsh", "d9_dedup_clusters", "g5_link_prediction",
+      "e24_stream_stream_left_outer", "h5_local_supplier_volume",
+      "h9_product_type_profit", "w38_theil_sen_sampled")
+    val run = if (names.nonEmpty) names else defaults
+    val queries = graft.SparkEntry.queries.filter(kv => run.contains(kv._1))
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val out = s"dev/bench_decade_m$m.json"
+    def emit(): Unit = {
+      val qs = results.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"metric":"total","value":${results.values.sum},""" +
+          s""""unit":"sec","queries":$qs,"sf":"sf0.1 x$m"}""" + "\n")
+    }
+    for (name <- run; fn <- queries.get(name)) {
+      try {
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        results(name) = math.round(sec * 1000.0) / 1000.0
+        println(f"DECADE x$m $name%-36s rows=$rows%-10d $sec%8.2fs")
+      } catch {
+        case e: Throwable =>
+          println(f"DECADE x$m $name%-36s FAILED " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
+      }
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.streams.active.foreach(q =>
+          try q.stop() catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+      emit()
+    }
+    println(f"DECADE x$m total=${results.values.sum}%.1f")
+    spark.stop()
+  }
+
+  /** The sf1full dataset construction, parameterized by multiplier —
+    * shared by the decade probe (the sf1full probe keeps its committed
+    * inline copy + resume machinery untouched). Faithful m×: offset
+    * keys, per-replica perturbed docs/embeddings, time-shifted events,
+    * fixed dims, single-file tables with 1 MB row groups (byte-range
+    * parallelism under the one-file testdata contract).
+    */
+  private def buildScaled(spark: SparkSession, src: String, m: Int,
+      dir: String): Unit = {
+    def writeSingle(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val tmp = s"$dir/_stage_$table"
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 1048576).parquet(tmp)
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.delete(new Path(s"$dir/$table.parquet"), true)
+      fs.rename(part, new Path(s"$dir/$table.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
+    if (new java.io.File(s"$dir/_built").exists()) return
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val o = spark.read.parquet(s"$src/orders.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val supp = spark.read.parquet(s"$src/supplier.parquet")
+    val oStride = o.agg(max("o_orderkey")).first().getLong(0) + 1
+    val pStride = part.agg(max("p_partkey")).first().getLong(0) + 1
+    val sStride = supp.agg(max("s_suppkey")).first().getLong(0) + 1
+    val cStride = cust.agg(max("c_custkey")).first().getLong(0) + 1
+    (0 until m).map(i => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * pStride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * sStride)))
+      .reduce(_ unionByName _)
+      .pipe(d => writeSingle(d, "lineitem"))
+    (0 until m).map(i => o
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cStride)))
+      .reduce(_ unionByName _)
+      .pipe(d => writeSingle(d, "orders"))
+    (0 until m).map(i => part
+        .withColumn("p_partkey", col("p_partkey") + lit(i * pStride)))
+      .reduce(_ unionByName _)
+      .pipe(d => writeSingle(d, "part"))
+    (0 until m).map(i => supp
+        .withColumn("s_suppkey", col("s_suppkey") + lit(i * sStride)))
+      .reduce(_ unionByName _)
+      .pipe(d => writeSingle(d, "supplier"))
+    (0 until m).map(i => cust
+        .withColumn("c_custkey", col("c_custkey") + lit(i * cStride))
+        .withColumn("c_name",
+          when(lit(i) === 0, col("c_name"))
+            .otherwise(concat(col("c_name"), lit(i.toString)))))
+      .reduce(_ unionByName _)
+      .pipe(d => writeSingle(d, "customer"))
+    for (t <- Seq("nation", "region"))
+      writeSingle(spark.read.parquet(s"$src/$t.parquet"), t)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nd = docs.count()
+    (0 until m).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * nd))
+          .withColumn("text",
+            when(lit(i) === 0, col("text"))
+              .otherwise(concat(lit(s"rep$i "), col("text")))))
+      .reduce(_ unionByName _)
+      .pipe(d => writeSingle(d, "documents"))
+    val e = spark.read.parquet(s"$src/embeddings.parquet")
+    val ne = e.count()
+    (0 until m).map(i =>
+        e.withColumn("vec_id", col("vec_id") + lit(i * ne))
+          .withColumn("embedding",
+            if (i == 0) col("embedding")
+            else transform(col("embedding"),
+              x => x * lit(1.0f + i / 1000.0f))))
+      .reduce(_ unionByName _)
+      .pipe(d => writeSingle(d, "embeddings"))
+    val ev = graft.ops.Tables
+      .normalizeTs(spark.read.parquet(s"$src/events.parquet"))
+      .withColumn("us", unix_micros(col("ts")))
+    val span = ev.agg(max("us") - min("us")).first().getLong(0) + 1
+    val nev = ev.count()
+    (0 until m).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * nev))
+        .withColumn("ts", timestamp_micros(col("us") + lit(i * span))))
+      .reduce(_ unionByName _)
+      .drop("us")
+      .pipe(d => writeSingle(d, "events"))
+    new java.io.File(s"$dir/_built").createNewFile()
+    println(s"DECADE built $dir (m=$m)")
   }
 
   /** FULL registry at sf1 (10× sf0.1) — round-13 ask: the sf1wide probe
