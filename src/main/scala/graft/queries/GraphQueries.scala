@@ -362,11 +362,17 @@ object GraphQueries {
     * co-purchase graph — Pearson correlation of endpoint degrees over
     * the symmetrized edge list. Because the symmetrized x and y
     * marginals are identical, the usual sqrt cancels and
-    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) over INTEGER sufficient
+    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) over EXACT sufficient
     * statistics: one IEEE division at the very end, everything before
     * it exact. Same bounded pipeline as g3 (distinct edges → degree
-    * roll-up → one join back); sums fit int64 through ~100× this SF,
-    * and Spark's ANSI mode fails loudly (not silently) past that.
+    * roll-up → one join back). The n·Σ PRODUCTS run in DECIMAL(38,0):
+    * the sums themselves fit int64 far past this SF, but n·Σxy is
+    * ~8·edges²·deg² and crossed 2⁶³ at 10× — the round-15 sf1 audit
+    * caught Spark's ANSI overflow there (the r14 scaladoc claimed
+    * ~100× headroom for the SUMS and missed the products). num/den
+    * are reported as doubles (both engines round the same exact
+    * integer); r is NULL on a degree-regular graph (den = 0) instead
+    * of an ANSI divide-by-zero.
     */
   private val g4 = Q(
     "g4_degree_assortativity",
@@ -383,10 +389,14 @@ object GraphQueries {
         sum(lit(2L) * col("d1") * col("d2")).as("sxy"))
         .select(
           (col("n") / lit(2L)).cast("long").as("n_edges"),
-          (col("n") * col("sxy") - col("sx") * col("sx")).as("num"),
-          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+          (col("n").cast("decimal(19,0)") * col("sxy").cast("decimal(19,0)")
+            - col("sx").cast("decimal(19,0)") * col("sx").cast("decimal(19,0)"))
+            .cast("double").as("num"),
+          (col("n").cast("decimal(19,0)") * col("sxx").cast("decimal(19,0)")
+            - col("sx").cast("decimal(19,0)") * col("sx").cast("decimal(19,0)"))
+            .cast("double").as("den"))
         .withColumn("assortativity",
-          col("num").cast("double") / col("den").cast("double"))
+          when(col("den") =!= 0.0, col("num") / col("den")))
     },
     Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                         FROM lineitem),
@@ -407,10 +417,16 @@ object GraphQueries {
                      CAST(sum(2 * d1 * d2) AS BIGINT) AS sxy
               FROM wd)
             SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-                   n * sxy - sx * sx AS num,
-                   n * sxx - sx * sx AS den,
-                   CAST(n * sxy - sx * sx AS DOUBLE) /
-                     CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+                   CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS
+                     DECIMAL(19,0)) * sx AS DOUBLE) AS num,
+                   CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS
+                     DECIMAL(19,0)) * sx AS DOUBLE) AS den,
+                   CASE WHEN CAST(n AS DECIMAL(19,0)) * sxx
+                          <> CAST(sx AS DECIMAL(19,0)) * sx THEN
+                     CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS
+                       DECIMAL(19,0)) * sx AS DOUBLE) /
+                     CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS
+                       DECIMAL(19,0)) * sx AS DOUBLE) END AS assortativity
             FROM stats"""))
 
   /** G5 (beyond the reference): common-neighbors link prediction —

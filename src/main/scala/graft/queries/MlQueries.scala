@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.ops.{Integrators, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2167,11 +2168,14 @@ object MlQueries {
     * carried as INTEGERS at 2× scale (r2 = 2·minrank + cnt − 1, always
     * integral), and ranks computed from VALUE LEVELS (cumulative
     * count + level size), never by ranking raw rows. The Pearson
-    * formula then runs over exact-integer sufficient statistics; the
-    * 2× scaling cancels mathematically, and the final n·Σ products
-    * route through correctly-rounded double multiplies in matched op
-    * order (operands < 2^53), then one sqrt (IEEE-exact) and one
-    * division.
+    * formula then runs over exact sufficient statistics: the rank
+    * PRODUCTS sum in DECIMAL(38,0) (a long sum of r2² overflows at
+    * ~6M rows — r2 ≤ 2n, so Σr2² ~ 4n³ passes 2⁶³ between sf0.1 and
+    * sf1; the round-15 at-scale audit caught Spark's ANSI overflow
+    * AND the oracle's HUGEINT→BIGINT cast failing together), exact to
+    * 10³⁸ in both engines. The final n·Σ chain is matched-op-order
+    * correctly-rounded double arithmetic over the exactly-computed
+    * sums, then one sqrt (IEEE-exact) and one division.
     */
   private val m30 = Q(
     "m30_spearman",
@@ -2189,12 +2193,14 @@ object MlQueries {
       val withRanks = li
         .join(ranks("x").withColumnRenamed("v", "x"), Seq("x"))
         .join(ranks("y").withColumnRenamed("v", "y"), Seq("y"))
+      def dprod(a: Column, b: Column) =
+        sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
       withRanks.agg(
         count(lit(1)).as("n"),
         sum("r2_x").as("sx"), sum("r2_y").as("sy"),
-        sum(col("r2_x") * col("r2_x")).as("sxx"),
-        sum(col("r2_y") * col("r2_y")).as("syy"),
-        sum(col("r2_x") * col("r2_y")).as("sxy"))
+        dprod(col("r2_x"), col("r2_x")).as("sxx"),
+        dprod(col("r2_y"), col("r2_y")).as("syy"),
+        dprod(col("r2_x"), col("r2_y")).as("sxy"))
         .select(col("n"),
           ((col("n").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
@@ -2225,9 +2231,9 @@ object MlQueries {
               SELECT CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(lx.r2) AS BIGINT) AS sx,
                      CAST(sum(ly.r2) AS BIGINT) AS sy,
-                     CAST(sum(lx.r2 * lx.r2) AS BIGINT) AS sxx,
-                     CAST(sum(ly.r2 * ly.r2) AS BIGINT) AS syy,
-                     CAST(sum(lx.r2 * ly.r2) AS BIGINT) AS sxy
+                     CAST(sum(lx.r2 * lx.r2) AS DECIMAL(38,0)) AS sxx,
+                     CAST(sum(ly.r2 * ly.r2) AS DECIMAL(38,0)) AS syy,
+                     CAST(sum(lx.r2 * ly.r2) AS DECIMAL(38,0)) AS sxy
               FROM li JOIN lx ON li.x = lx.v JOIN ly ON li.y = ly.v)
             SELECT n,
                    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
@@ -3212,9 +3218,15 @@ object MlQueries {
           .otherwise(0L)).as("n_minus"),
         sum(when(col("second_half") === col("first_half"), 1L)
           .otherwise(0L)).as("n_zero"))
+      // z is undefined when every pair ties (n⁺+n⁻ = 0) — report NULL
+      // instead of 0/0 (ANSI double division RAISES on zero; the
+      // round-15 sf1 audit hit exactly this: the 10× replica corpus
+      // repeats each user's history verbatim, so both halves tie for
+      // every user).
       signs.select(col("n_plus"), col("n_minus"), col("n_zero"),
-        ((col("n_plus") - col("n_minus")).cast("double")
-          / sqrt((col("n_plus") + col("n_minus")).cast("double")))
+        when(col("n_plus") + col("n_minus") > 0L,
+          (col("n_plus") - col("n_minus")).cast("double")
+            / sqrt((col("n_plus") + col("n_minus")).cast("double")))
           .as("z_stat"))
     },
     Some("""WITH ranked AS (
@@ -3241,8 +3253,10 @@ object MlQueries {
                          ELSE 0 END) AS BIGINT) AS n_zero
               FROM per_user)
             SELECT n_plus, n_minus, n_zero,
-                   CAST(n_plus - n_minus AS DOUBLE)
-                     / sqrt(CAST(n_plus + n_minus AS DOUBLE)) AS z_stat
+                   CASE WHEN n_plus + n_minus > 0 THEN
+                     CAST(n_plus - n_minus AS DOUBLE)
+                       / sqrt(CAST(n_plus + n_minus AS DOUBLE)) END
+                     AS z_stat
             FROM signs"""))
 
   /** X254 m43: PAIRWISE CONTRASTS after ANOVA (the Tukey-HSD-shaped
