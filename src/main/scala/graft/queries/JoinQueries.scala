@@ -159,12 +159,17 @@ object JoinQueries {
       val sup = Tables.load(s, dir, "supplier")
       li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "inner")
         .groupBy("s_nationkey")
-        .agg(round(sum(col("l_quantity") * col("s_acctbal")), 4).as("weighted"))
+        // exact decimal sum (ExactNum): the weighted double sum drifted
+        // 1e-14 at sf1 in the round-15 audit — same mechanism as j2/j9.
+        .agg(round(graft.ops.ExactNum.dsum(
+          col("l_quantity") * col("s_acctbal")), 4).as("weighted"))
         .orderBy("s_nationkey")
     },
-    Some("""SELECT s_nationkey, round(sum(l_quantity * s_acctbal), 4) AS weighted
-            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-            GROUP BY 1 ORDER BY 1"""))
+    Some(s"""SELECT s_nationkey,
+                    round(${graft.ops.ExactNum.dsumSql(
+                      "l_quantity * s_acctbal")}, 4) AS weighted
+             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             GROUP BY 1 ORDER BY 1"""))
 
   /** Anti-join complement of J6 (pandas `isin` negation pattern,
     * covid_simulator.py:571 `~...isin(...)`). */

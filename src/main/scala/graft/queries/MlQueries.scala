@@ -604,11 +604,24 @@ object MlQueries {
       val li = Tables.load(s, dir, "lineitem")
         .withColumn("pred", col("l_extendedprice") * (lit(1.1) - col("l_discount")))
         .withColumn("actual", col("l_extendedprice"))
+      // exact decimal mean (ExactNum device): avg's double sum drifted
+      // 1e-14 at sf1 in the round-15 audit, enough to straddle the
+      // 4th-decimal round of `adjusted`. The per-row residual rounds
+      // once to DECIMAL(30,6) identically in both engines; the mean is
+      // the exact sum over one double division.
       val bias = li.groupBy("l_suppkey")
-        .agg(avg(col("pred") - col("actual")).as("bias"))
+        .agg((graft.ops.ExactNum.dsum(col("pred") - col("actual"))
+          / count(lit(1))).as("bias"))
+      // `adjusted` is emitted UNROUNDED: pred is exact at 4 decimals
+      // and the decimal-exact bias at 6, so pred − |bias| lands on
+      // exact .xxxx5 halves SYSTEMATICALLY — the one input class where
+      // Spark's BigDecimal HALF_UP round() and DuckDB's scaled-double
+      // round() disagree (400 rows at sf1). The unrounded doubles are
+      // bit-identical in both engines (same exact sums, same IEEE op
+      // order) — the recurrence-row convention.
       li.join(bias, Seq("l_suppkey"))
         .withColumn("adjusted",
-          round(greatest(lit(0.0), col("pred") - abs(col("bias"))), 4))
+          greatest(lit(0.0), col("pred") - abs(col("bias"))))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           round(col("pred"), 4).as("pred"), col("adjusted"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "pred")
@@ -619,11 +632,13 @@ object MlQueries {
                      l_extendedprice AS actual
               FROM lineitem),
             b AS (
-              SELECT l_suppkey, avg(pred - actual) AS bias
+              SELECT l_suppkey,
+                     CAST(sum(CAST(pred - actual AS DECIMAL(30,6)))
+                       AS DOUBLE) / count(*) AS bias
               FROM d GROUP BY 1)
             SELECT d.l_suppkey, d.l_orderkey, d.l_linenumber,
                    round(pred, 4) AS pred,
-                   round(greatest(0.0, pred - abs(bias)), 4) AS adjusted
+                   greatest(0.0, pred - abs(bias)) AS adjusted
             FROM d JOIN b USING (l_suppkey)
             ORDER BY l_suppkey, l_orderkey, l_linenumber, pred"""))
 

@@ -44,7 +44,17 @@ object WindowQueries {
   private val w3 = Q(
     "w3_trim_leading",
     (s, dir) => {
-      val win = w("l_shipdate", "l_orderkey", "l_linenumber")
+      // (l_shipdate, l_orderkey, l_linenumber) is NOT a total order in
+      // the testdata (full-duplicate keys with DIFFERENT quantities
+      // exist), and the trim predicate depends on tie order: among two
+      // tied rows with q>40 and q<=40, whichever the engine happens to
+      // sort first decides whether the q<=40 row is "after the first
+      // peak" and kept. Green at proof scales by luck; the round-15 sf1
+      // audit caught the two engines breaking one such tie differently.
+      // l_quantity as the final key makes the window order total in
+      // every way the emitted columns can observe (rows tying on all
+      // five columns are interchangeable).
+      val win = w("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "lineitem")
         .withColumn("seen",
@@ -52,21 +62,20 @@ object WindowQueries {
         .filter(col("seen") > 0)
         .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
           "l_quantity")
-        // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
-        // output sort must reuse the window's total order (incl. shipdate)
-        // for a deterministic row order on both engines.
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity")
     },
     Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity
             FROM (
               SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
                 sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) OVER (
                   PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
               FROM lineitem)
             WHERE seen > 0
-            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""))
+            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                     l_quantity"""))
 
   /** W4 first non-null per group broadcast to all rows + drop groups
     * where it is absent. Ref: covid_data_transform.py:262-281
