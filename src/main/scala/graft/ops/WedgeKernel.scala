@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Chunked unordered-pair emission from a per-center adjacency — the
+  * g5 common-neighbor kernel, made hub-safe (round-15 verdict ask #1).
+  *
+  * The round-13..15 kernel materialized ONE `Array[Long]` of
+  * d(d−1)/2 packed pairs per center and `require`d degree < 46341: on
+  * a power-law graph a single hub crashed the query (and even below
+  * the bound, one task owned the whole hub's quadratic emission).
+  * This kernel keeps the measured fast path for ordinary centers and
+  * decomposes heavy ones:
+  *
+  *   - centers with degree ≤ `blockSize` emit exactly as before — one
+  *     primitive array per center, exploded by codegen, zero per-pair
+  *     boxing, no new shuffle;
+  *   - heavier centers slice their ASCENDING-sorted adjacency into
+  *     contiguous blocks of `blockSize` and emit one row per block
+  *     pair (bi ≤ bj): within-block rows carry (xs_i, ∅) and produce
+  *     the i<j pairs, cross-block rows carry (xs_i, xs_j) and produce
+  *     all |xs_i|·|xs_j| pairs — every element of block i is < every
+  *     element of block j, so the (lo<<32)|hi packing stays canonical
+  *     and the union over block pairs covers each unordered pair
+  *     EXACTLY once (WedgeKernelSpec pins chunked == unchunked ==
+  *     brute force). Block rows are round-robin-repartitioned to
+  *     `pairs/pairsPerTask` tasks before the pair loop, so a hub of
+  *     ANY degree spreads its d²/2 emission across the cluster
+  *     instead of crashing (old) or serializing (one-task emission).
+  *
+  * Memory: per-row allocation is ≤ blockSize² packed longs (8 MB at
+  * the default 1024) regardless of degree. Shuffle: the block-pair
+  * decomposition moves adjacency CONTENT (2·d²/blockSize longs per
+  * heavy center — 1/512 of the pair volume it unlocks at the default);
+  * light centers move nothing beyond the one groupBy every adjacency
+  * build pays. Degrees are bounded by `collect_list`'s 2³¹ array
+  * limit long before any arithmetic here overflows (d(d−1)/2 is
+  * computed in Long; per-block sizes fit Int by construction).
+  */
+object WedgeKernel {
+
+  /** Default block edge: 1024² packed longs = 8 MB peak per row. */
+  val DefaultBlock = 1024
+
+  /** All unordered neighbor pairs of each center in `nbr(c, x)`,
+    * packed `(lo << 32) | hi` (requires non-negative ids < 2³²), one
+    * row per pair in column `pk`, plus the total pair count Σd(d−1)/2
+    * (callers size their downstream aggregate shuffle with it — one
+    * cheap scan of the checkpointed adjacency instead of a second
+    * corpus-wide groupBy).
+    */
+  def pairPk(s: SparkSession, nbr: DataFrame,
+      blockSize: Int = DefaultBlock,
+      pairsPerTask: Long = 2000000L): (DataFrame, Long) = {
+    require(blockSize >= 2 && blockSize <= 46340,
+      s"blockSize $blockSize outside [2, 46340] (46341² overflows Int)")
+    import s.implicits._
+    val adj = nbr.groupBy("c")
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .select(col("xs"))
+      .localCheckpoint()
+    // One scan prices both the total pair volume (downstream shuffle
+    // sizing) and the heavy share (block-row spread sizing). DIV 2 is
+    // exact: d(d−1) is even. coalesce: SUM over zero rows is SQL NULL.
+    val stats = adj.select(size(col("xs")).cast("long").as("d"))
+      .agg(
+        coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("pairs"),
+        coalesce(sum(when(col("d") > blockSize,
+          expr("d * (d - 1) DIV 2")).otherwise(0L)), lit(0L)).as("heavy"))
+      .first()
+    val totalPairs = stats.getLong(0)
+    val heavyPairs = stats.getLong(1)
+    val light = adj.filter(size(col("xs")) <= blockSize)
+      .as[Seq[Long]]
+      .mapPartitions(_.map { xs =>
+        val a = xs.toArray // sorted ascending -> packed key has lo < hi
+        val out = new Array[Long](a.length * (a.length - 1) / 2)
+        var k = 0
+        var i = 0
+        while (i < a.length) {
+          var j = i + 1
+          while (j < a.length) {
+            out(k) = (a(i) << 32) | a(j); k += 1
+            j += 1
+          }
+          i += 1
+        }
+        out
+      })
+      .toDF("xs")
+      .select(explode(col("xs")).as("pk"))
+    if (heavyPairs == 0L) (light, totalPairs)
+    else {
+      // Heavy centers: stream (block_i, block_j) rows, spread them,
+      // then run the pair loop task-locally per block row.
+      val blockRows = adj.filter(size(col("xs")) > blockSize)
+        .as[Seq[Long]]
+        .mapPartitions(_.flatMap { xs =>
+          val a = xs.toArray
+          val nb = (a.length + blockSize - 1) / blockSize
+          def slice(b: Int): Array[Long] = java.util.Arrays.copyOfRange(
+            a, b * blockSize, math.min((b + 1) * blockSize, a.length))
+          Iterator.range(0, nb).flatMap { bi =>
+            val xi = slice(bi)
+            Iterator.single((xi, Array.empty[Long])) ++
+              Iterator.range(bi + 1, nb).map(bj => (xi, slice(bj)))
+          }
+        })
+      val nParts = math.max(s.sparkContext.defaultParallelism.toLong,
+        math.min(4096L, heavyPairs / pairsPerTask)).toInt
+      val heavy = blockRows
+        .toDF("xi", "xj")
+        .repartition(nParts) // round-robin: block rows are even-sized units
+        .as[(Seq[Long], Seq[Long])]
+        .mapPartitions(_.map { case (xiS, xjS) =>
+          val xi = xiS.toArray
+          if (xjS.isEmpty) {
+            val out = new Array[Long](xi.length * (xi.length - 1) / 2)
+            var k = 0
+            var i = 0
+            while (i < xi.length) {
+              var j = i + 1
+              while (j < xi.length) {
+                out(k) = (xi(i) << 32) | xi(j); k += 1
+                j += 1
+              }
+              i += 1
+            }
+            out
+          } else {
+            val xj = xjS.toArray
+            val out = new Array[Long](xi.length * xj.length)
+            var k = 0
+            var i = 0
+            while (i < xi.length) {
+              var j = 0
+              while (j < xj.length) {
+                out(k) = (xi(i) << 32) | xj(j); k += 1
+                j += 1
+              }
+              i += 1
+            }
+            out
+          }
+        })
+        .toDF("xs")
+        .select(explode(col("xs")).as("pk"))
+      (light.unionByName(heavy), totalPairs)
+    }
+  }
+}

@@ -455,44 +455,20 @@ object GraphQueries {
   private val g5 = Q(
     "g5_link_prediction",
     (s, dir) => {
-      import s.implicits._
       val e0 = coEdges(s, dir)
       val nbr = e0.select(col("p1").as("c"), col("p2").as("x"))
         .unionByName(e0.select(col("p2").as("c"), col("p1").as("x")))
-      // One primitive Array[Long] per center + codegen'd explode — the
-      // same no-boxing emission as [[triangleCount]] (the flatMapped
-      // ArrayBuffer it replaces boxed all 148M wedge pks; measured 3×
-      // kernel win and far less GC debris carried into later queries).
-      val pairPk = nbr
-        .groupBy("c").agg(sort_array(collect_list(col("x"))).as("xs"))
-        .select(col("xs")).as[Seq[Long]]
-        .mapPartitions(_.map { xs =>
-          val a = xs.toArray // sorted ascending -> packed key has p1 < p2
-          // Size the primitive array in LONG arithmetic: d(d-1)/2 in Int
-          // overflows negative at center degree >= 46341, and a hub that
-          // big is exactly what a larger scale factor produces. Degrees
-          // past the Int array limit (~65536, > 2^31 wedges from ONE
-          // center) cannot be materialized as a single row at all — fail
-          // loudly rather than corrupt the count.
-          val n = a.length.toLong * (a.length - 1) / 2
-          require(n <= Int.MaxValue,
-            s"g5 wedge kernel: center degree ${a.length} emits $n wedges; " +
-              "split heavy centers before the pair kernel")
-          val out = new Array[Long](n.toInt)
-          var k = 0
-          var i = 0
-          while (i < a.length) {
-            var j = i + 1
-            while (j < a.length) {
-              out(k) = (a(i) << 32) | a(j); k += 1
-              j += 1
-            }
-            i += 1
-          }
-          out
-        })
-        .toDF("xs")
-        .select(explode(col("xs")).as("pk"))
+      // Hub-safe chunked kernel (round-16): ordinary centers keep the
+      // measured one-primitive-array-per-center emission (same
+      // no-boxing explode as [[triangleCount]]); centers past 1024
+      // neighbors decompose into block-pair rows spread across tasks,
+      // so a power-law hub of any degree completes instead of crashing
+      // the former require(degree < 46341). WedgeKernelSpec pins the
+      // decomposition == the unchunked kernel == brute force. The
+      // kernel also returns Σd(d−1)/2 off its checkpointed adjacency,
+      // replacing the second corpus-wide groupBy this query used to
+      // pay just to size the pair shuffle.
+      val (pairPk, wedgeCount) = graft.ops.WedgeKernel.pairPk(s, nbr)
       val edgePk = e0
         .select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk"))
       // Explicit repartition BEFORE the aggregate: with ~101M distinct
@@ -506,13 +482,9 @@ object GraphQueries {
       // 2×parallelism put 23M rows in each partition at 10× (1.48B
       // wedges) and the aggregate spilled per task (round-13 sf1 run:
       // 892 s; ~2M wedges/partition restores the measured sf0.1
-      // per-task shape at any scale). The wedge count is one cheap
-      // aggregate over the checkpointed adjacency — Σd(d−1)/2.
-      // coalesce: SUM over zero rows is SQL NULL — an empty adjacency
-      // table must size to the parallelism floor, not NPE in getLong.
-      val wedgeCount = nbr.groupBy("c").agg(count(lit(1)).as("d"))
-        .agg(coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)))
-        .first().getLong(0)
+      // per-task shape at any scale). The wedge count comes free off
+      // the kernel's checkpointed adjacency (Σd(d−1)/2), replacing the
+      // second corpus-wide groupBy this query used to pay to size it.
       val nParts = math.max(s.sparkContext.defaultParallelism * 2L,
         math.min(4096L, wedgeCount / 2000000L)).toInt
       joinEdgeSet(
@@ -545,6 +517,79 @@ object GraphQueries {
                               WHERE e.p1 = pr.p1 AND e.p2 = pr.p2)
             ORDER BY pr.common_neighbors DESC, pr.p1, pr.p2
             LIMIT 20"""))
+
+  /** G5b (X322, beyond the reference): ANCHOR-SAMPLED link-prediction
+    * scoreboard — the bounded audit flavor of [[g5]], same device as
+    * d25/d27/pl15 (`ops/Anchors`): a deterministic fixed-budget sample
+    * of ~2000 anchor CENTERS keeps its EXACT top-5 predicted links
+    * (highest common-neighbor count among non-adjacent nodes, ties by
+    * candidate id). Cost is Σ_{a∈anchors} Σ_{m∈N(a)} d(m) ≈ A·d̄² —
+    * FLAT in corpus size at fixed budget, vs g5's exact Σd(d−1)/2
+    * wedge volume — and the anchor-edge side is small enough to
+    * broadcast (size-aware), so the corpus-sized neighbor table never
+    * shuffles for the probe. Corpora with ≤ 2000 nodes anchor every
+    * node, so g5b there IS the full exact per-node scoreboard
+    * (WedgeKernelSpec pins that equality against brute force; sf0.001
+    * and sf0.01 hit this regime, making the driver oracle an exact
+    * full-population check at proof scales).
+    */
+  private val g5b = Q(
+    "g5b_link_prediction_sampled",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e0 = coEdges(s, dir)
+      val nbr = e0.select(col("p1").as("c"), col("p2").as("x"))
+        .unionByName(e0.select(col("p2").as("c"), col("p1").as("x")))
+      val nNodes = nbr.select(col("c")).distinct().count()
+      val anchorEdges = nbr
+        .filter(graft.ops.Anchors.keep(col("c"), nNodes))
+        .select(col("c").as("anchor"), col("x").as("m"))
+        .localCheckpoint()
+      val scored = maybeBroadcast(anchorEdges, anchorEdges.count())
+        .join(nbr.select(col("c").as("m"), col("x").as("candidate")),
+          Seq("m"))
+        .filter(col("candidate") =!= col("anchor"))
+        .groupBy("anchor", "candidate")
+        .agg(count(lit(1)).as("common_neighbors"))
+        .withColumn("pk",
+          shiftleft(least(col("anchor"), col("candidate")), 32)
+            .bitwiseOR(greatest(col("anchor"), col("candidate"))))
+      val w = Window.partitionBy("anchor")
+        .orderBy(col("common_neighbors").desc, col("candidate"))
+      joinEdgeSet(scored,
+        e0.select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk")),
+        e0.count(), "left_anti")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("anchor", "rk", "candidate", "common_neighbors")
+        .orderBy("anchor", "rk")
+    },
+    Some(s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                         FROM lineitem),
+             e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+                    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+             nbr AS (SELECT p1 AS c, p2 AS x FROM e0
+                     UNION ALL
+                     SELECT p2 AS c, p1 AS x FROM e0),
+             scored AS (
+               SELECT ae.c AS anchor, nb.x AS candidate,
+                      CAST(count(*) AS BIGINT) AS common_neighbors
+               FROM nbr ae JOIN nbr nb ON ae.x = nb.c AND nb.x <> ae.c
+               WHERE ${graft.ops.Anchors.keepSql("ae.c",
+                 "SELECT count(DISTINCT c) FROM nbr")}
+               GROUP BY 1, 2),
+             nonadj AS (
+               SELECT * FROM scored sc
+               WHERE NOT EXISTS (SELECT 1 FROM e0 e
+                 WHERE e.p1 = least(sc.anchor, sc.candidate)
+                   AND e.p2 = greatest(sc.anchor, sc.candidate))),
+             ranked AS (
+               SELECT anchor, candidate, common_neighbors,
+                 row_number() OVER (PARTITION BY anchor
+                   ORDER BY common_neighbors DESC, candidate) AS rk
+               FROM nonadj)
+             SELECT anchor, rk, candidate, common_neighbors
+             FROM ranked WHERE rk <= 5 ORDER BY anchor, rk"""))
 
   /** G6 (beyond the reference): global clustering coefficient —
     * 3·triangles / wedges. Triangles come from g3's degree-oriented
@@ -1094,5 +1139,6 @@ object GraphQueries {
                      AS q_scaled_4m2
             FROM per ORDER BY community"""))
 
-  def all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
+  def all: Seq[Q] =
+    Seq(g1, g2, g3, g4, g5, g5b, g6, g7, g8, g9, g10, g11, g12)
 }
