@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   * wraps, and the budget compare A·2³² ≤ 2⁴³ uses integer division
   * (never the h·n cross-multiply, which WOULD wrap at scale). Spark
   * `>>`/`&`/`%` and DuckDB `>>`/`&`/`%` agree on non-negative longs.
+  *
+  * ID DOMAIN BOUND (round-16, documenting the round-15 advice): three
+  * 20-bit limbs cover id bits 0..59 only — ids ≥ 2⁶⁰ alias into the
+  * residue class of (id mod 2⁶⁰), re-creating the clustering the limb
+  * form fixed, at a 2⁶⁰ bound instead of 2²⁰. Every id family this
+  * device samples (doc_id, part/node keys, synthetic row ids) is a
+  * dense counter that reaches ~10¹²–10¹⁵ at 100 TB — five-plus
+  * decades below 2⁶⁰ ≈ 1.15e18 — so a fourth limb would mix bits no
+  * real id has; add one (constant 0x9e3779b9·…) only if ids ever
+  * become hashes/UUIDs truncated to 63 bits. PORTING NOTE: keepSql's
+  * `//` is DuckDB's integer division (a comment marker in several
+  * other dialects) — spell it floor(a/b) or DIV if the oracle SQL is
+  * ever ported off DuckDB.
   */
 object Anchors {
 

@@ -30,4 +30,42 @@ object ExactNum {
   /** The identical DuckDB oracle spelling. */
   def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+
+  /** 2⁶¹ − 1 (Mersenne prime) — the modulus for assignment checksums
+    * whose raw Σ idᵢ·(binᵢ+1) could exceed 2⁶³ at scale (t34's bound
+    * was ~1e9 docs × 1e6 bins; round-15 advice: Spark's fold wrapped
+    * SILENTLY there while DuckDB's HUGEINT→BIGINT cast raised — the
+    * two engines failed differently). Mod-P arithmetic is exact and
+    * identical on both engines at ANY doc_id × bins product.
+    */
+  val MersenneP = 2305843009213693951L
+
+  /** (a·b) mod 2⁶¹−1 for 0 ≤ a, b < 2⁶¹−1: split the 128-bit product
+    * into 61-bit limbs (2⁶¹ ≡ 1 mod P, so limbs just add), reduce
+    * once, one conditional subtract. Exact — no FP, no BigInt
+    * allocation in the fold's hot loop. PropertySpec pins it against
+    * BigInt on boundary and random operands.
+    */
+  def mulmodP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var s = (lo & MersenneP) +
+      (((lo >>> 61) | (hi << 3)) & MersenneP) + (hi >>> 58)
+    s = (s & MersenneP) + (s >>> 61)
+    if (s >= MersenneP) s - MersenneP else s
+  }
+
+  /** (a + b) mod 2⁶¹−1 for 0 ≤ a, b < 2⁶¹−1 (sum < 2⁶², no wrap). */
+  def addmodP(a: Long, b: Long): Long = {
+    val s = a + b
+    if (s >= MersenneP) s - MersenneP else s
+  }
+
+  /** The identical DuckDB spelling of one checksum TERM mod P — the
+    * oracle SUMs these per-row residues in HUGEINT (each < P, so the
+    * sum stays < 2¹²⁷ up to 2⁶⁶ rows) and takes the final mod once.
+    */
+  def mulmodPSql(a: String, b: String): String =
+    s"(CAST(($a) % $MersenneP AS HUGEINT) * (($b) % $MersenneP))" +
+      s" % $MersenneP"
 }

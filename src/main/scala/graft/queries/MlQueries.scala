@@ -619,6 +619,16 @@ object MlQueries {
       // round() disagree (400 rows at sf1). The unrounded doubles are
       // bit-identical in both engines (same exact sums, same IEEE op
       // order) — the recurrence-row convention.
+      // DOMAIN BOUND (round-16, documenting the round-15 advice): the
+      // bit-identical claim rests on DECIMAL(30,6)→DOUBLE agreeing
+      // across engines — Spark rounds via BigDecimal, DuckDB computes
+      // double(unscaled)/1e6, and those agree exactly only while the
+      // SCALED per-supplier residual sum |Σ(pred−actual)|·10⁶ stays
+      // below 2⁵³ (≈ |sum| < 9.0e9; sf1 measures ~1e7 per supplier,
+      // three decades of headroom — supplier count grows WITH the
+      // corpus, so the per-group sum does not scale with total size).
+      // Past that bound a 1-ulp divergence would reappear; the fix
+      // there is an agreed explicit rounding before the subtraction.
       li.join(bias, Seq("l_suppkey"))
         .withColumn("adjusted",
           greatest(lit(0.0), col("pred") - abs(col("bias"))))

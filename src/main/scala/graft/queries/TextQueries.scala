@@ -2130,10 +2130,23 @@ object TextQueries {
     * definition; an industrial packer shards each stream into bounded
     * chunks at pre-agreed doc-id cuts (each chunk packs
     * independently, chunk boundary = sequence boundary) — the fold
-    * here is that per-chunk kernel. Checksum stays < 2⁶³ while
-    * Σ doc_id·bins fits — at 1e9 docs × 1e6 bins it would not, and a
-    * production audit would checksum mod a prime; the oracle replays
-    * the identical arithmetic either way.
+    * here is that per-chunk kernel. The checksum is Σ (doc_id mod P)·
+    * ((bin+1) mod P) mod P with P = 2⁶¹−1 (round 16, closing the
+    * round-15 overflow advice): exact and engine-identical at ANY
+    * doc_id × bins product — Spark folds `ExactNum.mulmodP/addmodP`
+    * (128-bit limb arithmetic, no BigInt in the loop), the oracle
+    * sums the same per-row residues in HUGEINT and mods once.
+    * ORACLE SCALE NOTE (round-15 advice, documented trade): the
+    * recursive CTE advances one doc per source per iteration and
+    * re-joins toks each step — O(max docs-per-source) iterations, so
+    * the DuckDB replay is PROOF-SCALE-ONLY (sf0.01 ≈ seconds; sf1+
+    * impractical). The O(n) alternative (DuckDB list_reduce over a
+    * struct accumulator) was probed and REJECTED: DuckDB 1.0's
+    * list_reduce returns inconsistent cross-field accumulator state
+    * (later-step field values leak into earlier steps' reads), so the
+    * fold miscomputes dependent fields. At sf1+ the Spark side is
+    * instead pinned by SequencePackingSpec's independent per-doc
+    * replay, which is scale-free.
     */
   private val t34 = Q(
     "t34_sequence_packing",
@@ -2157,7 +2170,10 @@ object TextQueries {
             else fill += nt
             nDocs += 1; sumTok += nt
             if (nt > C) nOver += 1
-            ck += id * (bin + 1)
+            ck = graft.ops.ExactNum.addmodP(ck,
+              graft.ops.ExactNum.mulmodP(
+                java.lang.Math.floorMod(id, graft.ops.ExactNum.MersenneP),
+                (bin + 1) % graft.ops.ExactNum.MersenneP))
           }
           if (nDocs == 0) Iterator.empty
           else Iterator((src, nDocs, bin + 1, sumTok, nOver,
@@ -2195,7 +2211,10 @@ object TextQueries {
                 AS BIGINT) AS n_oversize,
               CAST(sum(ntok) AS DOUBLE)
                 / (CAST(max(bin) + 1 AS DOUBLE) * 512) AS fill_rate,
-              CAST(sum(doc_id * (bin + 1)) AS BIGINT) AS assign_checksum
+              CAST(sum(""" +
+      graft.ops.ExactNum.mulmodPSql("doc_id", "bin + 1") + """)
+                % """ + graft.ops.ExactNum.MersenneP + """ AS BIGINT)
+                AS assign_checksum
             FROM pack GROUP BY source ORDER BY source"""))
 
   def all: Seq[Q] =

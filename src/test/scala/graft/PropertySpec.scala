@@ -214,4 +214,25 @@ class PropertySpec extends AnyFunSuite {
         img.palette.take(3 * nColors).sameElements(pal)
     })
   }
+
+  test("ExactNum.mulmodP/addmodP equal BigInt mod 2^61-1 on any operands") {
+    import graft.ops.ExactNum.{MersenneP => P, mulmodP, addmodP}
+    val bp = BigInt(P)
+    // boundary pins first: the limbs/reduction edges
+    for {
+      a <- Seq(0L, 1L, 2L, P - 1, P - 2, P / 2, (1L << 60) - 1, 1L << 60)
+      b <- Seq(0L, 1L, 2L, P - 1, P - 2, P / 2, (1L << 60) + 1)
+    } {
+      assert(BigInt(mulmodP(a, b)) == (BigInt(a) * BigInt(b)) % bp,
+        s"mulmodP($a, $b)")
+      assert(BigInt(addmodP(a, b)) == (BigInt(a) + BigInt(b)) % bp,
+        s"addmodP($a, $b)")
+    }
+    val ops: Gen[(Long, Long)] =
+      Gen.zip(Gen.choose(0L, P - 1), Gen.choose(0L, P - 1))
+    check(Prop.forAll(ops) { case (a, b) =>
+      BigInt(mulmodP(a, b)) == (BigInt(a) * BigInt(b)) % bp &&
+        BigInt(addmodP(a, b)) == (BigInt(a) + BigInt(b)) % bp
+    })
+  }
 }

@@ -29,21 +29,26 @@ class SequencePackingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** The t34 protocol, replayed doc-by-doc in plain Scala. */
+  /** The t34 protocol, replayed doc-by-doc in plain Scala. The
+    * checksum replays Σ (id mod P)·(bin+1 mod P) mod P via BIGINT
+    * arithmetic — deliberately independent of ExactNum's 128-bit limb
+    * kernel, so this spec also cross-checks mulmodP end-to-end.
+    */
+  private val P = BigInt(2305843009213693951L) // 2^61 - 1
   private def replay(docs: Seq[(Long, Long)], cap: Long = 512L)
       : (Long, Long, Long, Long, Double, Long) = {
     var bin = 0L; var fill = 0L; var first = true
-    var nDocs = 0L; var sumTok = 0L; var nOver = 0L; var ck = 0L
+    var nDocs = 0L; var sumTok = 0L; var nOver = 0L; var ck = BigInt(0)
     docs.sortBy(_._1).foreach { case (id, nt) =>
       if (first) { fill = nt; first = false }
       else if (fill + nt > cap) { bin += 1; fill = nt }
       else fill += nt
       nDocs += 1; sumTok += nt
       if (nt > cap) nOver += 1
-      ck += id * (bin + 1)
+      ck = (ck + (BigInt(id) mod P) * (BigInt(bin + 1) mod P)) mod P
     }
     (nDocs, bin + 1, sumTok, nOver,
-      sumTok.toDouble / ((bin + 1).toDouble * cap), ck)
+      sumTok.toDouble / ((bin + 1).toDouble * cap), ck.toLong)
   }
 
   private def stage(rows: Seq[(Long, String, String)]): String = {
@@ -105,5 +110,53 @@ class SequencePackingSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getDouble(5), r.getLong(6)))).toMap
     assert(out.keySet == expect.keySet)
     expect.foreach { case (src, e) => assert(out(src) == e, src) }
+  }
+
+  test("multi-stream skew: one source holding 90% of docs still packs " +
+      "exactly (task-local fold, no cross-stream interference)") {
+    def toks(n: Int): String = (0 until n).map(i => s"w$i").mkString(" ")
+    // 900 docs in HOT (varied sizes incl. oversize), 10 each in 9 others
+    val hot = (1L to 900L).map(i =>
+      (i, toks((i % 7 + 1).toInt * 100), "HOT")) // 100..700 tokens
+    val cold = for {
+      s <- 1 to 9
+      i <- 1L to 10L
+    } yield (10000L * s + i, toks((i % 4 + 1).toInt * 120), s"C$s")
+    val all = hot ++ cold
+    val dir = stage(all)
+    val expect = all.map { case (id, txt, src) =>
+      (src, id, txt.split("\\s+").count(_.nonEmpty).toLong) }
+      .groupBy(_._1)
+      .map { case (src, rows) =>
+        src -> replay(rows.map(r => (r._2, r._3)).toSeq) }
+    val out = SparkEntry.queries("t34_sequence_packing")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getLong(6)))).toMap
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (src, e) => assert(out(src) == e, src) }
+  }
+
+  test("checksum survives doc_ids near 2^60: raw sum would wrap int64, " +
+      "mod-P fold matches the BigInt replay exactly") {
+    def toks(n: Int): String = (0 until n).map(i => s"z$i").mkString(" ")
+    val base = (1L << 60) - 3
+    // raw Σ id·(bin+1) ≈ 8 · 2^60 · ~3 — far past 2^63; the pre-round-16
+    // fold wrapped silently here
+    val docs = (0L until 8L).map(i => (base + i, toks(400), "BIG"))
+    // each 400-token doc overflows the previous bin -> doc i sits in
+    // bin i, so the raw checksum would be Σ (base+i)·(i+1)
+    val rawSum = docs.zipWithIndex.foldLeft(BigInt(0)) {
+      case (acc, ((id, _, _), i)) => acc + BigInt(id) * (i + 1)
+    }
+    assert(rawSum > BigInt(Long.MaxValue), "fixture must force the wrap")
+    val dir = stage(docs)
+    val Array(r) = SparkEntry.queries("t34_sequence_packing")(spark, dir)
+      .collect()
+    val expect = replay(docs.map(d => (d._1, 400L)))
+    assert(r.getLong(6) == expect._6)
+    assert(r.getLong(6) >= 0L, "mod-P checksum is always non-negative")
+    assert((r.getLong(1), r.getLong(2), r.getLong(4)) ==
+      ((expect._1, expect._2, expect._4)))
   }
 }
