@@ -19,6 +19,10 @@ class WedgeKernelSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
     .master("local[2]")
+    // extensions matter even for a kernel spec: getOrCreate shares the
+    // JVM-wide session across suites, and a session created WITHOUT
+    // graft extensions breaks any later suite needing graft_dot
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
