@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   * This kernel keeps the measured fast path for ordinary centers and
   * decomposes heavy ones:
   *
-  *   - centers with degree ≤ `blockSize` emit exactly as before — one
-  *     primitive array per center, exploded by codegen, zero per-pair
-  *     boxing, no new shuffle;
+  *   - a cheap degree count-shuffle decides the shape first: a
+  *     HUB-FREE graph (no degree > blockSize — every corpus this repo
+  *     measures) keeps the round-15 ONE-PIPELINE plan verbatim, the
+  *     aggregate streaming straight into the pair kernel and the
+  *     explode with no checkpoint barrier (the barrier is not free:
+  *     unconditional checkpointing cost the 30× decade core 884.6 s
+  *     vs 337.7 s streaming, G5AB probe, identical output);
+  *   - hub-free centers emit one primitive array per center, exploded
+  *     by codegen, zero per-pair boxing, no new shuffle;
   *   - heavier centers slice their ASCENDING-sorted adjacency into
   *     contiguous blocks of `blockSize` and emit one row per block
   *     pair (bi ≤ bj): within-block rows carry (xs_i, ∅) and produce
@@ -46,9 +52,9 @@ object WedgeKernel {
   /** All unordered neighbor pairs of each center in `nbr(c, x)`,
     * packed `(lo << 32) | hi` (requires non-negative ids < 2³²), one
     * row per pair in column `pk`, plus the total pair count Σd(d−1)/2
-    * (callers size their downstream aggregate shuffle with it — one
-    * cheap scan of the checkpointed adjacency instead of a second
-    * corpus-wide groupBy).
+    * (callers size their downstream aggregate shuffle with it — the
+    * same degree scan that makes the split decision, map-side
+    * combined, so no extra adjacency-sized pass).
     */
   def pairPk(s: SparkSession, nbr: DataFrame,
       blockSize: Int = DefaultBlock,
@@ -56,14 +62,11 @@ object WedgeKernel {
     require(blockSize >= 2 && blockSize <= 46340,
       s"blockSize $blockSize outside [2, 46340] (46341² overflows Int)")
     import s.implicits._
-    val adj = nbr.groupBy("c")
-      .agg(sort_array(collect_list(col("x"))).as("xs"))
-      .select(col("xs"))
-      .localCheckpoint()
-    // One scan prices both the total pair volume (downstream shuffle
-    // sizing) and the heavy share (block-row spread sizing). DIV 2 is
-    // exact: d(d−1) is even. coalesce: SUM over zero rows is SQL NULL.
-    val stats = adj.select(size(col("xs")).cast("long").as("d"))
+    // One count-shuffle prices both the total pair volume (downstream
+    // shuffle sizing) and the heavy share (split decision + spread
+    // sizing) BEFORE any adjacency materializes. DIV 2 is exact:
+    // d(d−1) is even. coalesce: SUM over zero rows is SQL NULL.
+    val stats = nbr.groupBy("c").agg(count(lit(1)).as("d"))
       .agg(
         coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("pairs"),
         coalesce(sum(when(col("d") > blockSize,
@@ -71,7 +74,7 @@ object WedgeKernel {
       .first()
     val totalPairs = stats.getLong(0)
     val heavyPairs = stats.getLong(1)
-    val light = adj.filter(size(col("xs")) <= blockSize)
+    def kernel(in: DataFrame): DataFrame = in
       .as[Seq[Long]]
       .mapPartitions(_.map { xs =>
         val a = xs.toArray // sorted ascending -> packed key has lo < hi
@@ -90,8 +93,25 @@ object WedgeKernel {
       })
       .toDF("xs")
       .select(explode(col("xs")).as("pk"))
-    if (heavyPairs == 0L) (light, totalPairs)
-    else {
+    def adjacency(in: DataFrame): DataFrame = in.groupBy("c")
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .select(col("xs"))
+    if (heavyPairs == 0L) {
+      // Hub-free (every degree ≤ blockSize, and ≤ 46340 by the bound
+      // above, so the single-array sizing can't overflow): keep the
+      // ONE-PIPELINE plan — aggregate streams straight into the pair
+      // kernel and the explode, no checkpoint barrier. The barrier is
+      // not free: materializing the adjacency and re-reading it cost
+      // the 30× decade core 884.6 s vs 337.7 s for this streaming
+      // shape (G5AB probe, identical 4.43B-wedge output) — the
+      // round-16 first cut checkpointed unconditionally and gave back
+      // the whole kernel win at scale.
+      (kernel(adjacency(nbr)), totalPairs)
+    } else {
+      // Hubs present: pay one checkpoint so the light/heavy split and
+      // the block-row decomposition read a settled adjacency.
+      val adj = adjacency(nbr).localCheckpoint()
+      val light = kernel(adj.filter(size(col("xs")) <= blockSize))
       // Heavy centers: stream (block_i, block_j) rows, spread them,
       // then run the pair loop task-locally per block row.
       val blockRows = adj.filter(size(col("xs")) > blockSize)

@@ -463,11 +463,13 @@ object GraphQueries {
       // no-boxing explode as [[triangleCount]]); centers past 1024
       // neighbors decompose into block-pair rows spread across tasks,
       // so a power-law hub of any degree completes instead of crashing
-      // the former require(degree < 46341). WedgeKernelSpec pins the
-      // decomposition == the unchunked kernel == brute force. The
-      // kernel also returns Σd(d−1)/2 off its checkpointed adjacency,
-      // replacing the second corpus-wide groupBy this query used to
-      // pay just to size the pair shuffle.
+      // the former require(degree < 46341). Hub-free corpora keep the
+      // exact round-15 one-pipeline plan (the kernel's degree pre-scan
+      // decides; an unconditional checkpoint barrier measured 2.6× on
+      // the 30× decade core — G5AB probe). WedgeKernelSpec pins the
+      // decomposition == the unchunked kernel == brute force; the
+      // kernel's pre-scan also returns Σd(d−1)/2, so g5 no longer pays
+      // a second corpus-wide groupBy to size the pair shuffle.
       val (pairPk, wedgeCount) = graft.ops.WedgeKernel.pairPk(s, nbr)
       val edgePk = e0
         .select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk"))
@@ -556,9 +558,17 @@ object GraphQueries {
             .bitwiseOR(greatest(col("anchor"), col("candidate"))))
       val w = Window.partitionBy("anchor")
         .orderBy(col("common_neighbors").desc, col("candidate"))
-      joinEdgeSet(scored,
-        e0.select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk")),
-        e0.count(), "left_anti")
+      // Adjacency filter: every scored pair has an anchor endpoint, so
+      // only ANCHOR-INCIDENT edges can ever match the anti-join — the
+      // filtered set is ~2·A·d̄ rows at any corpus size (vs the full
+      // edge set, which leaves the broadcast regime at ~30× and turns
+      // the anti-join into a corpus-sized shuffle).
+      val anchorPk = e0.filter(
+        graft.ops.Anchors.keep(col("p1"), nNodes) ||
+          graft.ops.Anchors.keep(col("p2"), nNodes))
+        .select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk"))
+        .localCheckpoint()
+      joinEdgeSet(scored, anchorPk, anchorPk.count(), "left_anti")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select("anchor", "rk", "candidate", "common_neighbors")

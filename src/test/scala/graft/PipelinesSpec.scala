@@ -316,41 +316,40 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(steps.filter(col("gap") =!= 1).count() == 0)
   }
 
-  /** POPULATION-level LSTM parity (round-15 ask): the 3-series value
-    * test above pins the protocol on hand-picked examples; this one
-    * pins it at population level on a DETERMINISTIC 25-of-250 sample
-    * (series ordered by md5(name), first 25 — no RNG, same set every
-    * run and engine) trained with the identical 120/16/250/25
-    * protocol, RMSE joined against the committed rsme_score.csv.
+  /** FULL-POPULATION LSTM parity (round-16, upgrading the round-15
+    * 25-of-250 md5 sample to all 250 series — the last sampled claim
+    * in the reference-parity story): every series trained with the
+    * identical 120/16/250/25 protocol in one flatMapGroups pass
+    * (task-parallel — wall clock is series/threads, ~10 min at
+    * local[8]), RMSE joined against the committed rsme_score.csv.
     * Per-series the committed golden is ONE unseeded Keras draw (see
-    * the contract test above), so the parity claims are distributional:
-    * each sampled series lands within 2.5× its committed score OR
-    * under the committed corpus p75 (0.0829 — i.e., "as good as the
-    * reference's typical fit"), and the sample MEDIAN of our scores
-    * stays under that p75. The sample's committed scores span
-    * 0.032–0.21 (median 0.077), so the band is exercised across the
-    * corpus's quality range, not just easy series. flatMapGroups
-    * trains the 25 models task-parallel — wall clock is the slowest
-    * series, not the sum.
+    * the contract test above), so the parity claims are
+    * DISTRIBUTIONAL, now over the whole population:
+    *   - every score is finite and sane;
+    *   - our population MEDIAN beats the committed corpus p75
+    *     (0.0829) — "typically as good as the reference's typical
+    *     fit";
+    *   - our p75 beats the committed corpus p90 (computed from the
+    *     same CSV, not hardcoded) — the upper tail is comparable too;
+    *   - per-series, at most 5% of the 250 miss the
+    *     max(2.5× committed, corpus p75) comparability band (the
+    *     round-15 sample measured 0/25 misses; a handful of tail
+    *     misses over 250 is the expected cost of comparing two
+    *     unseeded draws, not a protocol drift).
     */
-  test("LSTM sampled-population parity: 25 md5-ordered series vs committed rsme_score.csv") {
+  test("LSTM full-population parity: all 250 series vs committed rsme_score.csv") {
     import spark.implicits._
     val all = spark.read.option("header", true).option("inferSchema", true)
       .csv(s"$refDir/output/weather_output/future_pred.csv")
       .select(concat(col("country"), lit(" : "), col("state")).as("series"),
         col("date").cast("int").as("date"),
         col("TAVG_pred").cast("double").as("value"))
-    val picked = all.select("series").distinct()
-      .orderBy(md5(col("series"))).limit(25)
-      .as[String].collect().toSeq
-    assert(picked.size == 25)
-    val src = all.filter(col("series").isin(picked: _*))
-    val (_, fp, rs) = WeatherForecast.run(spark, src,
+    val (_, fp, rs) = WeatherForecast.run(spark, all,
       minRows = 60, nTest = 10, horizon = 30,
       nSteps = 120, hidden = 16, epochs = 250, patience = 25)
     val scores = rs.select("series", "rmse").as[(String, Double)]
       .collect().toMap
-    assert(scores.size == 25)
+    assert(scores.size == 250)
     assert(scores.values.forall(r => r >= 0 && r < 1.0 && !r.isNaN),
       s"scores $scores")
     val committed = spark.read.option("header", true)
@@ -358,21 +357,33 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .csv(s"$refDir/output/weather_output/rsme_score.csv")
       .select(concat(col("country"), lit(" : "), col("state")).as("series"),
         col("TAVG_rmse").cast("double").as("rmse_gold"))
-      .filter(col("series").isin(picked: _*))
       .as[(String, Double)].collect().toMap
     assert(committed.keySet == scores.keySet)
-    val p75 = 0.0829 // committed corpus p75 across all 250 series
-    scores.toSeq.sortBy(_._1).foreach { case (k, r) =>
-      info(f"$k: ours $r%.4f vs committed ${committed(k)}%.4f")
-      assert(r <= math.max(committed(k) * 2.5, p75) + 1e-9,
-        f"$k: RMSE $r%.4f not comparable to committed ${committed(k)}%.4f")
+    def quantile(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, (q * s.size).toInt))
     }
-    val ourMedian = scores.values.toSeq.sorted.apply(scores.size / 2)
-    info(f"sample median: ours $ourMedian%.4f vs corpus p75 $p75%.4f")
-    assert(ourMedian <= p75 + 1e-9,
-      f"sample median $ourMedian%.4f above committed corpus p75")
+    val goldP75 = quantile(committed.values.toSeq, 0.75)
+    val goldP90 = quantile(committed.values.toSeq, 0.90)
+    val misses = scores.toSeq.sortBy(_._1).filter { case (k, r) =>
+      r > math.max(committed(k) * 2.5, goldP75) + 1e-9
+    }
+    misses.foreach { case (k, r) =>
+      info(f"band miss $k: ours $r%.4f vs committed ${committed(k)}%.4f")
+    }
+    val ourMedian = quantile(scores.values.toSeq, 0.50)
+    val ourP75 = quantile(scores.values.toSeq, 0.75)
+    info(f"population: ours median $ourMedian%.4f p75 $ourP75%.4f vs " +
+      f"committed p75 $goldP75%.4f p90 $goldP90%.4f; " +
+      f"band misses ${misses.size}/250")
+    assert(ourMedian <= goldP75 + 1e-9,
+      f"population median $ourMedian%.4f above committed corpus p75")
+    assert(ourP75 <= goldP90 + 1e-9,
+      f"population p75 $ourP75%.4f above committed corpus p90")
+    assert(misses.size <= 12,
+      s"${misses.size}/250 series outside the comparability band")
     // rollouts stay in each series' de-normalized range
-    val mx = src.agg(max(abs(col("value")))).first().getDouble(0)
+    val mx = all.agg(max(abs(col("value")))).first().getDouble(0)
     assert(fp.filter(abs(col("pred")) > mx * 1.01).count() == 0)
   }
 }
