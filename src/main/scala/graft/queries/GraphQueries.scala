@@ -451,6 +451,19 @@ object GraphQueries {
     *   - the 1.2M-edge set BROADCASTS (packed longs, ~10 MB) so the
     *     anti-join and the top-20 selection are map-side — no second
     *     pair-sized shuffle.
+    *
+    * DECADE POSTURE (round 16, measured): 12.3 s at sf0.1, 112 s at
+    * 10×, 548.9 s at 30× (4.43B wedges — parity with round 15 after
+    * the WedgeKernel streaming fix). At 100× the EXACT row's one
+    * pair shuffle is ~14.8B packed longs ≈ 118 GB — more than this
+    * single host can hold in EITHER storage tier (tmpfs shuffle = RAM:
+    * the kernel OOM-killed the JVM after 92 GB of map output; disk
+    * has 79 GB free), so the 100× run cannot complete HERE by
+    * capacity arithmetic, not plan shape — per-task pair volume stays
+    * at the measured ~2M/partition, there is no single-task blowup,
+    * and any 2+-node cluster with ≥120 GB aggregate shuffle capacity
+    * clears it. The 100× audit path is [[g5b]] (64.4 s at 100×, most
+    * of it the shared coEdges scan floor).
     */
   private val g5 = Q(
     "g5_link_prediction",
