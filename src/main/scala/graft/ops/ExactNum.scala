@@ -64,8 +64,15 @@ object ExactNum {
   /** The identical DuckDB spelling of one checksum TERM mod P — the
     * oracle SUMs these per-row residues in HUGEINT (each < P, so the
     * sum stays < 2¹²⁷ up to 2⁶⁶ rows) and takes the final mod once.
+    * Each operand's residue is spelled `((x % P) + P) % P` because
+    * SQL `%` follows the dividend's sign while the Spark side uses
+    * `Math.floorMod` (always non-negative) — without the double-mod a
+    * negative id would produce engine-divergent residues (round-16
+    * advice; latent only because current corpora have non-negative
+    * ids, now closed for ANY caller).
     */
-  def mulmodPSql(a: String, b: String): String =
-    s"(CAST(($a) % $MersenneP AS HUGEINT) * (($b) % $MersenneP))" +
-      s" % $MersenneP"
+  def mulmodPSql(a: String, b: String): String = {
+    def res(e: String) = s"((($e) % $MersenneP) + $MersenneP) % $MersenneP"
+    s"(CAST(${res(a)} AS HUGEINT) * (${res(b)})) % $MersenneP"
+  }
 }

@@ -65,15 +65,28 @@ object WedgeKernel {
     // One count-shuffle prices both the total pair volume (downstream
     // shuffle sizing) and the heavy share (split decision + spread
     // sizing) BEFORE any adjacency materializes. DIV 2 is exact:
-    // d(d−1) is even. coalesce: SUM over zero rows is SQL NULL.
-    val stats = nbr.groupBy("c").agg(count(lit(1)).as("d"))
+    // d(d−1) is even. coalesce: SUM/MIN/MAX over zero rows is SQL NULL.
+    // count(col("x")) — not count(lit(1)) — so the priced degree drops
+    // NULLs exactly like the collect_list the kernel consumes (a
+    // nullable x must not misroute a light center to the heavy path).
+    // min/max ride the same aggregate for free and enforce the
+    // (lo<<32)|hi packing domain LOUDLY: an id outside [0, 2³²) would
+    // otherwise silently collide packed keys and corrupt counts.
+    val stats = nbr.groupBy("c").agg(
+        count(col("x")).as("d"),
+        min(col("x")).as("lo"), max(col("x")).as("hi"))
       .agg(
         coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("pairs"),
         coalesce(sum(when(col("d") > blockSize,
-          expr("d * (d - 1) DIV 2")).otherwise(0L)), lit(0L)).as("heavy"))
+          expr("d * (d - 1) DIV 2")).otherwise(0L)), lit(0L)).as("heavy"),
+        coalesce(min(col("lo")), lit(0L)).as("minx"),
+        coalesce(max(col("hi")), lit(0L)).as("maxx"))
       .first()
     val totalPairs = stats.getLong(0)
     val heavyPairs = stats.getLong(1)
+    require(stats.getLong(2) >= 0L && stats.getLong(3) < (1L << 32),
+      s"pairPk ids must lie in [0, 2^32) for (lo<<32)|hi packing; " +
+        s"saw [${stats.getLong(2)}, ${stats.getLong(3)}]")
     def kernel(in: DataFrame): DataFrame = in
       .as[Seq[Long]]
       .mapPartitions(_.map { xs =>

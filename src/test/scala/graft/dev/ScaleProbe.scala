@@ -737,8 +737,29 @@ object ScaleProbe {
       if (m == 1) "/root/testdata/sf0.1"
       else s"${System.getProperty("java.io.tmpdir")}/graft_decade_m$m"
     if (m != 1) buildScaled(spark, "/root/testdata/sf0.1", m, dir)
+    val (sec, nBatches, got, ok) = e24FixedRun(spark, dir, m)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"dev/bench_decade_e24fixed_m$m.json"),
+      s"""{"metric":"e24_fixed_batches","value":$sec,"unit":"sec",""" +
+        s""""m":$m,"batches":$nBatches,"rows":$got,""" +
+        s""""rows_match_batch_join":$ok}""" + "\n")
+    spark.stop()
+  }
+
+  /** The e24 fixed-batch replay core, callable both standalone
+    * (`e24fixed` mode) and from decadeProbe (round-16 verdict ask #7:
+    * every decade run should report BOTH the replay-scaled registry
+    * e24 and this state-scaled number). Returns (sec, batches, rows,
+    * rows-match-batch-join). Runs at 8 shuffle partitions (the
+    * streaming state-store sizing rule) and restores the session's
+    * prior setting on exit.
+    */
+  private def e24FixedRun(spark: SparkSession, dir: String,
+      m: Int): (Double, Long, Long, Boolean) = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.hadoop.fs.Path
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val base = System.getProperty("java.io.tmpdir") + s"/graft_e24fixed_$m"
     val fs = new Path(base).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -821,12 +842,8 @@ object ScaleProbe {
     val ok = got == want
     println(f"E24FIXED x$m: $sec%.1f s, $nBatches batches, " +
       s"rows=$got want=$want match=$ok")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"dev/bench_decade_e24fixed_m$m.json"),
-      s"""{"metric":"e24_fixed_batches","value":$sec,"unit":"sec",""" +
-        s""""m":$m,"batches":$nBatches,"rows":$got,""" +
-        s""""rows_match_batch_join":$ok}""" + "\n")
-    spark.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+    (math.round(sec * 1000.0) / 1000.0, nBatches, got, ok)
   }
 
   private def decadeProbe(args: Seq[String]): Unit = {
@@ -850,26 +867,53 @@ object ScaleProbe {
       "d27_lsh_tuning_sampled", "pl15_split_leakage_sampled",
       "d4_minhash_lsh", "d9_dedup_clusters", "g5_link_prediction",
       "g5b_link_prediction_sampled",
-      "e24_stream_stream_left_outer", "h5_local_supplier_volume",
+      "e24_stream_stream_left_outer", "e24_fixed_batches",
+      "h5_local_supplier_volume",
       "h9_product_type_profit", "w38_theil_sen_sampled")
     val run = if (names.nonEmpty) names else defaults
     val queries = graft.SparkEntry.queries.filter(kv => run.contains(kv._1))
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val out = s"dev/bench_decade_m$m.json"
+    // READ-MERGE-WRITE (round-16 verdict ask #5): a subset re-run used
+    // to overwrite the artifact with only the rows it ran, silently
+    // dropping prior measurements. Now prior rows are preserved and
+    // only the rows run this time are updated; `value` is the sum over
+    // the MERGED map. The queries object is our own flat name→number
+    // format, so a regex parse is exact.
     def emit(): Unit = {
-      val qs = results.map { case (k, v) => s""""$k":$v""" }
+      val p = java.nio.file.Paths.get(out)
+      val prior = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.readString(p)
+        val qIdx = s.indexOf("\"queries\":{")
+        if (qIdx >= 0) {
+          val body = s.substring(qIdx + 11, s.indexOf("}", qIdx))
+          """"([A-Za-z0-9_]+)":([-0-9.Ee+]+)""".r.findAllMatchIn(body)
+            .foreach(mm => prior(mm.group(1)) = mm.group(2).toDouble)
+        }
+      }
+      val merged = prior ++ results
+      val qs = merged.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"metric":"total","value":${results.values.sum},""" +
+      java.nio.file.Files.writeString(p,
+        s"""{"metric":"total","value":${merged.values.sum},""" +
           s""""unit":"sec","queries":$qs,"sf":"sf0.1 x$m"}""" + "\n")
     }
-    for (name <- run; fn <- queries.get(name)) {
+    for (name <- run) {
       try {
-        val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        results(name) = math.round(sec * 1000.0) / 1000.0
-        println(f"DECADE x$m $name%-36s rows=$rows%-10d $sec%8.2fs")
+        if (name == "e24_fixed_batches") {
+          // state-scaled streaming number (fixed 10-batch replay) next
+          // to the replay-scaled registry e24 — both on every decade run
+          val (sec, _, _, ok) = e24FixedRun(spark, dir, m)
+          require(ok, "e24 fixed-batch rows != batch left-join rows")
+          results(name) = sec
+        } else for (fn <- queries.get(name)) {
+          val t0 = System.nanoTime()
+          val rows = fn(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          results(name) = math.round(sec * 1000.0) / 1000.0
+          println(f"DECADE x$m $name%-36s rows=$rows%-10d $sec%8.2fs")
+        }
       } catch {
         case e: Throwable =>
           println(f"DECADE x$m $name%-36s FAILED " +
