@@ -333,27 +333,45 @@ object SimilarityQueries {
     * k·dim literals (broadcast-free scan-local assignment), the corpus
     * shuffles once on the cell key.
     */
+  /** The in-cell cosine top-3 serve stage shared by s5 (build+serve in
+    * one plan) and s14 (serve against the RELOADED parquet index):
+    * queries = the index rows with vec_id < 10, broadcast against
+    * their own cell's members.
+    */
+  private def ivfServe(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(e, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .select(col("query_id"), col("cell"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   private val s5 = Q(
     "s5_ivf_kmeans",
     (s, dir) => {
       val cent = KMeansOps.centroids(s, dir, KMeansOps.iters)
-      val e = corpus(s, dir).withColumn("cell", KMeansOps.assignExpr(cent))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cell"))
-      val wTop = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      broadcast(q).join(e, Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine",
-          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
-        .select(col("query_id"), col("cell"),
-          col("vec_id").as("neighbor_id"), col("cosine"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 3)
-        .orderBy("query_id", "rank")
+      ivfServe(corpus(s, dir)
+        .withColumn("cell", KMeansOps.assignExpr(cent))
+        .select("vec_id", "v", "nrm", "cell"))
     },
-    Some(KMeansOps.duckCtes(KMeansOps.iters) + s""",
+    Some(ivfTopkOracle))
+
+  /** The shared s5/s14 oracle: DuckDB recomputes the converged k-means
+    * assignment and the in-cell top-3 from scratch — s14's persistence
+    * round-trip must be value-invisible (parquet stores the exact
+    * doubles), so both rows hash against the SAME SQL.
+    */
+  private lazy val ivfTopkOracle: String =
+    KMeansOps.duckCtes(KMeansOps.iters) + s""",
          |n AS (
          |  SELECT vec_id, v, $duckNorm AS nrm FROM e),
          |af AS (
@@ -380,7 +398,44 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** X324 s14: IVF INDEX PERSISTENCE — the serving-side contract
+    * (round-16 verdict "What's missing" #2). s5 rebuilds the IVF index
+    * (k-means to convergence + cell assignment) inside every query; a
+    * production ANN service builds ONCE and answers queries from the
+    * stored artifact. Build (offline): converged centroids + the
+    * cell-assigned, norm-precomputed corpus → two parquet files.
+    * Serve (online): reload `cells.parquet` and answer the top-3
+    * queries with ZERO build-side work — no k-means driver loop, no
+    * embeddings scan (query vectors come from the index itself), just
+    * the broadcast-probe in-cell join. Parquet stores the exact
+    * doubles, so serve-from-disk is hash-equal to s5's
+    * build-and-serve (same `ivfTopkOracle`; ServingSpec pins row
+    * equality directly).
+    *
+    * At 100 TB: the build cost amortizes over every query batch; the
+    * serve plan's only corpus touch is a cell-pruned index scan (the
+    * broadcast probe's cell keys are the pushdown surface), so query
+    * latency scales with Σ|probed cells|, not the corpus.
+    */
+  private val s14 = Q(
+    "s14_ivf_persist",
+    (s, dir) => {
+      val idxBase = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_ivf_index_${Integer.toHexString(dir.hashCode)}"
+      // offline build: converged IVF, persisted
+      val cent = KMeansOps.centroids(s, dir, KMeansOps.iters)
+      import s.implicits._
+      cent.toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$idxBase/centroids.parquet")
+      corpus(s, dir).withColumn("cell", KMeansOps.assignExpr(cent))
+        .select("vec_id", "v", "nrm", "cell")
+        .write.mode("overwrite").parquet(s"$idxBase/cells.parquet")
+      // online serve: reload, zero build-side work
+      ivfServe(s.read.parquet(s"$idxBase/cells.parquet"))
+    },
+    Some(ivfTopkOracle))
 
   /** Multi-probe LSH: each query probes its own bucket PLUS the 4
     * buckets at Hamming distance 1 (one sign bit flipped) — the
@@ -1080,5 +1135,5 @@ object SimilarityQueries {
          |ORDER BY query_id, rank""".stripMargin))
 
   def all: Seq[Q] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14)
 }
