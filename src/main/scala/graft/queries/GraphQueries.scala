@@ -472,12 +472,17 @@ object GraphQueries {
     * pair shuffle is ~14.8B packed longs ≈ 118 GB — more than this
     * single host can hold in EITHER storage tier (tmpfs shuffle = RAM:
     * the kernel OOM-killed the JVM after 92 GB of map output; disk
-    * has 79 GB free), so the 100× run cannot complete HERE by
-    * capacity arithmetic, not plan shape — per-task pair volume stays
-    * at the measured ~2M/partition, there is no single-task blowup,
-    * and any 2+-node cluster with ≥120 GB aggregate shuffle capacity
-    * clears it. The 100× audit path is [[g5b]] (64.4 s at 100×, most
-    * of it the shared coEdges scan floor).
+    * has 79 GB free) — so the ONE-SHOT plan cannot complete here by
+    * capacity arithmetic, not plan shape. Round 17 CLOSED that
+    * asterisk: [[g5Exact]] with waves = 3 bounds peak shuffle to ~1/3
+    * of the pair volume and the exact row COMPLETED at 100× on this
+    * host — 1549.6 s, 3 sequential waves, identical top-20 contract
+    * (`dev/g5waves_m100_r17.log`, `g5_link_prediction_waved` in
+    * `dev/bench_decade_m100.json`; GraphWavedSpec pins waved ==
+    * one-shot). A cluster with ≥120 GB aggregate shuffle capacity
+    * still clears the one-shot plan — the wave knob trades K× kernel
+    * CPU for a 1/K shuffle footprint when the tier, not the plan, is
+    * the bound. The cheap audit path remains [[g5b]].
     */
   /** The exact g5 plan, optionally WAVE-STAGED (round-16 verdict ask
     * #2 — the one row whose exact form had never RUN at 100× on this

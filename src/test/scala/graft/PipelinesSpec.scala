@@ -215,14 +215,25 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** The REAL model path — and the pipeline's DEFAULT mode since round
     * 11: per-series LSTM training inside flatMapGroups through the
     * `run(model = "lstm")` dispatcher, same protocol and output
-    * contract as the AR(1) flag. Window shape 120/16/≤250 because the
+    * contract as the AR(1) flag. Window shape 120/16 because the
     * committed series are 180 days (the reference-scale 365/50/500
     * convergence proof is LstmTrainingSpec's); three real series keep
-    * the test bounded. Parity: per-series normalized test RMSE is
-    * joined against the reference's COMMITTED rsme_score.csv values for
-    * the SAME series (weather_pred.py:407-409 writes that artifact) and
-    * asserted comparable — committed: El Salvador 0.0515, Mozambique
-    * 0.0257, Luxembourg 0.0660.
+    * the test bounded. Epochs are the reference's own 500
+    * (weather_pred.py:308 — full batch, `batch_size=train_x.shape[0]`,
+    * exactly our adamTrain shape); patience is widened 25 → 50 because
+    * the scaled-down 16-unit full-batch loss curve plateaus longer
+    * than the reference's 50-unit net before descending: the round-17
+    * M5Epochs probe measured 6 of the 9 round-16 band misses as
+    * plateau EARLY-STOPS at epoch 38–47 (best=38–47, ran≤74 of 250)
+    * whose RMSE collapses 3–10× with the plateau cleared
+    * (e.g. Tajikistan 0.2513 → 0.0267, US:KS 0.3249 → 0.0390) —
+    * an optimization artifact, not model capacity; multi-seed spreads
+    * (M5Seeds, 5 seeds/series) had already shown those misses were
+    * robust to seed choice, ruling out draw luck. Parity: per-series
+    * normalized test RMSE is joined against the reference's COMMITTED
+    * rsme_score.csv values for the SAME series (weather_pred.py:407-409
+    * writes that artifact) and asserted comparable — committed:
+    * El Salvador 0.0515, Mozambique 0.0257, Luxembourg 0.0660.
     */
   test("LSTM pipeline mode: trains per-series models, RMSE parity vs committed rsme_score.csv") {
     import spark.implicits._
@@ -236,7 +247,7 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("series").isin(picked: _*))
     val (pa, fp, rs) = WeatherForecast.run(spark, src,
       minRows = 60, nTest = 10, horizon = 30,
-      nSteps = 120, hidden = 16, epochs = 250, patience = 25)
+      nSteps = 120, hidden = 16, epochs = 500, patience = 50)
     assert(rs.count() == 3)
     assert(pa.count() == 30 && fp.count() == 90)
     assert(fp.filter(col("pred").isNull).count() == 0)
@@ -346,7 +357,7 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("TAVG_pred").cast("double").as("value"))
     val (_, fp, rs) = WeatherForecast.run(spark, all,
       minRows = 60, nTest = 10, horizon = 30,
-      nSteps = 120, hidden = 16, epochs = 250, patience = 25)
+      nSteps = 120, hidden = 16, epochs = 500, patience = 50)
     val scores = rs.select("series", "rmse").as[(String, Double)]
       .collect().toMap
     assert(scores.size == 250)

@@ -927,10 +927,13 @@ object ScaleProbe {
     val prior = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (java.nio.file.Files.exists(p)) {
       val s = java.nio.file.Files.readString(p)
-      val qIdx = s.indexOf("\"queries\":{")
+      // tolerate whitespace after colons — the r16 artifacts were
+      // written `"queries": {` and the first merge dropped them
+      val qKey = s.indexOf("\"queries\"")
+      val qIdx = if (qKey >= 0) s.indexOf("{", qKey) else -1
       if (qIdx >= 0) {
-        val body = s.substring(qIdx + 11, s.indexOf("}", qIdx))
-        """"([A-Za-z0-9_]+)":([-0-9.Ee+]+)""".r.findAllMatchIn(body)
+        val body = s.substring(qIdx + 1, s.indexOf("}", qIdx))
+        """"([A-Za-z0-9_]+)"\s*:\s*([-0-9.Ee+]+)""".r.findAllMatchIn(body)
           .foreach(mm => prior(mm.group(1)) = mm.group(2).toDouble)
       }
     }
