@@ -154,10 +154,11 @@ object KMeansOps {
     * centroids, z$i = cluster sizes, s$i = (iter, cluster, n_members,
     * shift). Compose with a final SELECT over s* or a search over c$n.
     */
-  def duckCtes(n: Int, kExpr: String = k.toString): String = {
+  def duckCtes(n: Int, kExpr: String = k.toString,
+      where: String = ""): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
-              |  SELECT vec_id, $duckVec AS v FROM embeddings),
+              |  SELECT vec_id, $duckVec AS v FROM embeddings $where),
               |c0 AS (
               |  SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e
               |  WHERE vec_id < ($kExpr))""".stripMargin

@@ -437,6 +437,96 @@ object SimilarityQueries {
     },
     Some(ivfTopkOracle))
 
+  /** X325 s15: INCREMENTAL IVF MAINTENANCE — the append-side contract
+    * (round 17; the ANN sibling of d28's incremental LSH). s14 proves
+    * serve-from-disk; a production index must also absorb an appended
+    * vector batch WITHOUT re-clustering or re-scanning the stored
+    * corpus. Build (offline, once): k-means converges on the BASE
+    * corpus only (vec_id % 10 ≠ 9) and the assigned base index
+    * persists to parquet. Append (per batch): the batch (vec_id % 10
+    * = 9) is the ONLY slice that pays an assignment pass — argmin over
+    * the FROZEN centroid literals, scan-local, no join, no shuffle of
+    * the stored index — and unions with the parquet reload. Serve:
+    * the standard top-3 queries against the updated index (query
+    * vec_id 9 itself arrives WITH the batch — an appended vector is
+    * immediately servable). Centroids deliberately stay frozen: cell
+    * drift is a periodic REBUILD decision (s5/s14), not an append
+    * cost — the standard IVF serving posture, and the reason append
+    * cost is O(batch·k) regardless of corpus size.
+    *
+    * At 100 TB: the stored index is touched only by the final
+    * cell-pruned serve scan; append work scales with the batch, and
+    * the union is a metadata concat of two parquet scans (no
+    * exchange — both sides are already cell-keyed by the same frozen
+    * centroids). The oracle replays the whole semantics from scratch:
+    * k-means CTEs over the base subset, then ALL vectors (base +
+    * batch) assigned to those converged centroids, then the top-3.
+    * ServingSpec pins append == rebuild-under-frozen-centroids row
+    * equality, and that the appended query is served.
+    */
+  private val s15 = Q(
+    "s15_ivf_append",
+    (s, dir) => {
+      val idxBase = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_ivf_append_${Integer.toHexString(dir.hashCode)}"
+      val isBatch = col("vec_id") % 10 === 9
+      // offline build on the base corpus only (k-means never sees the
+      // batch); seeds vec_id < k are all base rows
+      val baseV = KMeansOps.loadV(s, dir).filter(!isBatch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cent =
+        try KMeansOps.lloyd(baseV, KMeansOps.iters).last.cent
+        finally baseV.unpersist()
+      corpus(s, dir).filter(!isBatch)
+        .withColumn("cell", KMeansOps.assignExpr(cent))
+        .select("vec_id", "v", "nrm", "cell")
+        .write.mode("overwrite").parquet(s"$idxBase/cells.parquet")
+      // append: batch-only assignment under FROZEN centroids, unioned
+      // with the stored index — the base corpus is never re-scanned
+      val delta = corpus(s, dir).filter(isBatch)
+        .withColumn("cell", KMeansOps.assignExpr(cent))
+        .select("vec_id", "v", "nrm", "cell")
+      ivfServe(s.read.parquet(s"$idxBase/cells.parquet")
+        .unionByName(delta))
+    },
+    Some(ivfAppendOracle))
+
+  /** s15 oracle: from-scratch replay — Lloyd over the base subset,
+    * then ALL vectors assigned to the converged base centroids, then
+    * the identical in-cell top-3. */
+  private lazy val ivfAppendOracle: String =
+    KMeansOps.duckCtes(KMeansOps.iters,
+      where = "WHERE vec_id % 10 <> 9") + s""",
+         |allv AS (
+         |  SELECT vec_id, $duckVec AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, $duckNorm AS nrm FROM allv),
+         |af AS (
+         |  SELECT vec_id, v, nrm, cluster AS cell FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cluster,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_sum(list_transform(n.v, x -> x * x))
+         |        - 2 * list_sum(list_transform(list_zip(n.v, c.cv),
+         |            p -> p[1] * p[2]))
+         |        + list_sum(list_transform(c.cv, x -> x * x)),
+         |        c.cluster) AS rn
+         |    FROM n CROSS JOIN c${KMeansOps.iters} c) t WHERE rn = 1),
+         |qry AS (
+         |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell FROM af
+         |  WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qry.query_id, qry.cell, a.vec_id AS neighbor_id,
+         |         round(${duckDot.format("qry.qv", "a.v")}
+         |           / (qry.qn * a.nrm), 4) AS cosine
+         |  FROM qry JOIN af a USING (cell) WHERE a.vec_id <> qry.query_id),
+         |ranked AS (
+         |  SELECT query_id, cell, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, cell, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Multi-probe LSH: each query probes its own bucket PLUS the 4
     * buckets at Hamming distance 1 (one sign bit flipped) — the
     * standard recall knob for hyperplane LSH (a near neighbor on the
@@ -1135,5 +1225,6 @@ object SimilarityQueries {
          |ORDER BY query_id, rank""".stripMargin))
 
   def all: Seq[Q] =
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14)
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14,
+      s15)
 }

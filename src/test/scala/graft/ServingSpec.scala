@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** d28/s14 — the round-17 serving-side rows: incremental near-dup
-  * maintenance against a STORED LSH index and IVF index persistence.
-  * Contracts proven (on the sf0.001 testdata both rows gate on):
+/** d28/s14/s15 — the round-17 serving-side rows: incremental near-dup
+  * maintenance against a STORED LSH index, IVF index persistence, and
+  * incremental IVF maintenance (append under frozen centroids).
+  * Contracts proven (on the sf0.001 testdata the rows gate on):
   *
   *  1. s14 (build → parquet → reload → serve) returns EXACTLY s5's
   *     rows (build-and-serve in one plan): persistence must be
@@ -43,6 +44,49 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s14 = SparkEntry.queries("s14_ivf_persist")(spark, dir).collect()
     assert(s14.length == s5.length && s14.nonEmpty)
     s5.zip(s14).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("s15: append-path rows == rebuild under the same frozen " +
+      "centroids; the appended query is served") {
+    val s15 = SparkEntry.queries("s15_ivf_append")(spark, dir).collect()
+    assert(s15.nonEmpty)
+    // independent rebuild: Lloyd on the base subset, ALL vectors
+    // assigned to those frozen centroids in ONE pass (no parquet
+    // round-trip, no union) — the append path must be value-invisible
+    val baseV = queries.KMeansOps.loadV(spark, dir)
+      .filter(col("vec_id") % 10 =!= 9)
+    val cent = queries.KMeansOps.lloyd(baseV, queries.KMeansOps.iters)
+      .last.cent
+    import org.apache.spark.sql.expressions.Window
+    val e = queries.KMeansOps.loadV(spark, dir)
+      .withColumn("nrm", sqrt(graft.ops.LinAlg.dot(col("v"), col("v"))))
+      .withColumn("cell", queries.KMeansOps.assignExpr(cent))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val rebuilt = broadcast(q).join(e, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        graft.ops.LinAlg.dot(col("qv"), col("v"))
+          / (col("qn") * col("nrm")), 4))
+      .select(col("query_id"), col("cell"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+      .collect()
+    assert(s15.length == rebuilt.length)
+    s15.zip(rebuilt).foreach { case (a, b) => assert(a == b) }
+    // vec_id 9 arrives WITH the batch and must still be served
+    assert(s15.count(_.getLong(0) == 9L) == 3,
+      "appended query vec_id=9 should have its top-3")
+    // the append changed the clustering input, so s15 must NOT be a
+    // disguised s5 (base-only centroids differ from full-corpus ones)
+    val full = queries.KMeansOps.centroids(spark, dir,
+      queries.KMeansOps.iters)
+    assert(cent != full, "base-only centroids should differ")
   }
 
   test("d28: verified dups == d4 pairs restricted to batch x corpus") {
