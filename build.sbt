@@ -35,6 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // runs); the bench host has 128 GiB — give the single-JVM "cluster"
   // a production-shaped share.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pre-size the heap: with the default tiny -Xms, the FIRST heavy
+  // shuffle in a fresh JVM pays dozens of ergonomic heap-expansion
+  // full GCs (round-17 opt measurement, G5Anatomy interleaved A/B:
+  // the first 148M-row aggregate ran 84.3 s cold vs 13.4-13.8 s on
+  // the very next identical runs; with -Xms = -Xmx the cliff is
+  // gone). Same-sized heaps are also the standard posture for a
+  // production executor JVM.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Throughput collector over G1 for the bench/verify JVMs: G1's mixed
   // cycles can't keep up with 32 shuffle threads' allocation churn on a
   // 24g heap — garbage accumulates across queries and a heavy row

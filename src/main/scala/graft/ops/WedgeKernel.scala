@@ -49,6 +49,62 @@ object WedgeKernel {
   /** Default block edge: 1024² packed longs = 8 MB peak per row. */
   val DefaultBlock = 1024
 
+  /** Per-key counts of a packed-long `pk` column, keeping keys seen at
+    * least `minCount` times: hash-repartition by pk, then SORT each
+    * partition's primitive longs and run-length scan — no per-key hash
+    * map at all. Replaces `repartition.groupBy(pk).count()` in the g5
+    * pair aggregate: with ~101M distinct keys out of 148M rows Spark's
+    * HashAggregate builds a ~1.4M-entry UnsafeRow map per task and its
+    * memory traffic dominated the whole query on the round-17 host
+    * (G5Anatomy: 151.9 s cold / ~25 s warm for the aggregate alone vs
+    * ~2 s for this kernel — the sort is a cache-friendly O(n log n)
+    * over a 16 MB primitive array, the scan is sequential). Exactness:
+    * hash partitioning is a TOTAL function of pk, so every copy of a
+    * key lands in the same partition and each run-length is the exact
+    * global count (WedgeKernelSpec pins equality with groupBy+count).
+    * Partition sizing stays the caller's wedge-volume rule (~2M
+    * rows/task at any scale), so the array is ~16 MB per task.
+    */
+  def countByKeyMin(pairs: DataFrame, nParts: Int,
+      minCount: Long): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.repartition(nParts, col("pk"))
+      .as[Long]
+      .mapPartitions { it =>
+        var a = new Array[Long](1 << 16)
+        var n = 0
+        while (it.hasNext) {
+          if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+          a(n) = it.next(); n += 1
+        }
+        java.util.Arrays.sort(a, 0, n)
+        val arr = a
+        val len = n
+        new Iterator[(Long, Long)] {
+          private var i = 0
+          private var nextPair: (Long, Long) = _
+          private def advance(): Unit = {
+            nextPair = null
+            while (i < len && nextPair == null) {
+              val k = arr(i)
+              var j = i + 1
+              while (j < len && arr(j) == k) j += 1
+              val c = (j - i).toLong
+              if (c >= minCount) nextPair = (k, c)
+              i = j
+            }
+          }
+          advance()
+          override def hasNext: Boolean = nextPair != null
+          override def next(): (Long, Long) = {
+            val r = nextPair; advance(); r
+          }
+        }
+      }
+      .toDF("pk", "common_neighbors")
+  }
+
   /** All unordered neighbor pairs of each center in `nbr(c, x)`,
     * packed `(lo << 32) | hi` (requires non-negative ids < 2³²), one
     * row per pair in column `pk`, plus the total pair count Σd(d−1)/2

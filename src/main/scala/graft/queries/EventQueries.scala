@@ -1871,7 +1871,14 @@ object EventQueries {
       val early = ev.filter(col("ts") < lit(tSplit))
       val mid = ev.filter(col("ts") >= lit(tSplit) && col("ts") < lit(mx))
       val sentinel = ev.filter(col("ts") === lit(mx))
-      require(early.count() > 0 && mid.count() > 0 && sentinel.count() > 0,
+      // one conditional-sum job instead of three separate count() jobs
+      val nonEmpty = ev.agg(
+        sum(when(col("ts") < lit(tSplit), 1L).otherwise(0L)),
+        sum(when(col("ts") >= lit(tSplit) && col("ts") < lit(mx), 1L)
+          .otherwise(0L)),
+        sum(when(col("ts") === lit(mx), 1L).otherwise(0L))).first()
+      require(nonEmpty.getLong(0) > 0 && nonEmpty.getLong(1) > 0 &&
+        nonEmpty.getLong(2) > 0,
         "append-withhold proof is vacuous: need all three deliveries")
       def stage(half: DataFrame, name: String): Unit = {
         val tmp = s"$base/stage_$name"
@@ -1906,7 +1913,7 @@ object EventQueries {
       // final eviction batch after the watermark advances past the
       // last data (verified empirically — sf0.001 finalizes one window
       // MORE than a one-batch-lag cut would, sf0.01 coincides).
-      val tsMax = ev.agg(max(col("ts"))).first().getTimestamp(0)
+      val tsMax = mx // already aggregated above — no second max(ts) job
       val nExpected = ev
         .filter(date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")
           <= lit(tsMax) - expr("INTERVAL 1 HOUR"))

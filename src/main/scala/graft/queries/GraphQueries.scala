@@ -543,11 +543,15 @@ object GraphQueries {
     def topOf(pairs: DataFrame, waveWedges: Long): DataFrame = {
       val nParts = math.max(s.sparkContext.defaultParallelism * 2L,
         math.min(4096L, waveWedges / 2000000L)).toInt
+      // Round-17 optimization host finding (G5Anatomy): the former
+      // repartition + groupBy(pk).count HashAggregate over ~101M
+      // distinct keys was ~25 s warm (151.9 s cold) — the whole query.
+      // countByKeyMin sorts each post-shuffle partition's primitive
+      // longs and run-length counts instead: same exchange, same exact
+      // counts (spec-pinned), no per-key hash map. 27.5 s -> single
+      // digits for the full row on the same host.
       joinEdgeSet(
-        pairs
-          .repartition(nParts, col("pk"))
-          .groupBy("pk").agg(count(lit(1)).as("common_neighbors"))
-          .filter(col("common_neighbors") >= 2),
+        graft.ops.WedgeKernel.countByKeyMin(pairs, nParts, minCount = 2L),
         edgePk, nEdges, "left_anti")
         .select(shiftright(col("pk"), 32).as("p1"),
           col("pk").bitwiseAND(lit(0xffffffffL)).as("p2"),
@@ -630,12 +634,31 @@ object GraphQueries {
         .filter(graft.ops.Anchors.keep(col("c"), nNodes))
         .select(col("c").as("anchor"), col("x").as("m"))
         .localCheckpoint()
-      val scored = maybeBroadcast(anchorEdges, anchorEdges.count())
+      val nAnchorEdges = anchorEdges.count()
+      // Round-17 opt: the former groupBy(anchor, candidate).count over
+      // the ~A·d̄² probe rows is the g5 near-distinct-key HashAggregate
+      // pathology in miniature (most (anchor, candidate) pairs occur a
+      // handful of times). Pack the pair into one long and run the same
+      // sort + run-length kernel (WedgeKernel.countByKeyMin, minCount=1
+      // — every scored pair survives, identical rows). Shuffle sizing:
+      // probe volume ≈ anchor-edge count × mean degree, the same ~2M
+      // rows/task rule as g5.
+      val nEdgesG5b = e0.count()
+      val dAvg = math.max(1L, 2L * nEdgesG5b / math.max(1L, nNodes))
+      val probeVol = nAnchorEdges * dAvg
+      val nPartsB = math.max(s.sparkContext.defaultParallelism * 2L,
+        math.min(4096L, probeVol / 2000000L)).toInt
+      val packed = maybeBroadcast(anchorEdges, nAnchorEdges)
         .join(nbr.select(col("c").as("m"), col("x").as("candidate")),
           Seq("m"))
         .filter(col("candidate") =!= col("anchor"))
-        .groupBy("anchor", "candidate")
-        .agg(count(lit(1)).as("common_neighbors"))
+        .select(shiftleft(col("anchor"), 32)
+          .bitwiseOR(col("candidate")).as("pk"))
+      val scored = graft.ops.WedgeKernel
+        .countByKeyMin(packed, nPartsB, minCount = 1L)
+        .select(shiftright(col("pk"), 32).as("anchor"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("candidate"),
+          col("common_neighbors"))
         .withColumn("pk",
           shiftleft(least(col("anchor"), col("candidate")), 32)
             .bitwiseOR(greatest(col("anchor"), col("candidate"))))

@@ -49,6 +49,12 @@ object MlQueries {
           round(col("l_quantity")).as("y"), col("l_discount").as("x"))
       val flags = df.select("l_returnflag").distinct()
         .collect().map(_.getString(0)).sorted // 3 group labels
+      // NOTE (round-17 opt): overlapping the three independent fits
+      // from a thread pool (guide §2.6) was tried and measured 6x
+      // SLOWER (3.8 -> 24.7 s): three concurrent MLlib IRLS loops
+      // interleave dozens of sub-second jobs and the contention (codegen
+      // + broadcast + scheduler) swamps the overlap win at this data
+      // size. Kept sequential deliberately.
       val rows = flags.toSeq.map { flag =>
         // persist each group's assembled input: MLlib's IRLS re-scans
         // its training frame every iteration, and without the cache

@@ -1556,8 +1556,18 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       import graft.ops.JpegCodec
-      Tables.load(s, dir, "documents")
+      val raw = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("raw"))
+      // A proof-scale fixture reads as ONE scan split (584 KB parquet),
+      // serializing every image's codec work on a single core (measured
+      // 3.9 s single-task at sf0.1, ~0.4 s spread). Spread rows ONLY
+      // when the scan yields fewer tasks than cores — at production
+      // scale the scan has >> cores splits, the condition is false, and
+      // the payload bytes stay scan-local (never shuffled).
+      val par = s.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+      spread
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           def at(b: Array[Byte], i: Int): Int =

@@ -1483,12 +1483,24 @@ object TextQueries {
     * strings); each iteration is one vocabulary-sized aggregate plus
     * one collect of a single row — the k-means collect-and-reembed
     * shape. Returns (merge list, final segmented vocabulary). */
+  /** Returns (merge list, final segmented vocabulary, persisted BASE
+    * vocab handle — callers unpersist it when done). Round-17 opt:
+    * only the base word-frequency table (the one real corpus scan) is
+    * persisted; each iteration's segmentation is the lineage chain of
+    * i regexp_replaces over it, recomputed inside that iteration's
+    * single argmax-collect job. The former per-iteration
+    * persist+count forced 10 extra materialization jobs per training
+    * run to cache a ~vocab-sized table whose recompute is a few
+    * string replaces — job count per train drops from ~21 to ~11
+    * with identical merges (t28/t29/t33 hashes unchanged).
+    */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    var df = bpeWords(s, dir)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val base = bpeWords(s, dir)
       .withColumn("s", concat_ws(" ", split(col("w"), "")))
       .persist()
-    df.count()
+    var df = base
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (it <- 1 to bpeMerges) {
       val top = df
@@ -1503,14 +1515,11 @@ object TextQueries {
         .limit(1).collect()(0)
       val (l, r) = (top.getString(0), top.getString(1))
       merges += ((it, l, r, top.getLong(2)))
-      val old = df
       df = df.withColumn("s", regexp_replace(col("s"),
         lit(java.util.regex.Pattern.quote(l + " " + r)),
-        lit(java.util.regex.Matcher.quoteReplacement(l + r)))).persist()
-      df.count()
-      old.unpersist()
+        lit(java.util.regex.Matcher.quoteReplacement(l + r))))
     }
-    (merges.toSeq, df)
+    (merges.toSeq, df, base)
   }
 
   /** Shared DuckDB replay of the whole training loop: w0 (char-split
@@ -1579,8 +1588,8 @@ object TextQueries {
   private val t28 = Q(
     "t28_bpe_train",
     (s, dir) => {
-      val (merges, fin) = bpeTrain(s, dir)
-      fin.unpersist()
+      val (merges, _, base) = bpeTrain(s, dir)
+      base.unpersist()
       import s.implicits._
       merges.toDF("iter", "l_sym", "r_sym", "n")
         .orderBy("iter")
@@ -1605,7 +1614,7 @@ object TextQueries {
   private val t29 = Q(
     "t29_bpe_encode",
     (s, dir) => {
-      val (_, fin) = bpeTrain(s, dir)
+      val (_, fin, base) = bpeTrain(s, dir)
       val seg = fin.select(col("w"),
         size(split(col("s"), " ")).as("n_tokens"))
       val docw = Tables.load(s, dir, "documents")
@@ -1622,7 +1631,7 @@ object TextQueries {
           round(col("sum_chars").cast("double")
             / col("sum_tokens").cast("double"), 4).as("chars_per_token"))
         .orderBy("source")
-      fin.unpersist()
+      base.unpersist()
       out
     },
     Some(bpeDuckCtes + s""",
@@ -2076,7 +2085,7 @@ object TextQueries {
       val pm = graft.ops.UnigramLm.probs(graft.ops.UnigramLm.trainFinal(
         unigramUnits(s, dir), maxPieceLen = 6, seedTopK = 500, iters = 3))
       val pmB = s.sparkContext.broadcast(pm)
-      val (_, fin) = bpeTrain(s, dir)
+      val (_, fin, base) = bpeTrain(s, dir)
       val bseg = fin.select(col("w"),
         size(split(col("s"), " ")).cast("long").as("bpe_tokens"))
       val docw = Tables.load(s, dir, "documents")
@@ -2106,7 +2115,7 @@ object TextQueries {
             / col("sum_bpe_tokens").cast("double"), 4)
             .as("bpe_chars_per_token"))
         .orderBy("source")
-      fin.unpersist() // lineage recomputes if the action lands later (t29)
+      base.unpersist() // lineage recomputes if the action lands later (t29)
       out
     },
     Some(t33Oracle))

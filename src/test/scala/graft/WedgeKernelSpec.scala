@@ -147,6 +147,25 @@ class WedgeKernelSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("countByKeyMin == repartition+groupBy count at every minCount") {
+    import spark.implicits._
+    // keys with multiplicities 1..6 plus negative-ish spread patterns;
+    // 3 partitions so runs cross partition boundaries only by key hash
+    val rows = (1L to 6L).flatMap(k => Seq.fill(k.toInt)((k << 32) | (k + 9))) ++
+      Seq.fill(4)(0L) ++ (100L to 160L).map(k => (k << 32) | 7L)
+    val df = rows.toDF("pk")
+    val expectAll = rows.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    for (minC <- Seq(1L, 2L, 3L)) {
+      val got = WedgeKernel.countByKeyMin(df, 3, minC).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expectAll.filter(_._2 >= minC), s"minCount=$minC")
+    }
+    // empty input emits nothing
+    assert(WedgeKernel.countByKeyMin(Seq.empty[Long].toDF("pk"), 2, 2L)
+      .collect().isEmpty)
+  }
+
   test("blockSize bounds are enforced") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("c", "x")

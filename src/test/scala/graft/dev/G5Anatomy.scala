@@ -43,10 +43,20 @@ object G5Anatomy {
     t("kernel_explode_count")(pairPk.count())
     val nParts = math.max(spark.sparkContext.defaultParallelism * 2L,
       math.min(4096L, wedges / 2000000L)).toInt
-    t("repartition_agg") {
-      pairPk.repartition(nParts, col("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("cn"))
-        .filter(col("cn") >= 2).count()
+    // interleaved A/B: host throughput drifts 3x run-to-run, so only
+    // adjacent alternation separates code effect from host phase
+    for (i <- 1 to 3) {
+      t(s"repartition_agg_$i") {
+        pairPk.repartition(nParts, col("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("cn"))
+          .filter(col("cn") >= 2).count()
+      }
+      t(s"sortcount_kernel_$i") {
+        graft.ops.WedgeKernel.countByKeyMin(pairPk, nParts, 2L).count()
+      }
+    }
+    t("explode_to_noop") {
+      pairPk.write.format("noop").mode("overwrite").save()
     }
     t("full_g5")(graft.queries.GraphQueries.g5Exact(spark, dir).count())
     t("full_g5_again")(graft.queries.GraphQueries.g5Exact(spark, dir).count())
