@@ -1356,32 +1356,51 @@ object DedupQueries {
       val truthTotal = truth.agg(count(lit(1)).as("n_true_total"))
       val cfgs = Seq(("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4),
         ("b1r8", 1, 8))
-      cfgs.map { case (cfg, nb, r) =>
-        val bands = sig.select(col("doc_id"), explode(array(
+      // Round-17 opt: ONE banded pipeline for all four configs (cfg
+      // rides the band key) instead of four separate explode→self-join→
+      // distinct→2-agg branches, and the per-config candidate/caught
+      // pair comes from one LEFT join against the (unique-keyed) truth
+      // set + a single grouped aggregate — same counts, same rows
+      // (oracle-pinned), ~4x fewer stages on the config side. The
+      // cfg-list left join keeps a zero-candidate config's row alive
+      // with the original (0, 0, NULL precision) semantics.
+      import s.implicits._
+      val bands = sig.select(col("doc_id"), explode(array(
+        cfgs.flatMap { case (cfg, nb, r) =>
           (0 until nb).map { j =>
             val key = md5(concat(
               (0 until r).map(i => col(s"mh${j * r + i}")): _*))
-            struct(lit(j).as("bi"), key.as("bk"))
-          }: _*)).as("bd"))
-          .select(col("doc_id"), col("bd.bi"), col("bd.bk"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val nc = cand.agg(count(lit(1)).as("n_candidates"))
-        val caught = cand.join(truth, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_caught"))
-        nc.crossJoin(caught).crossJoin(truthTotal)
-          .select(lit(cfg).as("cfg"), col("n_candidates"),
-            col("n_true_total"), col("n_caught"),
-            when(col("n_true_total") > 0L,
-              col("n_caught").cast("double")
-                / col("n_true_total").cast("double")).as("recall"),
-            when(col("n_candidates") > 0L,
-              col("n_caught").cast("double")
-                / col("n_candidates").cast("double")).as("precision"))
-      }.reduce(_ unionByName _).orderBy("cfg")
+            struct(lit(cfg).as("cfg"), lit(j).as("bi"), key.as("bk"))
+          }
+        }: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.cfg").as("cfg"),
+          col("bd.bi").as("bi"), col("bd.bk").as("bk"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.cfg") === col("y.cfg") && col("x.bi") === col("y.bi") &&
+            col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.cfg").as("cfg"), col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
+        .distinct()
+      val perCfg = cand
+        .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"),
+          "left")
+        .groupBy("cfg")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      cfgs.map(_._1).toDF("cfg")
+        .join(perCfg, Seq("cfg"), "left")
+        .na.fill(0L, Seq("n_candidates", "n_caught"))
+        .crossJoin(truthTotal)
+        .select(col("cfg"), col("n_candidates"),
+          col("n_true_total"), col("n_caught"),
+          when(col("n_true_total") > 0L,
+            col("n_caught").cast("double")
+              / col("n_true_total").cast("double")).as("recall"),
+          when(col("n_candidates") > 0L,
+            col("n_caught").cast("double")
+              / col("n_candidates").cast("double")).as("precision"))
+        .orderBy("cfg")
     },
     Some {
       val bandSql = (cfg: String, nb: Int, r: Int) =>
@@ -2011,35 +2030,50 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_anchors"))
       val cfgs = Seq(("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4),
         ("b1r8", 1, 8))
-      cfgs.map { case (cfg, nb, r) =>
-        val bands = sig.select(col("doc_id"), explode(array(
+      // Round-17 opt: same single-pipeline merge as d20 — cfg rides the
+      // band key, one anchored self-join for all four configs, one LEFT
+      // join + grouped aggregate for candidates/caught (truth is
+      // unique-keyed). Rows identical (oracle-pinned).
+      import s.implicits._
+      val bands = sig.select(col("doc_id"), explode(array(
+        cfgs.flatMap { case (cfg, nb, r) =>
           (0 until nb).map { j =>
             val key = md5(concat(
               (0 until r).map(i => col(s"mh${j * r + i}")): _*))
-            struct(lit(j).as("bi"), key.as("bk"))
-          }: _*)).as("bd"))
-          .select(col("doc_id"), col("bd.bi"), col("bd.bk"))
-        val cand = bands.filter(anchored(col("doc_id"))).as("x")
-          .join(bands.as("y"),
-            col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val nc = cand.agg(count(lit(1)).as("n_candidates_sampled"))
-        val caught = cand.join(truth, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_caught_sampled"))
-        nc.crossJoin(caught).crossJoin(truthTotal).crossJoin(nAnchors)
-          .select(lit(cfg).as("cfg"), col("n_anchors"),
-            col("n_candidates_sampled"),
-            col("n_true_sampled"), col("n_caught_sampled"),
-            when(col("n_true_sampled") > 0L,
-              col("n_caught_sampled").cast("double")
-                / col("n_true_sampled").cast("double")).as("recall_est"),
-            when(col("n_candidates_sampled") > 0L,
-              col("n_caught_sampled").cast("double")
-                / col("n_candidates_sampled").cast("double"))
-              .as("precision_est"))
-      }.reduce(_ unionByName _).orderBy("cfg")
+            struct(lit(cfg).as("cfg"), lit(j).as("bi"), key.as("bk"))
+          }
+        }: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.cfg").as("cfg"),
+          col("bd.bi").as("bi"), col("bd.bk").as("bk"))
+      val cand = bands.filter(anchored(col("doc_id"))).as("x")
+        .join(bands.as("y"),
+          col("x.cfg") === col("y.cfg") && col("x.bi") === col("y.bi") &&
+            col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.cfg").as("cfg"), col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
+        .distinct()
+      val perCfg = cand
+        .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"),
+          "left")
+        .groupBy("cfg")
+        .agg(count(lit(1)).as("n_candidates_sampled"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught_sampled"))
+      cfgs.map(_._1).toDF("cfg")
+        .join(perCfg, Seq("cfg"), "left")
+        .na.fill(0L, Seq("n_candidates_sampled", "n_caught_sampled"))
+        .crossJoin(truthTotal).crossJoin(nAnchors)
+        .select(col("cfg"), col("n_anchors"),
+          col("n_candidates_sampled"),
+          col("n_true_sampled"), col("n_caught_sampled"),
+          when(col("n_true_sampled") > 0L,
+            col("n_caught_sampled").cast("double")
+              / col("n_true_sampled").cast("double")).as("recall_est"),
+          when(col("n_candidates_sampled") > 0L,
+            col("n_caught_sampled").cast("double")
+              / col("n_candidates_sampled").cast("double"))
+            .as("precision_est"))
+        .orderBy("cfg")
     },
     Some {
       val bandSql = (cfg: String, nb: Int, r: Int) =>
